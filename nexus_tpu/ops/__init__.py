@@ -1,0 +1,4 @@
+"""TPU compute ops: Pallas kernels and XLA-optimized primitives."""
+
+from nexus_tpu.ops.kmeans import kmeans  # noqa: F401
+from nexus_tpu.ops.topk import brute_force_topk, topk_over_corpus  # noqa: F401

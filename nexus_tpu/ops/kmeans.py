@@ -1,0 +1,42 @@
+"""On-device k-means (parity target: the `kmeans` util the reference samplers
+use, Nexus/modules/sampler.py:13-39 — reimplemented for XLA).
+
+Fixed-iteration Lloyd's algorithm: distance matrix on the MXU, assignment via
+argmin, centroid update via segment sums. Empty clusters are re-seeded from
+random data points each iteration. Runs under jit with static `k`/`max_iter`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _assign(X: Array, C: Array) -> Array:
+    # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant for argmin
+    dist = -2.0 * (X @ C.T) + jnp.sum(C * C, axis=-1)[None, :]
+    return jnp.argmin(dist, axis=-1)
+
+
+def kmeans(key: jax.Array, X: Array, k: int, max_iter: int = 30):
+    """Cluster rows of ``X`` [N, D] into ``k`` clusters.
+
+    Returns (centers [k, D], assignment [N] int32).
+    """
+    n = X.shape[0]
+    perm = jax.random.permutation(key, n)
+    C0 = X[perm[: k]]
+
+    def body(i, C):
+        assign = _assign(X, C)
+        counts = jax.ops.segment_sum(jnp.ones((n,), X.dtype), assign, num_segments=k)
+        sums = jax.ops.segment_sum(X, assign, num_segments=k)
+        C_new = sums / jnp.maximum(counts, 1.0)[:, None]
+        # reseed empty clusters from random points (new draw each iteration)
+        reseed = X[jax.random.randint(jax.random.fold_in(key, i), (k,), 0, n)]
+        return jnp.where((counts < 0.5)[:, None], reseed, C_new)
+
+    C = jax.lax.fori_loop(0, max_iter, body, C0)
+    return C, _assign(X, C).astype(jnp.int32)

@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.modules.sampler import (
+    ClusterPopSampler,
+    ClusterUniformSampler,
+    LSHSampler,
+    MaskedUniformSampler,
+    MIDXPopSampler,
+    MIDXUniformSampler,
+    PopularSampler,
+    UniformSampler,
+    get_sampler,
+    uniform_sample_masked_hist,
+)
+from nexus_tpu.ops.kmeans import kmeans
+
+NUM_ITEMS = 200
+DIM = 16
+
+
+@pytest.fixture
+def item_embs(key):
+    return jax.random.normal(key, (NUM_ITEMS, DIM))
+
+
+@pytest.fixture
+def query(key):
+    return jax.random.normal(jax.random.fold_in(key, 1), (8, DIM))
+
+
+def test_kmeans_clusters(key):
+    # two well-separated blobs -> two distinct centers
+    a = jax.random.normal(key, (50, 4)) + 10.0
+    b = jax.random.normal(jax.random.fold_in(key, 1), (50, 4)) - 10.0
+    X = jnp.concatenate([a, b])
+    C, assign = kmeans(key, X, 2, max_iter=20)
+    assert C.shape == (2, 4)
+    # all of blob a in one cluster, all of blob b in the other
+    assert len(set(np.asarray(assign[:50]).tolist())) == 1
+    assert len(set(np.asarray(assign[50:]).tolist())) == 1
+    assert assign[0] != assign[-1]
+
+
+def test_uniform_sampler(key, query):
+    s = UniformSampler(NUM_ITEMS)
+    neg, prob = s(key, query, 10)
+    assert neg.shape == (8, 10) and prob.shape == (8, 10)
+    assert (np.asarray(neg) >= 0).all() and (np.asarray(neg) < NUM_ITEMS).all()
+    pos = jnp.arange(8)
+    pp, neg, np_ = s(key, query, 10, pos_items=pos)
+    assert pp.shape == (8,)
+    # int query form
+    neg2, _ = s(key, 5, 3)
+    assert neg2.shape == (5, 3)
+
+
+def test_masked_uniform_never_samples_history(key, query):
+    hist = jnp.array([[1, 2, 3, 0, 0]] * 8)  # items 1..3 in history (1-based)
+    s = MaskedUniformSampler(NUM_ITEMS)
+    neg, _ = s(key, query, 64, user_hist=hist)
+    neg_np = np.asarray(neg)
+    assert not np.isin(neg_np, [1, 2, 3]).any()
+    assert (neg_np >= 1).all() and (neg_np <= NUM_ITEMS).all()
+
+
+def test_masked_uniform_statistics(key):
+    # with big num_neg, all non-history items should be hit
+    hist = jnp.array([[5, 7, 0]])
+    neg = uniform_sample_masked_hist(key, 20, 2000, hist)
+    vals = set(np.asarray(neg).flatten().tolist())
+    assert 5 not in vals and 7 not in vals
+    assert vals.issubset(set(range(1, 21)))
+    assert len(vals) == 18
+
+
+def test_popular_sampler_distribution(key, query):
+    pop = np.zeros(NUM_ITEMS)
+    pop[10] = 10000.0  # extremely popular
+    pop[11] = 1.0
+    s = PopularSampler.build(pop, mode=2)
+    neg, prob = s(key, query, 500)
+    counts = np.bincount(np.asarray(neg).flatten(), minlength=NUM_ITEMS)
+    assert counts[10] > counts[11]
+    assert np.isfinite(np.asarray(prob)).all()
+    pp = s.compute_item_p(None, jnp.array([10, 11]))
+    assert pp[0] > pp[1]
+
+
+def test_midx_uniform_sampler(key, item_embs, query):
+    s = MIDXUniformSampler(num_items=NUM_ITEMS, num_clusters=4)
+    s = s.update(key, item_embs)
+    pos = jnp.arange(8)
+    pp, neg, np_ = s(key, query, 16, pos_items=pos)
+    assert neg.shape == (8, 16) and np_.shape == (8, 16) and pp.shape == (8,)
+    neg_ids = np.asarray(neg)
+    assert (neg_ids >= 0).all() and (neg_ids < NUM_ITEMS).all()
+    assert np.isfinite(np.asarray(np_)).all() and np.isfinite(np.asarray(pp)).all()
+
+
+def test_midx_pop_sampler(key, item_embs, query):
+    pop = np.random.default_rng(0).integers(1, 100, NUM_ITEMS).astype(np.float32)
+    s = MIDXPopSampler.build(pop, num_clusters=4)
+    s = s.update(key, item_embs)
+    pp, neg, np_ = s(key, query, 16, pos_items=jnp.arange(8))
+    assert neg.shape == (8, 16)
+    assert np.isfinite(np.asarray(np_)).all()
+
+
+def test_cluster_samplers(key, item_embs, query):
+    s = ClusterUniformSampler(num_items=NUM_ITEMS, num_clusters=8).update(key, item_embs)
+    pp, neg, np_ = s(key, query, 16, pos_items=jnp.arange(8))
+    assert neg.shape == (8, 16) and np.isfinite(np.asarray(np_)).all()
+    assert (np.asarray(neg) >= 0).all() and (np.asarray(neg) < NUM_ITEMS).all()
+
+    pop = np.ones(NUM_ITEMS, np.float32)
+    sp = ClusterPopSampler.build(pop, num_clusters=8).update(key, item_embs)
+    pp, neg, np_ = sp(key, query, 16, pos_items=jnp.arange(8))
+    assert np.isfinite(np.asarray(np_)).all()
+
+
+def test_lsh_sampler(key, item_embs, query):
+    s = LSHSampler.build(key, NUM_ITEMS, DIM, n_bits=3, n_table=4).update(key, item_embs)
+    pp, neg, np_ = s(key, query, 16, pos_items=jnp.arange(8))
+    assert neg.shape == (8, 16)
+    assert (np.asarray(neg) >= 0).all() and (np.asarray(neg) < NUM_ITEMS).all()
+    assert np.isfinite(np.asarray(np_)).all()
+
+
+def test_samplers_jittable(key, item_embs, query):
+    s = MIDXUniformSampler(num_items=NUM_ITEMS, num_clusters=4).update(key, item_embs)
+
+    @jax.jit
+    def draw(k, q):
+        return s(k, q, 8)
+
+    neg, prob = draw(key, query)
+    assert neg.shape == (8, 8)
+
+    u = UniformSampler(NUM_ITEMS)
+    f = jax.jit(lambda k, q: u(k, q, 4))
+    assert f(key, query)[0].shape == (8, 4)
+
+
+def test_get_sampler_registry(key):
+    assert isinstance(get_sampler("uniform", num_items=10), UniformSampler)
+    assert isinstance(get_sampler("midx_uni", num_items=10, num_clusters=2), MIDXUniformSampler)
+    with pytest.raises(ValueError):
+        get_sampler("bogus")
