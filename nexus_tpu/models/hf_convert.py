@@ -1,0 +1,96 @@
+"""HuggingFace -> Flax weight conversion for BERT-family encoders.
+
+Loads either a torch `BertModel` state_dict (in-memory) or a local HF
+checkpoint directory (config.json + *.safetensors / pytorch_model.bin) and
+produces params for `nexus_tpu.models.bert.BertEncoderModel`.
+
+No torch is needed at serve time — conversion is an offline step; the
+resulting params are plain jnp arrays (optionally bf16-cast).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.models.bert import BertConfig
+
+
+def _t(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def torch_bert_to_flax(
+    state_dict: Dict[str, "np.ndarray"], config: BertConfig, dtype=jnp.float32
+) -> dict:
+    """Map a HF BertModel state_dict onto BertEncoderModel params."""
+    sd = {k.removeprefix("bert."): _t(v) for k, v in state_dict.items()}
+
+    def dense(prefix):
+        return {
+            "kernel": jnp.asarray(sd[f"{prefix}.weight"].T, dtype),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+        }
+
+    def layernorm(prefix):
+        return {
+            "scale": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32),
+        }
+
+    params = {
+        "embeddings": {
+            "word_embeddings": {"embedding": jnp.asarray(sd["embeddings.word_embeddings.weight"], dtype)},
+            "position_embeddings": {"embedding": jnp.asarray(sd["embeddings.position_embeddings.weight"], dtype)},
+            "token_type_embeddings": {"embedding": jnp.asarray(sd["embeddings.token_type_embeddings.weight"], dtype)},
+            "LayerNorm": layernorm("embeddings.LayerNorm"),
+        }
+    }
+    for i in range(config.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention_self": {
+                "query": dense(f"{p}.attention.self.query"),
+                "key": dense(f"{p}.attention.self.key"),
+                "value": dense(f"{p}.attention.self.value"),
+            },
+            "attention_output_dense": dense(f"{p}.attention.output.dense"),
+            "attention_output_LayerNorm": layernorm(f"{p}.attention.output.LayerNorm"),
+            "intermediate_dense": dense(f"{p}.intermediate.dense"),
+            "output_dense": dense(f"{p}.output.dense"),
+            "output_LayerNorm": layernorm(f"{p}.output.LayerNorm"),
+        }
+    if config.add_pooling_layer and "pooler.dense.weight" in sd:
+        params["pooler_dense"] = dense("pooler.dense")
+    return {"params": params}
+
+
+def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = True):
+    """Load a local HF BERT checkpoint directory into (BertConfig, variables).
+
+    Reads config.json + model.safetensors (preferred) or pytorch_model.bin.
+    """
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    config = BertConfig.from_hf(cfg_dict)
+    config.add_pooling_layer = add_pooling_layer
+
+    st_path = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(f"no model weights found under {model_dir}")
+    return config, torch_bert_to_flax(sd, config, dtype=dtype)

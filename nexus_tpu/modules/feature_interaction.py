@@ -43,13 +43,14 @@ class CrossNetwork(nn.Module):
 
 class _FactoryWrap(nn.Module):
     """Instantiate a submodule from a factory inside a compact scope, so the
-    module class itself can be lifted by nn.vmap."""
+    module class itself can be lifted by nn.vmap. `train` is positional —
+    nn.vmap drops kwargs silently."""
 
     factory: Callable[[], nn.Module] = None
 
     @nn.compact
-    def __call__(self, inputs, **kwargs):
-        return self.factory()(inputs, **kwargs)
+    def __call__(self, inputs, train=False):
+        return self.factory()(inputs, train=train)
 
 
 def _vmap_replicas(factory: Callable[[], nn.Module], n: int) -> nn.Module:
@@ -58,7 +59,7 @@ def _vmap_replicas(factory: Callable[[], nn.Module], n: int) -> nn.Module:
     matmul on the MXU instead of a Python loop of per-replica matmuls."""
     Vmapped = nn.vmap(
         _FactoryWrap,
-        in_axes=None,
+        in_axes=(None, None),
         out_axes=1,
         axis_size=n,
         variable_axes={"params": 0, "batch_stats": 0},
@@ -74,8 +75,8 @@ class MultiExperts(nn.Module):
     expert_module: Callable[[], nn.Module] = None  # factory returning a fresh expert
 
     @nn.compact
-    def __call__(self, inputs: Array, **kwargs) -> Array:
-        return _vmap_replicas(self.expert_module, self.n_experts)(inputs, **kwargs)
+    def __call__(self, inputs: Array, train: bool = False) -> Array:
+        return _vmap_replicas(self.expert_module, self.n_experts)(inputs, train)
 
 
 class MultiSENet(nn.Module):
@@ -85,5 +86,5 @@ class MultiSENet(nn.Module):
     senet_module: Callable[[], nn.Module] = None
 
     @nn.compact
-    def __call__(self, inputs: Array, **kwargs) -> Array:
-        return _vmap_replicas(self.senet_module, self.n_tasks)(inputs, **kwargs)
+    def __call__(self, inputs: Array, train: bool = False) -> Array:
+        return _vmap_replicas(self.senet_module, self.n_tasks)(inputs, train)

@@ -1,0 +1,8 @@
+from nexus_tpu.parallel.mesh import (  # noqa: F401
+    get_default_mesh,
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_shardings,
+)
+from nexus_tpu.parallel.collectives import gather_with_grad  # noqa: F401

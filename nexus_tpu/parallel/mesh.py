@@ -1,0 +1,78 @@
+"""Device mesh construction and batch/parameter sharding helpers.
+
+This is THE parallelism substrate: where the reference juggles
+Accelerate/DDP/DeepSpeed/NCCL process groups (SURVEY §2.4), nexus_tpu has a
+`jax.sharding.Mesh` and named-axis shardings compiled into pjit programs.
+Collectives ride ICI automatically; multi-host runs only need
+`jax.distributed.initialize()` before mesh creation.
+
+Axes convention:
+    data  — data parallel (batch axis); also the ZeRO-1 shard axis
+    model — reserved for tensor-parallel / embedding-shard layouts
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a mesh. Default: all devices on one `data` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = {DATA_AXIS: len(devices)}
+    axis_names = tuple(shape.keys())
+    dims = tuple(shape.values())
+    n = int(np.prod(dims))
+    if n != len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(dims)
+    return Mesh(dev_array, axis_names)
+
+
+_default_mesh: Optional[Mesh] = None
+
+
+def get_default_mesh() -> Mesh:
+    global _default_mesh
+    if _default_mesh is None:
+        _default_mesh = make_mesh()
+    return _default_mesh
+
+
+def set_default_mesh(mesh: Mesh) -> None:
+    global _default_mesh
+    _default_mesh = mesh
+
+
+def data_parallel_shardings(mesh: Mesh):
+    """(batch_sharding, replicated_sharding) for a data-parallel step."""
+    return NamedSharding(mesh, P(DATA_AXIS)), NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded along the leading axis.
+    Scalars and 0-d entries are replicated."""
+    batch_sh, rep_sh = data_parallel_shardings(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % mesh.shape[DATA_AXIS] != 0:
+            return jax.device_put(x, rep_sh)
+        return jax.device_put(x, batch_sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    _, rep_sh = data_parallel_shardings(mesh)
+    return jax.device_put(tree, rep_sh)

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.models.bert import BertConfig, BertEncoderModel, pool_hidden_states
+from nexus_tpu.models.hf_convert import torch_bert_to_flax
+
+TINY = dict(
+    vocab_size=128,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=64,
+    max_position_embeddings=64,
+    hidden_dropout_prob=0.0,
+    attention_probs_dropout_prob=0.0,
+)
+
+
+def test_bert_forward_shapes(key):
+    cfg = BertConfig(**TINY)
+    model = BertEncoderModel(cfg)
+    ids = jnp.ones((2, 10), jnp.int32)
+    variables = model.init(key, ids)
+    out = model.apply(variables, ids)
+    assert out["last_hidden_state"].shape == (2, 10, 32)
+    assert out["pooler_output"].shape == (2, 32)
+
+
+def test_bert_matches_torch_reference():
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFConfig, BertModel
+
+    hf_cfg = HFConfig(**TINY)
+    torch_model = BertModel(hf_cfg).eval()
+    cfg = BertConfig(**TINY)
+    variables = torch_bert_to_flax(torch_model.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 127, (3, 12))
+    mask = np.ones((3, 12), np.int64)
+    mask[0, 8:] = 0  # padded row
+    ids = ids * mask
+
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    model = BertEncoderModel(cfg)
+    ours = np.asarray(
+        model.apply(variables, jnp.asarray(ids), attention_mask=jnp.asarray(mask))[
+            "last_hidden_state"
+        ]
+    )
+    # compare only non-padded positions (HF computes garbage on pads too, but
+    # padded positions influence nothing downstream when masked)
+    valid = mask.astype(bool)
+    assert np.allclose(ours[valid], ref[valid], atol=2e-4), np.abs(ours[valid] - ref[valid]).max()
+
+
+def test_pooling_methods():
+    hidden = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    mask = jnp.array([[1, 1, 0], [1, 1, 1]])
+    cls = pool_hidden_states(hidden, mask, "cls")
+    assert np.allclose(cls, hidden[:, 0])
+    mean = pool_hidden_states(hidden, mask, "mean")
+    assert np.allclose(mean[0], np.asarray(hidden[0, :2]).mean(0))
+    last = pool_hidden_states(hidden, mask, "last_token")
+    assert np.allclose(last[0], hidden[0, 1])
+    assert np.allclose(last[1], hidden[1, 2])
+
+
+def test_bert_bf16_runs(key):
+    cfg = BertConfig(**TINY)
+    model = BertEncoderModel(cfg, dtype=jnp.bfloat16)
+    ids = jnp.ones((2, 8), jnp.int32)
+    variables = model.init(key, ids)
+    out = model.apply(variables, ids)
+    assert out["last_hidden_state"].dtype == jnp.bfloat16

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from nexus_tpu.data.dataset import (
+    ItemDataset,
+    ShardedDataset,
+    calc_slice_position,
+    compute_item_popularity,
+)
+from nexus_tpu.data.processor import ConfigProcessor
+from nexus_tpu.data.synthetic import generate_synthetic_recflow
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    cfg_path = generate_synthetic_recflow(str(root), n_days=3, rows_per_day=512, seq_len=6)
+    return cfg_path
+
+
+def test_config_split(synth):
+    proc = ConfigProcessor(synth)
+    train_cfg, eval_cfg = proc.split_config()
+    assert len(train_cfg.files) == 2  # days 1-2 train
+    assert len(eval_cfg.files) == 1  # last day eval
+    attr = train_cfg.to_attr()
+    assert attr.fiid == "video_id"
+    assert attr.seq_lengths == {"seq_effective": 6}
+    assert attr.num_items == 2000
+
+
+def test_sharded_dataset_batches(synth):
+    train_cfg, _ = ConfigProcessor(synth).split_config()
+    ds = ShardedDataset(train_cfg, batch_size=128, shuffle=True, drop_last=True)
+    batches = list(ds)
+    assert len(batches) == 8  # 1024 rows / 128
+    b = batches[0]
+    assert b["user_id"].shape == (128,)
+    assert b["effective_view"].shape == (128,)
+    assert b["seq_effective"]["video_id"].shape == (128, 6)
+    # seq padding uses 0
+    assert (b["seq_effective"]["video_id"] >= 0).all()
+
+
+def test_sharded_dataset_rank_partition(synth):
+    train_cfg, _ = ConfigProcessor(synth).split_config()
+    seen = []
+    for rank in range(2):
+        ds = ShardedDataset(train_cfg, batch_size=64, rank=rank, world_size=2, drop_last=True)
+        for b in ds:
+            seen.append(b["request_id"])
+    all_ids = np.concatenate(seen)
+    # no duplicates across ranks
+    assert len(np.unique(all_ids)) == len(all_ids)
+    assert len(all_ids) == 1024  # both days fully covered
+
+
+def test_eval_padding(synth):
+    _, eval_cfg = ConfigProcessor(synth).split_config()
+    ds = ShardedDataset(eval_cfg, batch_size=100, drop_last=False)
+    batches = list(ds)
+    total = sum(int(b.get("_nvalid", b["user_id"].shape[0])) for b in batches)
+    assert total == 512
+    assert batches[-1]["user_id"].shape == (100,)  # padded to static shape
+
+
+def test_item_dataset(synth):
+    train_cfg, _ = ConfigProcessor(synth).split_config()
+    items = ItemDataset(train_cfg)
+    assert len(items) == 2000
+    table = items.item_feature_table()
+    assert table["video_id"].shape == (2000,)
+    assert table["author_id"].shape == (2000,)
+    pop = compute_item_popularity(ShardedDataset(train_cfg, batch_size=1), "video_id")
+    assert sum(pop.values()) == 1024
+
+
+def test_calc_slice_position_covers_all_rows():
+    # all rows assigned exactly once across slices
+    n, workers, bs = 1003, 4, 32
+    spans = [calc_slice_position(n, i, workers, bs, False) for i in range(workers)]
+    covered = sorted((s, e) for s, e, _ in spans)
+    assert covered[0][0] == 0
+    for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
+        assert e1 == s2
+    assert covered[-1][1] == n
