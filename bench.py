@@ -1,0 +1,85 @@
+"""Headline benchmark: BGE-base embedding throughput on one TPU chip.
+
+Measures the inference engine's core path — bf16 BGE-base-architecture
+encoder forward (scan-over-layers) + CLS pooling + L2 normalize, jit-compiled,
+static shapes — in embeddings/sec/chip at seq_len=128.
+
+Timing methodology: on this TPU relay platform `block_until_ready` does not
+reliably synchronize, so every timed iteration fetches a data-dependent
+SCALAR to the host (forces completion; transfer cost is negligible).
+
+North star (BASELINE.json): >= 10,000 embeddings/sec/chip on v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 10_000.0  # embeddings/sec/chip
+SEQ_LEN = 128
+BATCH = 256
+ITERS = 10
+
+
+def main() -> None:
+    # persistent compile cache: first-ever run pays the slow remote compile,
+    # subsequent bench invocations start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from nexus_tpu.models.bert import BertConfig, BertEncoderModel, pool_hidden_states
+
+    config = BertConfig(
+        vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, add_pooling_layer=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = BertEncoderModel(config, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 30000, (BATCH, SEQ_LEN)), jnp.int32)
+    mask = jnp.ones((BATCH, SEQ_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids[:1, :8])
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+        variables,
+    )
+
+    @jax.jit
+    def encode_probe(variables, input_ids, attention_mask):
+        out = model.apply(variables, input_ids, attention_mask=attention_mask)
+        reps = pool_hidden_states(
+            out["last_hidden_state"].astype(jnp.float32), attention_mask, "cls"
+        )
+        reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+        # scalar probe: data-dependent on the full batch, forces real sync
+        return jnp.sum(reps)
+
+    # compile + warmup (first fetch waits for compilation)
+    float(encode_probe(variables, ids, mask))
+    float(encode_probe(variables, ids, mask))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(encode_probe(variables, ids, mask))
+    dt = time.perf_counter() - t0
+    throughput = BATCH * ITERS / dt
+
+    print(json.dumps({
+        "metric": "bge_base_embeddings_per_sec_per_chip_seq128_bf16",
+        "value": round(throughput, 2),
+        "unit": "embeddings/s",
+        "vs_baseline": round(throughput / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

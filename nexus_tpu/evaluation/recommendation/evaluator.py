@@ -1,0 +1,93 @@
+"""Recommendation evaluation (parity: Nexus/evaluation/recommendation/
+evaluator.py:28-305 + runner.py:41-80): evaluate saved retriever/ranker
+checkpoints over the test period of a data config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from nexus_tpu.data.dataset import ItemDataset, ShardedDataset
+from nexus_tpu.data.processor import ConfigProcessor
+from nexus_tpu.parallel.mesh import get_default_mesh
+from nexus_tpu.training.arguments import TrainingArguments
+from nexus_tpu.training.checkpoint import load_checkpoint
+from nexus_tpu.training.trainer import RecTrainer
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.evaluation.recommendation")
+
+
+class RecommenderAbsEvaluator:
+    """Evaluate a loaded model (retriever or ranker) on an eval dataset."""
+
+    def __init__(self, model, variables, eval_args: Optional[TrainingArguments] = None, mesh=None):
+        self.model = model
+        self.variables = variables
+        self.mesh = mesh or get_default_mesh()
+        self.eval_args = eval_args or TrainingArguments.from_dict(
+            {"output_dir": "/tmp/nexus_eval", "evaluation_strategy": "no"}
+        )
+        self.trainer = RecTrainer(model, self.eval_args, mesh=self.mesh)
+        self.trainer.init_state()
+        self.trainer._state = self.trainer._state.replace(params=variables["params"])
+        if "batch_stats" in variables:
+            self.trainer._state = self.trainer._state.replace(batch_stats=variables["batch_stats"])
+
+    def evaluate(self, eval_dataset: ShardedDataset) -> Dict[str, float]:
+        return self.trainer.evaluate(lambda: iter(eval_dataset))
+
+
+class RecommenderEvalRunner:
+    """Load retriever and/or ranker checkpoints + eval data; run both
+    (parity: RecommenderEvalRunner.run)."""
+
+    def __init__(
+        self,
+        data_config_or_path,
+        retriever_ckpt_path: Optional[str] = None,
+        ranker_ckpt_path: Optional[str] = None,
+        eval_batch_size: int = 512,
+        metrics: Optional[list] = None,
+        cutoffs: Optional[list] = None,
+        mesh=None,
+    ):
+        self.mesh = mesh or get_default_mesh()
+        processor = ConfigProcessor(data_config_or_path)
+        self.train_data_args, self.eval_data_args = processor.split_config()
+        self.eval_batch_size = eval_batch_size
+        self.metrics = metrics
+        self.cutoffs = cutoffs
+
+        self.retriever = self.ranker = None
+        if retriever_ckpt_path:
+            self.retriever, self.retriever_vars = load_checkpoint(retriever_ckpt_path)
+            item_dataset = ItemDataset(self.train_data_args)
+            self.retriever.set_item_dataset(item_dataset)
+            if self.metrics:
+                self.retriever.model_config.metrics = self.metrics
+            if self.cutoffs:
+                self.retriever.model_config.cutoffs = self.cutoffs
+        if ranker_ckpt_path:
+            self.ranker, self.ranker_vars = load_checkpoint(ranker_ckpt_path)
+            if self.metrics:
+                self.ranker.model_config.metrics = self.metrics
+
+    def _eval_dataset(self) -> ShardedDataset:
+        return ShardedDataset(
+            self.eval_data_args, batch_size=self.eval_batch_size, shuffle=False, drop_last=False
+        )
+
+    def run(self) -> Dict[str, Dict[str, float]]:
+        out: Dict[str, Dict[str, float]] = {}
+        if self.retriever is not None:
+            ev = RecommenderAbsEvaluator(self.retriever, self.retriever_vars, mesh=self.mesh)
+            out["retriever"] = ev.evaluate(self._eval_dataset())
+            logger.info("retriever metrics: %s", out["retriever"])
+        if self.ranker is not None:
+            ev = RecommenderAbsEvaluator(self.ranker, self.ranker_vars, mesh=self.mesh)
+            out["ranker"] = ev.evaluate(self._eval_dataset())
+            logger.info("ranker metrics: %s", out["ranker"])
+        return out

@@ -1,0 +1,124 @@
+"""Recommendation retriever serving engine (parity: Nexus/inference/embedder/
+recommendation/base.py:60-592).
+
+Online path per request batch:
+  user ids -> FeatureCache mget + proto decode (host, one round-trip)
+           -> fixed-shape numpy batch assembly (incl. nested seq features)
+           -> compiled query-tower forward (jit/AOT)
+           -> u2i: ItemIndex search (on-device matmul+top-k)
+              or i2i: precomputed neighbor lists from the KV store.
+
+Timing counters for each stage are kept (parity with the reference's
+get_features_time / model_time / faiss_time instrumentation, base.py:131-197).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nexus_tpu.inference.feature_store import FeatureCache, FeatureCodec, get_kv_store
+from nexus_tpu.inference.index import ItemIndex
+from nexus_tpu.inference.session import NormalSession
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.inference.rec_embedder")
+
+
+class BaseEmbedderInferenceEngine:
+    """Constructed from a plain config dict (reference convention for the
+    recommendation engines — YAML dict, not dataclass args)."""
+
+    def __init__(self, config: dict, kv_store=None, item_index: Optional[ItemIndex] = None):
+        from nexus_tpu.training.checkpoint import load_checkpoint
+
+        self.config = config
+        self.model, self.variables = load_checkpoint(config["model_ckpt_path"])
+        self.data_attr = self.model.data_config
+        self.retrieve_mode = config.get("retrieve_mode", "u2i")  # u2i | i2i
+        self.output_topk = int(config.get("output_topk", 10))
+
+        self.kv = kv_store or get_kv_store(config.get("feature_cache"))
+        self.feature_cache = FeatureCache(self.kv, FeatureCodec())
+        fc = config.get("feature_cache") or {}
+        self.user_key_template = fc.get("user_key_template", "user:{}")
+        self.seq_key_template = fc.get("seq_key_template", None)
+        self.i2i_key_template = fc.get("i2i_key_template", "i2i:{}")
+
+        if item_index is None and config.get("item_index_path"):
+            item_index = ItemIndex.load(config["item_index_path"])
+        self.item_index = item_index
+
+        import jax
+
+        self._encode_jit = jax.jit(lambda variables, batch: self.model.encode_query(variables, batch))
+        self._encode = lambda batch: self._encode_jit(self.variables, batch)
+        self.timers: Dict[str, float] = {"feature": 0.0, "model": 0.0, "search": 0.0}
+
+    # -- feature hydration --------------------------------------------------
+
+    def get_user_context_features(self, user_ids: List) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
+        rows = self.feature_cache.fetch(self.user_key_template, user_ids)
+        batch: Dict[str, np.ndarray] = {}
+        d = self.data_attr
+        for feat in d.context_features:
+            batch[feat] = np.asarray([int(r.get(feat, 0)) for r in rows], np.int64)
+        # nested behavior sequences: stored as flat lists per seq feature
+        for seq_name, feats in (d.seq_features or {}).items():
+            L = d.seq_lengths[seq_name]
+            sub = {}
+            for f in feats:
+                mat = np.zeros((len(rows), L), np.int64)
+                for i, r in enumerate(rows):
+                    vals = r.get(f"{seq_name}.{f}") or r.get(f) or []
+                    if isinstance(vals, (int, float)):
+                        vals = [vals]
+                    vals = [int(v) for v in vals][:L]
+                    mat[i, : len(vals)] = vals
+                sub[f] = mat
+            batch[seq_name] = sub
+        self.timers["feature"] += time.perf_counter() - t0
+        return batch
+
+    # -- retrieval ----------------------------------------------------------
+
+    def batch_inference(self, user_ids: List) -> Dict[str, np.ndarray]:
+        """Returns {'user_id', 'item_ids' [B, K], 'scores' [B, K]}."""
+        if self.retrieve_mode == "i2i":
+            return self._i2i(user_ids)
+        batch = self.get_user_context_features(user_ids)
+        t0 = time.perf_counter()
+        q = np.asarray(self._encode(batch))
+        self.timers["model"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scores, item_ids = self.item_index.search(q, self.output_topk)
+        self.timers["search"] += time.perf_counter() - t0
+        return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
+
+    def _i2i(self, user_ids: List) -> Dict[str, np.ndarray]:
+        """Trigger-item expansion from precomputed neighbor lists."""
+        batch = self.get_user_context_features(user_ids)
+        t0 = time.perf_counter()
+        d = self.data_attr
+        seq_name = sorted(d.seq_features or {})[0]
+        triggers = batch[seq_name][d.fiid]  # [B, L]
+        out_ids = []
+        for row in triggers:
+            items: List[int] = []
+            for trig in row[row != 0][-3:]:  # last 3 real interactions
+                blob = self.kv.get(self.i2i_key_template.format(int(trig)))
+                if blob:
+                    items += [int(x) for x in blob.decode().split(",") if x]
+            seen = list(dict.fromkeys(items))[: self.output_topk]
+            seen += [0] * (self.output_topk - len(seen))
+            out_ids.append(seen)
+        self.timers["search"] += time.perf_counter() - t0
+        ids = np.asarray(out_ids)
+        return {
+            "user_id": np.asarray(user_ids),
+            "item_ids": ids,
+            "scores": np.zeros_like(ids, np.float32),
+        }

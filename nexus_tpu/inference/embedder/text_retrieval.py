@@ -1,0 +1,184 @@
+"""Text embedder inference (parity: Nexus/inference/embedder/text_retrieval/
+base.py:24-801).
+
+`TextEmbedder` mirrors BaseEmbedder's user API — encode_queries /
+encode_corpus / encode with instruction formatting and length-sorted
+batching — re-designed for static shapes: sequences are length-sorted, then
+packed into (batch, seq) BUCKETS and run through either a jit session or AOT
+precompiled executables (the TensorRT-profile equivalent).
+
+The reference's OOM-adaptive batch shrinking (base.py:299-320) is replaced by
+deterministic bucketing: TPU memory use is known at compile time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.inference.session import AOTSession, NormalSession, get_inference_session
+from nexus_tpu.models.bert import pool_hidden_states
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.inference.text_embedder")
+
+DEFAULT_SEQ_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class TextEmbedder:
+    """Encode text into embeddings with a BiTextEmbedderModel checkpoint."""
+
+    def __init__(
+        self,
+        model_name_or_path: str = None,
+        model=None,
+        tokenizer=None,
+        normalize_embeddings: bool = True,
+        query_instruction_for_retrieval: Optional[str] = None,
+        query_instruction_format: str = "{}{}",
+        batch_size: int = 256,
+        max_length: int = 512,
+        seq_buckets: Sequence[int] = DEFAULT_SEQ_BUCKETS,
+        infer_mode: str = "normal",
+    ):
+        from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
+
+        if model is None:
+            model = BiTextEmbedderModel.from_pretrained(model_name_or_path)
+        self.model = model
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.tokenizer = tokenizer
+        self.normalize = normalize_embeddings
+        self.query_instruction = query_instruction_for_retrieval
+        self.query_instruction_format = query_instruction_format
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.seq_buckets = tuple(b for b in seq_buckets if b <= max_length) or (max_length,)
+        self.infer_mode = infer_mode
+        self.session = self._build_session()
+
+    # -- session -----------------------------------------------------------
+
+    def _encode_fn(self, variables, input_ids, attention_mask):
+        out = self.model.net.apply(variables, input_ids, attention_mask=attention_mask)
+        reps = pool_hidden_states(
+            out["last_hidden_state"].astype(jnp.float32),
+            attention_mask,
+            self.model.args.sentence_pooling_method,
+        )
+        if self.normalize:
+            reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+        return reps
+
+    def _build_session(self):
+        names = ["input_ids", "attention_mask"]
+        bound = self.model.variables
+        if self.infer_mode == "normal":
+            return NormalSession(self._encode_fn, names, bound=bound)
+        buckets = [
+            {"input_ids": (self.batch_size, L), "attention_mask": (self.batch_size, L)}
+            for L in self.seq_buckets
+        ]
+        return get_inference_session(
+            self._encode_fn, names, infer_mode=self.infer_mode, buckets=buckets, bound=bound
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def encode_queries(self, queries: Union[str, List[str]], **kw) -> np.ndarray:
+        if self.query_instruction:
+            if isinstance(queries, str):
+                queries = self.query_instruction_format.format(self.query_instruction, queries)
+            else:
+                queries = [
+                    self.query_instruction_format.format(self.query_instruction, q)
+                    for q in queries
+                ]
+        return self.encode(queries, **kw)
+
+    def encode_corpus(self, corpus: Union[str, List[str]], **kw) -> np.ndarray:
+        return self.encode(corpus, **kw)
+
+    def encode_info(self, texts, **kw) -> np.ndarray:
+        return self.encode(texts, **kw)
+
+    def encode(self, sentences: Union[str, List[str]], batch_size: Optional[int] = None) -> np.ndarray:
+        single = isinstance(sentences, str)
+        if single:
+            sentences = [sentences]
+        batch_size = batch_size or self.batch_size
+
+        # length-sorted batching (reference base.py:291-297) so each batch
+        # lands in the tightest sequence bucket
+        lengths = [len(s) for s in sentences]
+        order = np.argsort(lengths)[::-1]
+        sorted_sentences = [sentences[i] for i in order]
+
+        all_reps = np.empty((len(sentences), 0))
+        chunks: List[np.ndarray] = []
+        for off in range(0, len(sorted_sentences), batch_size):
+            chunk = sorted_sentences[off : off + batch_size]
+            enc = self.tokenizer(
+                chunk, padding=True, truncation=True, max_length=self.max_length,
+                return_tensors="np",
+            )
+            ids, mask = enc["input_ids"], enc["attention_mask"]
+            L = ids.shape[1]
+            bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
+            if bucket_len > L:
+                ids = np.pad(ids, ((0, 0), (0, bucket_len - L)))
+                mask = np.pad(mask, ((0, 0), (0, bucket_len - L)))
+            reps = self.session.run(
+                None, {"input_ids": ids.astype(np.int32), "attention_mask": mask.astype(np.int32)}
+            )[0]
+            chunks.append(np.asarray(reps[: len(chunk)]))
+        sorted_reps = np.concatenate(chunks, axis=0)
+        # restore original order
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        reps = sorted_reps[inv]
+        return reps[0] if single else reps
+
+
+class BaseEmbedderInferenceEngine(TextEmbedder):
+    """Engine with mode dispatch + serialized-executable export
+    (parity: BaseEmbedderInferenceEngine, base.py:434-801; convert_to_onnx/
+    convert_to_tensorrt become StableHLO serialization)."""
+
+    def __init__(self, infer_args=None, **kw):
+        if infer_args is not None:
+            kw.setdefault("model_name_or_path", getattr(infer_args, "model_name_or_path", None))
+            kw.setdefault("infer_mode", getattr(infer_args, "infer_mode", "normal") or "normal")
+            kw.setdefault("batch_size", getattr(infer_args, "infer_batch_size", 256))
+        self.infer_args = infer_args
+        super().__init__(**kw)
+
+    def inference(self, inputs, *args, normalize: bool = True, **kw) -> np.ndarray:
+        return self.encode(inputs)
+
+    def convert_to_serialized(self, output_path: str) -> str:
+        """Export the AOT executables as serialized StableHLO (the onnx-file
+        equivalent). Requires infer_mode in ('onnx','tensorrt','aot')."""
+        session = self.session
+        if not isinstance(session, AOTSession):
+            buckets = [
+                {"input_ids": (self.batch_size, L), "attention_mask": (self.batch_size, L)}
+                for L in self.seq_buckets
+            ]
+            session = AOTSession(self._encode_fn, ["input_ids", "attention_mask"], buckets, bound=self.model.variables)
+        with open(output_path, "wb") as f:
+            f.write(session.serialize())
+        logger.info("serialized executables -> %s", output_path)
+        return output_path
+
+    @classmethod
+    def load_serialized(cls, path: str) -> AOTSession:
+        with open(path, "rb") as f:
+            return AOTSession.deserialize(f.read())

@@ -1,0 +1,69 @@
+"""Recommendation ranker serving engine (parity: Nexus/inference/reranker/
+recommendation/base.py:71-616): hydrate user context + per-candidate item
+features from the KV store, score all candidates with the compiled ranker,
+return top-k item ids.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nexus_tpu.inference.feature_store import FeatureCache, FeatureCodec, get_kv_store
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.inference.rec_reranker")
+
+
+class BaseRerankerInferenceEngine:
+    def __init__(self, config: dict, kv_store=None):
+        from nexus_tpu.training.checkpoint import load_checkpoint
+
+        self.config = config
+        self.model, self.variables = load_checkpoint(config["model_ckpt_path"])
+        self.data_attr = self.model.data_config
+        self.output_topk = int(config.get("output_topk", 10))
+        self.kv = kv_store or get_kv_store(config.get("feature_cache"))
+        self.feature_cache = FeatureCache(self.kv, FeatureCodec())
+        fc = config.get("feature_cache") or {}
+        self.user_key_template = fc.get("user_key_template", "user:{}")
+        self.item_key_template = fc.get("item_key_template", "item:{}")
+        self.timers: Dict[str, float] = {"feature": 0.0, "model": 0.0}
+        # reuse the embedder engine's hydration logic for user/context features
+        from nexus_tpu.inference.embedder.recommendation import BaseEmbedderInferenceEngine
+
+        self._hydrate_user = BaseEmbedderInferenceEngine.get_user_context_features.__get__(self)
+
+    def get_candidates_features(self, candidate_ids: np.ndarray) -> Dict[str, np.ndarray]:
+        """[B, N] candidate ids -> {item_feat: [B, N]} from the KV store."""
+        t0 = time.perf_counter()
+        b, n = candidate_ids.shape
+        flat = candidate_ids.reshape(-1)
+        rows = self.feature_cache.fetch(self.item_key_template, flat.tolist())
+        out = {}
+        for feat in self.data_attr.item_features:
+            out[feat] = np.asarray(
+                [int(r.get(feat, 0)) for r in rows], np.int64
+            ).reshape(b, n)
+        self.timers["feature"] += time.perf_counter() - t0
+        return out
+
+    def batch_inference(
+        self, user_ids: List, candidates: Dict[str, np.ndarray] | np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """Rank candidates per user. `candidates` is either {feat: [B, N]}
+        or a [B, N] id matrix hydrated from the KV store."""
+        context = self._hydrate_user(user_ids)
+        if not isinstance(candidates, dict):
+            candidates = self.get_candidates_features(np.asarray(candidates))
+        t0 = time.perf_counter()
+        topk_idx = np.asarray(
+            self.model.predict(self.variables, context, candidates, topk=self.output_topk)
+        )
+        self.timers["model"] += time.perf_counter() - t0
+        fiid = self.data_attr.fiid
+        cand_ids = np.asarray(candidates[fiid])
+        item_ids = np.take_along_axis(cand_ids, topk_idx, axis=1)
+        return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "topk_idx": topk_idx}

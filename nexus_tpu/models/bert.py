@@ -117,11 +117,31 @@ class BertLayer(nn.Module):
         ).astype(self.dtype)
 
 
-class BertEncoderModel(nn.Module):
-    """Full BERT encoder: embeddings -> L transformer layers -> (pooler)."""
+class _ScannedLayer(nn.Module):
+    """BertLayer wrapped for nn.scan: (carry=hidden, _) -> (hidden, None)."""
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, _, attention_mask, train):
+        out = BertLayer(self.config, dtype=self.dtype, name="layer")(hidden, attention_mask, train)
+        return out, None
+
+
+class BertEncoderModel(nn.Module):
+    """Full BERT encoder: embeddings -> L transformer layers -> (pooler).
+
+    With ``scan_layers=True`` (default) the L layers run through
+    ``jax.lax.scan`` over a stacked parameter axis: ONE layer is traced and
+    compiled, cutting XLA compile time ~L-fold with identical math — the
+    right trade on TPU where first-compile latency matters (weights convert
+    between stacked/unstacked layouts via `stack_layer_params`).
+    """
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(
@@ -143,12 +163,34 @@ class BertEncoderModel(nn.Module):
         x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
             input_ids, token_type_ids, position_ids, train
         )
-        for i in range(c.num_hidden_layers):
-            x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, mask_bool, train)
+        if self.scan_layers:
+            Scanned = nn.scan(
+                _ScannedLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = Scanned(c, dtype=self.dtype, name="layers")(x, None, mask_bool, train)
+        else:
+            for i in range(c.num_hidden_layers):
+                x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, mask_bool, train)
         pooled = None
         if c.add_pooling_layer:
             pooled = nn.tanh(nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler_dense")(x[:, 0]))
         return {"last_hidden_state": x, "pooler_output": pooled}
+
+
+def stack_layer_params(params: dict, num_layers: int) -> dict:
+    """Convert per-layer params {'layer_0': t0, ...} into the scanned layout
+    {'layers': {'layer': stack([t0...tL])}} expected by scan_layers=True."""
+    import jax
+
+    layers = [params[f"layer_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    out["layers"] = {"layer": stacked}
+    return out
 
 
 def pool_hidden_states(

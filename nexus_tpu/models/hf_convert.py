@@ -27,9 +27,13 @@ def _t(x) -> np.ndarray:
 
 
 def torch_bert_to_flax(
-    state_dict: Dict[str, "np.ndarray"], config: BertConfig, dtype=jnp.float32
+    state_dict: Dict[str, "np.ndarray"], config: BertConfig, dtype=jnp.float32,
+    scan_layers: bool = True,
 ) -> dict:
-    """Map a HF BertModel state_dict onto BertEncoderModel params."""
+    """Map a HF BertModel state_dict onto BertEncoderModel params.
+
+    With ``scan_layers`` the per-layer trees are stacked on axis 0 for the
+    lax.scan layer loop (see BertEncoderModel.scan_layers)."""
     sd = {k.removeprefix("bert."): _t(v) for k, v in state_dict.items()}
 
     def dense(prefix):
@@ -68,10 +72,14 @@ def torch_bert_to_flax(
         }
     if config.add_pooling_layer and "pooler.dense.weight" in sd:
         params["pooler_dense"] = dense("pooler.dense")
+    if scan_layers:
+        from nexus_tpu.models.bert import stack_layer_params
+
+        params = stack_layer_params(params, config.num_hidden_layers)
     return {"params": params}
 
 
-def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = True):
+def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = True, scan_layers: bool = True):
     """Load a local HF BERT checkpoint directory into (BertConfig, variables).
 
     Reads config.json + model.safetensors (preferred) or pytorch_model.bin.
@@ -93,4 +101,4 @@ def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = Tr
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
     else:
         raise FileNotFoundError(f"no model weights found under {model_dir}")
-    return config, torch_bert_to_flax(sd, config, dtype=dtype)
+    return config, torch_bert_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)

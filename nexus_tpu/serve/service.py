@@ -1,0 +1,171 @@
+"""Serving services (parity: serve/inference_service.py and
+serve/inference_service_text_retrieval.py).
+
+The reference serves Gradio demo UIs; here serving is a dependency-free HTTP
+JSON API (stdlib http.server, threaded) exposing the same two flows:
+
+- recommendation cascade: POST /recommend {"user_ids": [...]} ->
+  retrieve (u2i/i2i) -> rank -> top-k items, with per-stage timing;
+- text retrieval: POST /search {"query": "...", "top_k": 10} ->
+  embed -> index search -> optional cross-encoder rerank.
+
+Engines are the inference-layer engines; the device work stays batched and
+compiled. A production deployment would put this behind a real frontend, but
+the request contract is the same as the reference's service functions.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.serve")
+
+
+class _JsonHandler(BaseHTTPRequestHandler):
+    routes = {}
+
+    def log_message(self, fmt, *args):  # quiet
+        logger.debug("http: " + fmt, *args)
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._reply(200, {"status": "ok"})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        handler = self.routes.get(self.path)
+        if handler is None:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            t0 = time.perf_counter()
+            result = handler(payload)
+            result["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            self._reply(200, result)
+        except Exception as e:  # surface errors as JSON
+            logger.exception("request failed")
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+class _ServiceBase:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080):
+        self.host = host
+        self.port = port
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def routes(self) -> dict:
+        raise NotImplementedError
+
+    def start(self, block: bool = False):
+        handler = type("Handler", (_JsonHandler,), {"routes": self.routes()})
+        self._server = ThreadingHTTPServer((self.host, self.port), handler)
+        self.port = self._server.server_address[1]
+        if block:
+            logger.info("serving on %s:%d", self.host, self.port)
+            self._server.serve_forever()
+        else:
+            self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+            self._thread.start()
+            logger.info("serving (background) on %s:%d", self.host, self.port)
+        return self
+
+    def stop(self):
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+
+
+class InferenceService(_ServiceBase):
+    """Two-stage recommendation cascade (parity: serve/inference_service.py:21-62)."""
+
+    def __init__(self, retriever_engine, ranker_engine=None, **kw):
+        super().__init__(**kw)
+        self.retriever = retriever_engine
+        self.ranker = ranker_engine
+
+    def recommend(self, payload: Dict) -> Dict:
+        user_ids: List = payload["user_ids"]
+        retrieved = self.retriever.batch_inference(user_ids)
+        result = {
+            "user_ids": user_ids,
+            "retrieved": retrieved["item_ids"].tolist(),
+        }
+        if self.ranker is not None:
+            ranked = self.ranker.batch_inference(user_ids, retrieved["item_ids"])
+            result["ranked"] = ranked["item_ids"].tolist()
+        result["timers"] = {
+            "retriever": dict(self.retriever.timers),
+            **({"ranker": dict(self.ranker.timers)} if self.ranker else {}),
+        }
+        return result
+
+    def list_users(self, payload: Dict) -> Dict:
+        pattern = payload.get("pattern", "user:*")
+        keys = self.retriever.kv.keys(pattern)[: payload.get("limit", 100)]
+        return {"user_ids": [k.split(":", 1)[1] for k in keys]}
+
+    def routes(self):
+        return {"/recommend": self.recommend, "/users": self.list_users}
+
+
+class TextRetrievalService(_ServiceBase):
+    """Retrieve -> rerank text search
+    (parity: serve/inference_service_text_retrieval.py)."""
+
+    def __init__(self, embedder_engine, corpus: Dict[str, str], reranker_engine=None,
+                 index=None, **kw):
+        super().__init__(**kw)
+        from nexus_tpu.inference.index import ItemIndex
+
+        self.embedder = embedder_engine
+        self.reranker = reranker_engine
+        self.doc_ids = list(corpus.keys())
+        self.corpus = corpus
+        if index is None:
+            doc_embs = np.asarray(self.embedder.encode_corpus([corpus[d] for d in self.doc_ids]))
+            index = ItemIndex.build(doc_embs, index_type="flat")
+        self.index = index
+
+    def search(self, payload: Dict) -> Dict:
+        query = payload["query"]
+        top_k = int(payload.get("top_k", 10))
+        q = np.asarray(self.embedder.encode_queries([query]))
+        scores, rows = self.index.search(q, min(top_k * 5, len(self.doc_ids)))
+        candidates = [self.doc_ids[int(r)] for r in rows[0]]
+        if self.reranker is not None:
+            pairs = [(query, self.corpus[d]) for d in candidates]
+            rr = self.reranker.compute_score(pairs)
+            order = np.argsort(rr)[::-1][:top_k]
+            hits = [
+                {"doc_id": candidates[i], "score": float(rr[i]), "text": self.corpus[candidates[i]]}
+                for i in order
+            ]
+        else:
+            hits = [
+                {"doc_id": d, "score": float(s), "text": self.corpus[d]}
+                for d, s in zip(candidates[:top_k], scores[0][:top_k])
+            ]
+        return {"query": query, "hits": hits}
+
+    def routes(self):
+        return {"/search": self.search}

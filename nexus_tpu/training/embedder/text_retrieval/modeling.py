@@ -1,0 +1,207 @@
+"""Bi-encoder text embedder (parity: Nexus/training/embedder/text_retrieval/
+modeling.py:60-416).
+
+Loss regimes mirror the reference:
+- no_in_batch_neg: per-query group scores [B, G], target 0;
+- in-batch negatives: [B, B*G] score matrix, target i*G;
+- cross-device negatives: under SPMD pjit this is THE SAME CODE as in-batch —
+  the batch is sharded over the mesh's data axis and XLA materializes the
+  global score matrix with an automatic all-gather, with exact gradients
+  (the reference's manual all_gather + local-grad reinsertion trick,
+  modeling.py:343-403, is what SPMD autodiff does for free).
+
+Knowledge distillation: kl_div (per-group) or m3_kd (full-matrix) losses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.models.bert import BertConfig, BertEncoderModel, pool_hidden_states
+from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
+from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderModelArguments
+from nexus_tpu.utils.registry import register_model
+
+Array = jnp.ndarray
+
+
+@register_model()
+class BiTextEmbedderModel:
+    """Wrapper bundling the Flax encoder with contrastive/KD losses and the
+    RecTrainer model protocol."""
+
+    model_type = "text_embedder"
+
+    def __init__(
+        self,
+        bert_config: BertConfig,
+        model_args: Optional[TextEmbedderModelArguments] = None,
+        variables: Optional[dict] = None,
+    ):
+        self.bert_config = bert_config
+        self.args = model_args or TextEmbedderModelArguments()
+        dtype = jnp.bfloat16 if self.args.dtype == "bfloat16" else jnp.float32
+        bert_config.add_pooling_layer = False
+        self.net = BertEncoderModel(bert_config, dtype=dtype)
+        self.variables = variables
+        self.ce = CrossEntropyLoss()
+        self.distill_loss = KLDivLoss() if self.args.kd_loss_type == "kl_div" else M3KDLoss()
+
+    # convenience aliases used by checkpoint/save
+    @property
+    def model_config(self):
+        return self.args
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode(self, variables, input_ids, attention_mask, train=False, rngs=None) -> Array:
+        out = self.net.apply(
+            variables, input_ids, attention_mask=attention_mask, train=train, rngs=rngs
+        )
+        reps = pool_hidden_states(
+            out["last_hidden_state"].astype(jnp.float32),
+            attention_mask,
+            self.args.sentence_pooling_method,
+        )
+        if self.args.normalize_embeddings:
+            reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+        return reps
+
+    # -- losses ------------------------------------------------------------
+
+    def _local_scores(self, q_reps: Array, p_reps: Array) -> Array:
+        """[B, G] scores of each query against its own passage group."""
+        b = q_reps.shape[0]
+        g = p_reps.shape[0] // b
+        groups = p_reps.reshape(b, g, -1)
+        return jnp.einsum("bd,bgd->bg", q_reps, groups) / self.args.temperature
+
+    def _all_scores(self, q_reps: Array, p_reps: Array) -> Array:
+        return (q_reps @ p_reps.T) / self.args.temperature
+
+    def compute_loss_from_reps(
+        self, q_reps: Array, p_reps: Array, teacher_scores: Optional[Array],
+        no_in_batch_neg: bool,
+    ) -> Array:
+        b = q_reps.shape[0]
+        g = p_reps.shape[0] // b
+        teacher_targets = (
+            jax.nn.softmax(teacher_scores.reshape(b, -1), axis=-1)
+            if teacher_scores is not None
+            else None
+        )
+        if no_in_batch_neg:
+            local = self._local_scores(q_reps, p_reps)
+            if teacher_targets is not None:
+                loss = self.distill_loss(local, teacher_targets, group_size=g)
+                if self.args.kd_loss_type == "kl_div":
+                    loss = loss + self.ce(local, jnp.zeros((b,), jnp.int32))
+            else:
+                loss = self.ce(local, jnp.zeros((b,), jnp.int32))
+            return loss
+        scores = self._all_scores(q_reps, p_reps)  # [B, B*G]
+        targets = jnp.arange(b, dtype=jnp.int32) * g
+        if teacher_targets is not None:
+            if self.args.kd_loss_type == "kl_div":
+                local = self._local_scores(q_reps, p_reps)
+                loss = self.distill_loss(local, teacher_targets, group_size=g)
+                loss = loss + self.ce(scores, targets)
+            else:
+                loss = self.distill_loss(scores, teacher_targets, group_size=g)
+        else:
+            loss = self.ce(scores, targets)
+        return loss
+
+    # -- trainer protocol --------------------------------------------------
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        if self.variables is not None:
+            return self.variables
+        ids = jnp.ones((2, 8), jnp.int32)
+        return self.net.init(rng, ids)
+
+    def loss_fn(self, variables, batch: Dict[str, Array], rng) -> Tuple[Array, dict]:
+        rngs = {"dropout": rng}
+        q_reps = self.encode(
+            variables, batch["query_input_ids"], batch["query_attention_mask"],
+            train=True, rngs=rngs,
+        )
+        p_reps = self.encode(
+            variables, batch["passage_input_ids"], batch["passage_attention_mask"],
+            train=True, rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        loss = self.compute_loss_from_reps(
+            q_reps, p_reps, batch.get("teacher_scores"),
+            no_in_batch_neg=getattr(self, "no_in_batch_neg_flag", False),
+        )
+        return loss, {"batch_stats": None}
+
+    def eval_step(self, variables, batch) -> Tuple[Array, Array]:
+        """Contrastive ranking accuracy proxy: local group scores + target 0."""
+        q_reps = self.encode(variables, batch["query_input_ids"], batch["query_attention_mask"])
+        p_reps = self.encode(variables, batch["passage_input_ids"], batch["passage_attention_mask"])
+        local = self._local_scores(q_reps, p_reps)
+        return local, jnp.zeros((local.shape[0],), jnp.int32)
+
+    def eval_context(self, variables):
+        return {}
+
+    def compute_metrics(self, preds: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
+        acc = float((preds.argmax(-1) == targets).mean())
+        return {"group_accuracy": acc}
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, output_dir: str, variables) -> None:
+        """Save in an HF-compatible directory layout: config.json +
+        flax_model.msgpack + our model args."""
+        import json
+        import os
+
+        from flax import serialization
+
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({**self.bert_config.to_dict(), "model_type": "bert"}, f, indent=2)
+        with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
+            json.dump(self.args.to_dict(), f, indent=2)
+        with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+            host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+            f.write(serialization.to_bytes(host))
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, model_args=None) -> "BiTextEmbedderModel":
+        """Load from either a nexus_tpu save dir (flax_model.msgpack) or a HF
+        torch checkpoint dir (model.safetensors / pytorch_model.bin)."""
+        import json
+        import os
+
+        from flax import serialization
+
+        cfg_path = os.path.join(model_dir, "config.json")
+        with open(cfg_path) as f:
+            bert_config = BertConfig.from_hf(json.load(f))
+        bert_config.add_pooling_layer = False
+        nexus_cfg = os.path.join(model_dir, "nexus_embedder_config.json")
+        if model_args is None and os.path.exists(nexus_cfg):
+            with open(nexus_cfg) as f:
+                model_args = TextEmbedderModelArguments.from_dict(json.load(f))
+        model = cls(bert_config, model_args)
+        flax_path = os.path.join(model_dir, "flax_model.msgpack")
+        if os.path.exists(flax_path):
+            target = jax.eval_shape(
+                lambda: model.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+            )
+            with open(flax_path, "rb") as f:
+                model.variables = serialization.from_bytes(target, f.read())
+        else:
+            from nexus_tpu.models.hf_convert import load_hf_bert
+
+            dtype = jnp.bfloat16 if model.args.dtype == "bfloat16" else jnp.float32
+            _, variables = load_hf_bert(model_dir, dtype=dtype, add_pooling_layer=False)
+            model.variables = variables
+        return model

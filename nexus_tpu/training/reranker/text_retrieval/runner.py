@@ -1,0 +1,57 @@
+"""Text reranker training runner (parity: Nexus/training/reranker/
+text_retrieval/runner.py)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from nexus_tpu.parallel.mesh import get_default_mesh
+from nexus_tpu.training.arguments import TrainingArguments
+from nexus_tpu.training.reranker.text_retrieval.dataset import (
+    TextRerankerCollator,
+    TextRerankerTrainDataset,
+    make_batch_iterator,
+)
+from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+from nexus_tpu.training.trainer import RecTrainer
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.runner.text_reranker")
+
+
+class TextRerankerRunner:
+    def __init__(
+        self,
+        model_name_or_path: str,
+        train_data: List[str],
+        training_args: TrainingArguments,
+        train_group_size: int = 8,
+        max_len: int = 512,
+        knowledge_distillation: bool = False,
+        mesh=None,
+    ):
+        from transformers import AutoTokenizer
+
+        self.training_args = training_args
+        self.mesh = mesh or get_default_mesh()
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = CrossEncoderModel.from_pretrained(
+            model_name_or_path, train_group_size=train_group_size, use_kd=knowledge_distillation
+        )
+        self.dataset = TextRerankerTrainDataset(
+            train_data, train_group_size=train_group_size, seed=training_args.seed,
+            knowledge_distillation=knowledge_distillation,
+        )
+        self.collator = TextRerankerCollator(self.tokenizer, max_len=max_len)
+        self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh)
+
+    def run(self, resume_from_checkpoint: Optional[str] = None):
+        from nexus_tpu.parallel.mesh import DATA_AXIS
+
+        global_bs = self.training_args.per_device_train_batch_size * self.mesh.shape[DATA_AXIS]
+        it = make_batch_iterator(self.dataset, self.collator, global_bs)
+        state = self.trainer.train(it, resume_from_checkpoint=resume_from_checkpoint)
+        self.trainer.save_model(self.training_args.output_dir)
+        self.tokenizer.save_pretrained(self.training_args.output_dir)
+        logger.info("reranker saved to %s", self.training_args.output_dir)
+        return state

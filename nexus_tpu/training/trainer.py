@@ -170,10 +170,12 @@ class RecTrainer:
             )
             return new_state, {"loss": loss}
 
-        batch_sh, rep_sh = data_parallel_shardings(self.mesh)
+        _, rep_sh = data_parallel_shardings(self.mesh)
+        # batch shardings are inherited from shard_batch's per-leaf placement
+        # (leaves with a ragged leading dim are replicated there)
         return jax.jit(
             train_step,
-            in_shardings=(rep_sh, batch_sh, rep_sh),
+            in_shardings=(rep_sh, None, rep_sh),
             out_shardings=(rep_sh, rep_sh),
             donate_argnums=(0,),
         )
@@ -184,8 +186,8 @@ class RecTrainer:
         def eval_step(variables, batch, array_ctx):
             return model.eval_step(variables, batch, **array_ctx, **static_ctx)
 
-        batch_sh, rep_sh = data_parallel_shardings(self.mesh)
-        return jax.jit(eval_step, in_shardings=(rep_sh, batch_sh, rep_sh))
+        _, rep_sh = data_parallel_shardings(self.mesh)
+        return jax.jit(eval_step, in_shardings=(rep_sh, None, rep_sh))
 
     # -- loops ------------------------------------------------------------
 

@@ -1,0 +1,123 @@
+import json
+
+import numpy as np
+import pytest
+
+from nexus_tpu.evaluation.ir_metrics import evaluate_ir_metrics, mrr_at_k
+
+
+def test_ir_metrics_perfect_ranking():
+    qrels = {"q1": {"d1": 1, "d2": 1}, "q2": {"d3": 1}}
+    results = {
+        "q1": {"d1": 0.9, "d2": 0.8, "d4": 0.1},
+        "q2": {"d3": 0.9, "d5": 0.5},
+    }
+    ndcg, _map, recall, precision = evaluate_ir_metrics(qrels, results, (1, 3))
+    assert ndcg["NDCG@3"] == 1.0
+    assert recall["Recall@3"] == 1.0
+    assert _map["MAP@3"] == 1.0
+    mrr = mrr_at_k(qrels, results, (3,))
+    assert mrr["MRR@3"] == 1.0
+
+
+def test_ir_metrics_partial():
+    qrels = {"q1": {"d1": 1}}
+    results = {"q1": {"d9": 0.9, "d1": 0.8}}  # relevant at rank 2
+    ndcg, _map, recall, precision = evaluate_ir_metrics(qrels, results, (1, 2))
+    assert ndcg["NDCG@1"] == 0.0
+    assert recall["Recall@1"] == 0.0
+    assert recall["Recall@2"] == 1.0
+    assert np.isclose(ndcg["NDCG@2"], 1 / np.log2(3), atol=1e-4)
+    assert mrr_at_k(qrels, results, (2,))["MRR@2"] == 0.5
+
+
+def test_ir_metrics_graded_relevance_order_matters():
+    qrels = {"q": {"a": 2, "b": 1}}
+    good = {"q": {"a": 0.9, "b": 0.8}}
+    bad = {"q": {"a": 0.8, "b": 0.9}}
+    ndcg_good, *_ = evaluate_ir_metrics(qrels, good, (2,))
+    ndcg_bad, *_ = evaluate_ir_metrics(qrels, bad, (2,))
+    assert ndcg_good["NDCG@2"] > ndcg_bad["NDCG@2"]
+
+
+def test_end_to_end_eval_runner(tmp_path):
+    """Full text IR eval: local BEIR-layout dataset -> retrieve -> (rerank)
+    -> metrics -> json + markdown outputs."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "model"
+    d.mkdir()
+    words = ["the", "dog", "cat", "runs", "sits", "fast", "sky", "sea", "red", "blue"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=64)).save_pretrained(str(d))
+
+    ds_dir = tmp_path / "datasets" / "toy"
+    ds_dir.mkdir(parents=True)
+    docs = {"d1": "the dog runs fast", "d2": "the cat sits", "d3": "red sky at night"}
+    with open(ds_dir / "corpus.jsonl", "w") as f:
+        for did, text in docs.items():
+            f.write(json.dumps({"_id": did, "title": "", "text": text}) + "\n")
+    with open(ds_dir / "queries.jsonl", "w") as f:
+        f.write(json.dumps({"_id": "q1", "text": "dog runs"}) + "\n")
+        f.write(json.dumps({"_id": "q2", "text": "red sky"}) + "\n")
+    with open(ds_dir / "qrels.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        f.write("q1\td1\t1\nq2\td3\t1\n")
+
+    from nexus_tpu.evaluation.text_retrieval.runner import (
+        TextRetrievalEvalArguments,
+        TextRetrievalEvalRunner,
+    )
+
+    args = TextRetrievalEvalArguments(
+        dataset_dir=str(tmp_path / "datasets"),
+        dataset_names=["toy"],
+        eval_output_dir=str(tmp_path / "out"),
+        embedder_name_or_path=str(d),
+        reranker_name_or_path=str(d),
+        search_top_k=3,
+        rerank_top_k=3,
+        k_values=[1, 3],
+        embedder_batch_size=4,
+    )
+    runner = TextRetrievalEvalRunner(args)
+    out = runner.run()
+    assert "toy" in out
+    assert "NoReranker" in out["toy"] and "Reranked" in out["toy"]
+    assert "NDCG@1" in out["toy"]["NoReranker"]
+    assert (tmp_path / "out" / "toy_eval_results.md").exists()
+    # results were cached
+    assert (tmp_path / "out" / "search_results" / "toy_retrieval.json").exists()
+
+
+def test_recommendation_eval_runner(tmp_path):
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.evaluation.recommendation.evaluator import RecommenderEvalRunner
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever, RetrieverRunner
+    from nexus_tpu.training.reranker.recommendation import MLPRanker, RankerRunner
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "data"), n_days=2, rows_per_day=256, seq_len=4)
+    base = dict(num_train_epochs=1, per_device_train_batch_size=8, max_steps=2,
+                learning_rate=0.01, logging_steps=10, evaluation_strategy="no",
+                metrics=["ndcg", "recall"])
+    mcfg = {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 4, "dropout": 0.0, "batch_norm": False}
+    RetrieverRunner(mcfg, cfg, TrainingArguments.from_dict(dict(base, output_dir=str(tmp_path / "ret"))),
+                    model_class=MLPRetriever).run()
+    RankerRunner({"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False},
+                 cfg, TrainingArguments.from_dict(dict(base, output_dir=str(tmp_path / "rank"),
+                                                       metrics=["auc", "logloss"])),
+                 model_class=MLPRanker).run()
+
+    runner = RecommenderEvalRunner(
+        cfg, retriever_ckpt_path=str(tmp_path / "ret"), ranker_ckpt_path=str(tmp_path / "rank"),
+        eval_batch_size=64,
+    )
+    out = runner.run()
+    assert any(k.startswith("ndcg@") for k in out["retriever"])
+    assert "auc" in out["ranker"]

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nexus_tpu.inference.feature_store import FeatureCache, FeatureCodec, MemoryKVStore
+from nexus_tpu.inference.index import ItemIndex, gen_i2i_index, gen_item_index
+from nexus_tpu.inference.session import AOTSession, NormalSession, get_inference_session
+
+
+def _fn(a, b):
+    return (a * 2 + b).astype(np.float32).sum(axis=-1)
+
+
+def test_normal_session():
+    s = NormalSession(lambda a, b: a + b, ["a", "b"])
+    out = s.run(None, {"a": np.ones((2, 3), np.int32), "b": np.ones((2, 3), np.int32)})
+    assert np.asarray(out[0]).sum() == 12
+
+
+def test_aot_session_bucketing():
+    buckets = [
+        {"a": (4, 8), "b": (4, 8)},
+        {"a": (8, 16), "b": (8, 16)},
+    ]
+    s = AOTSession(lambda a, b: (a + b).sum(axis=-1), ["a", "b"], buckets)
+    # input smaller than smallest bucket -> padded to (4, 8), sliced back
+    out = s.run(None, {"a": np.ones((3, 5), np.int32), "b": np.ones((3, 5), np.int32)})[0]
+    assert out.shape == (3,)
+    assert (out == 10).all()  # 5 valid cols * 2 (pad contributes 0)
+    # larger input picks the bigger bucket
+    out = s.run(None, {"a": np.ones((7, 12), np.int32), "b": np.ones((7, 12), np.int32)})[0]
+    assert out.shape == (7,)
+    # too large -> clear error
+    with pytest.raises(ValueError):
+        s.run(None, {"a": np.ones((9, 4), np.int32), "b": np.ones((9, 4), np.int32)})
+
+
+def test_aot_session_serialize_roundtrip(tmp_path):
+    buckets = [{"a": (2, 4), "b": (2, 4)}]
+    s = AOTSession(lambda a, b: a * b, ["a", "b"], buckets)
+    blob = s.serialize()
+    s2 = AOTSession.deserialize(blob)
+    feed = {"a": np.full((2, 4), 3, np.int32), "b": np.full((2, 4), 2, np.int32)}
+    assert np.allclose(s2.run(None, feed)[0], 6)
+
+
+def test_get_inference_session_dispatch():
+    assert isinstance(get_inference_session(lambda a: a, ["a"]), NormalSession)
+    s = get_inference_session(
+        lambda a: a, ["a"], infer_mode="tensorrt", buckets=[{"a": (2, 2)}]
+    )
+    assert isinstance(s, AOTSession)
+    with pytest.raises(ValueError):
+        get_inference_session(lambda a: a, ["a"], infer_mode="tensorrt")
+
+
+def test_item_index_flat_and_ivf(key):
+    import jax
+
+    vecs = np.array(jax.random.normal(key, (500, 16)))
+    vecs = vecs / np.linalg.norm(vecs, axis=-1, keepdims=True)  # IP == cosine
+    q = vecs[:5] + 0.01  # queries near items 0..4
+    flat = ItemIndex.build(vecs, index_type="flat")
+    scores, ids = flat.search(q, k=3)
+    assert (ids[:, 0] == np.arange(5)).all()
+
+    ivf = ItemIndex.build(vecs, index_type="ivf", nlist=10, nprobe=5)
+    s2, ids2 = ivf.search(q, k=3)
+    # nearest neighbor recall@1 of IVF with half the lists probed
+    assert (ids2[:, 0] == np.arange(5)).mean() >= 0.8
+
+    cos = ItemIndex.build(vecs, metric="cosine")
+    s3, ids3 = cos.search(q, k=3)
+    assert ids3.shape == (5, 3)
+
+
+def test_item_index_save_load(tmp_path, key):
+    import jax
+
+    vecs = np.asarray(jax.random.normal(key, (100, 8)))
+    idx = ItemIndex.build(vecs, index_type="ivf", nlist=5, nprobe=3)
+    p = str(tmp_path / "index.npz")
+    idx.save(p)
+    idx2 = ItemIndex.load(p)
+    q = vecs[:3]
+    _, a = idx.search(q, 5)
+    _, b = idx2.search(q, 5)
+    assert (a == b).all()
+
+
+def test_gen_item_index_and_i2i(tmp_path, key):
+    import jax
+
+    vecs = np.asarray(jax.random.normal(key, (64, 8)))
+    idx = gen_item_index(vecs, str(tmp_path / "idx.npz"), index_type="flat")
+    kv = MemoryKVStore()
+    gen_i2i_index(vecs, kv, topk=5)
+    blob = kv.get("i2i:0")
+    neighbors = [int(x) for x in blob.decode().split(",")]
+    assert len(neighbors) == 5 and 0 not in neighbors
+
+
+def test_feature_codec_roundtrip():
+    codec = FeatureCodec()
+    row = {"user_id": 7, "age": 3, "seq.video_id": [1, 2, 3]}
+    decoded = codec.decode(codec.encode(row))
+    assert int(decoded["user_id"]) == 7
+    assert [int(x) for x in decoded["seq.video_id"]] == [1, 2, 3]
+
+
+def test_feature_cache_mget():
+    kv = MemoryKVStore()
+    cache = FeatureCache(kv)
+    rows = [{"user_id": i, "age": i % 5} for i in range(10)]
+    assert cache.insert_rows("user:{}", "user_id", rows) == 10
+    fetched = cache.fetch("user:{}", [3, 7, 99])
+    assert int(fetched[0]["age"]) == 3
+    assert fetched[2] == {}  # missing key -> empty dict

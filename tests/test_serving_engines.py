@@ -1,0 +1,112 @@
+"""Two-stage cascade serving test: retriever u2i + ranker rescoring over an
+in-process feature store — the serve/inference_service.py flow offline."""
+
+import numpy as np
+import pytest
+
+from nexus_tpu.data.processor import ConfigProcessor
+from nexus_tpu.data.synthetic import generate_synthetic_recflow
+from nexus_tpu.inference.embedder.recommendation import BaseEmbedderInferenceEngine
+from nexus_tpu.inference.feature_store import FeatureCache, MemoryKVStore
+from nexus_tpu.inference.index import ItemIndex, gen_i2i_index
+from nexus_tpu.inference.reranker.recommendation import BaseRerankerInferenceEngine
+from nexus_tpu.training.arguments import TrainingArguments
+from nexus_tpu.training.embedder.recommendation import MLPRetriever, RetrieverRunner
+from nexus_tpu.training.reranker.recommendation import MLPRanker, RankerRunner
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    """Train a tiny retriever + ranker, build index + feature store."""
+    root = tmp_path_factory.mktemp("serve")
+    cfg = generate_synthetic_recflow(str(root), n_days=2, rows_per_day=384, seq_len=4)
+
+    targs = dict(num_train_epochs=1, per_device_train_batch_size=16, max_steps=4,
+                 learning_rate=0.01, logging_steps=10, evaluation_strategy="no")
+    mcfg = {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 4,
+            "dropout": 0.0, "batch_norm": False}
+
+    ret_dir = str(root / "retriever_ckpt")
+    rr = RetrieverRunner(mcfg, cfg, TrainingArguments.from_dict(dict(targs, output_dir=ret_dir)),
+                         model_class=MLPRetriever)
+    rr.run()
+
+    rank_dir = str(root / "ranker_ckpt")
+    kr = RankerRunner({"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False},
+                      cfg, TrainingArguments.from_dict(dict(targs, output_dir=rank_dir)),
+                      model_class=MLPRanker)
+    kr.run()
+
+    # feature store: user context + seq features + item features
+    kv = MemoryKVStore()
+    cache = FeatureCache(kv)
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    from nexus_tpu.data.dataset import ItemDataset, ShardedDataset
+
+    ds = ShardedDataset(train_cfg, batch_size=64, drop_last=False)
+    for batch in ds:
+        nv = int(batch.pop("_nvalid", len(batch["user_id"])))
+        for i in range(nv):
+            row = {f: int(batch[f][i]) for f in train_cfg.context_features}
+            for f in train_cfg.item_features:
+                row[f] = int(batch[f][i])
+            for seq_name in ["seq_effective"]:
+                for f, mat in batch[seq_name].items():
+                    row[f"{seq_name}.{f}"] = [int(x) for x in mat[i]]
+            kv.set(f"user:{row['user_id']}", cache.codec.encode(row))
+    items = ItemDataset(train_cfg)
+    table = items.item_feature_table()
+    for iid in range(items.num_items):
+        kv.set(f"item:{iid}", cache.codec.encode({f: int(table[f][iid]) for f in table}))
+
+    # item index from the saved item vectors
+    iv = np.load(str(root / "retriever_ckpt" / "item_vectors.npy"))
+    index = ItemIndex.build(iv, index_type="ivf", nlist=20, nprobe=8)
+    gen_i2i_index(iv[:200], kv, topk=5)
+
+    return {"cfg": cfg, "kv": kv, "index": index,
+            "ret_dir": ret_dir, "rank_dir": rank_dir,
+            "user_ids": [int(u) for u in np.unique(np.asarray(kv.keys("user:*")) != None) or []]}
+
+
+def _known_user_ids(kv, n=4):
+    return [int(k.split(":")[1]) for k in kv.keys("user:*")[:n]]
+
+
+def test_u2i_retrieval_engine(stack):
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    users = _known_user_ids(stack["kv"])
+    out = eng.batch_inference(users)
+    assert out["item_ids"].shape == (len(users), 5)
+    assert np.isfinite(out["scores"]).all()
+    assert eng.timers["model"] > 0 and eng.timers["search"] > 0
+
+
+def test_i2i_retrieval_engine(stack):
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "i2i", "output_topk": 5},
+        kv_store=stack["kv"],
+    )
+    users = _known_user_ids(stack["kv"])
+    out = eng.batch_inference(users)
+    assert out["item_ids"].shape == (len(users), 5)
+
+
+def test_two_stage_cascade(stack):
+    retriever = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 8},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    ranker = BaseRerankerInferenceEngine(
+        {"model_ckpt_path": stack["rank_dir"], "output_topk": 3}, kv_store=stack["kv"]
+    )
+    users = _known_user_ids(stack["kv"])
+    retrieved = retriever.batch_inference(users)
+    ranked = ranker.batch_inference(users, retrieved["item_ids"])
+    assert ranked["item_ids"].shape == (len(users), 3)
+    # ranked items are a subset of retrieved candidates per user
+    for i in range(len(users)):
+        assert set(ranked["item_ids"][i]).issubset(set(retrieved["item_ids"][i]))
