@@ -24,7 +24,8 @@ import numpy as np
 NORTH_STAR = 10_000.0  # embeddings/sec/chip
 SEQ_LEN = 128
 BATCH = 256
-ITERS = 10
+CHAIN = 8  # batches per dispatch (amortizes the relay's ~25ms dispatch cost)
+ITERS = 3
 
 
 def main() -> None:
@@ -45,23 +46,28 @@ def main() -> None:
     )
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(1, 30000, (BATCH, SEQ_LEN)), jnp.int32)
-    mask = jnp.ones((BATCH, SEQ_LEN), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), ids[:1, :8])
+    ids = jnp.asarray(rng.integers(1, 30000, (CHAIN, BATCH, SEQ_LEN)), jnp.int32)
+    mask = jnp.ones((CHAIN, BATCH, SEQ_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids[0, :1, :8])
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
         variables,
     )
 
     @jax.jit
-    def encode_probe(variables, input_ids, attention_mask):
-        out = model.apply(variables, input_ids, attention_mask=attention_mask)
-        reps = pool_hidden_states(
-            out["last_hidden_state"].astype(jnp.float32), attention_mask, "cls"
-        )
-        reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
-        # scalar probe: data-dependent on the full batch, forces real sync
-        return jnp.sum(reps)
+    def encode_probe(variables, all_ids, all_masks):
+        # serving-shaped pipeline: CHAIN batches stream through one dispatch
+        def body(_, im):
+            i, m = im
+            out = model.apply(variables, i, attention_mask=m)
+            reps = pool_hidden_states(
+                out["last_hidden_state"].astype(jnp.float32), m, "cls"
+            )
+            reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+            return 0, jnp.sum(reps)
+        _, sums = jax.lax.scan(body, 0, (all_ids, all_masks))
+        # scalar probe: data-dependent on every batch, forces real sync
+        return jnp.sum(sums)
 
     # compile + warmup (first fetch waits for compilation)
     float(encode_probe(variables, ids, mask))
@@ -71,7 +77,7 @@ def main() -> None:
     for _ in range(ITERS):
         float(encode_probe(variables, ids, mask))
     dt = time.perf_counter() - t0
-    throughput = BATCH * ITERS / dt
+    throughput = CHAIN * BATCH * ITERS / dt
 
     print(json.dumps({
         "metric": "bge_base_embeddings_per_sec_per_chip_seq128_bf16",

@@ -1,0 +1,191 @@
+import numpy as np
+import pytest
+
+from nexus_tpu.dynamic_embedding.id_transformer import (
+    IDTransformer,
+    IDTransformerGroup,
+    _load_native,
+)
+
+
+@pytest.fixture(params=["native", "python"])
+def transformer(request):
+    use_native = request.param == "native"
+    if use_native and _load_native() is None:
+        pytest.skip("no native lib")
+    t = IDTransformer(capacity=8, use_native=use_native)
+    if use_native and not t.is_native:
+        pytest.skip("native build failed")
+    return t
+
+
+def test_basic_mapping(transformer):
+    ids = np.array([100, 200, 100, 0, 300])
+    slots, admitted, evicted = transformer.transform(ids)
+    assert slots[3] == 0  # padding stays 0
+    assert slots[0] == slots[2]  # same id -> same slot
+    assert len(set(slots[[0, 1, 4]].tolist())) == 3  # distinct ids distinct slots
+    assert (slots[[0, 1, 4]] > 0).all()
+    assert len(admitted) == 3 and len(evicted) == 0
+
+
+def test_lru_eviction(transformer):
+    cap = transformer.capacity  # 8 -> 7 usable slots (slot 0 reserved)
+    first = np.arange(1, 8) * 10  # fills all 7 slots
+    slots1, _, ev1 = transformer.transform(first)
+    assert len(ev1) == 0
+    # touch id 10 making it MRU; then insert a new id -> evicts id 20 (LRU)
+    transformer.transform(np.array([10]))
+    slots2, admitted, evicted = transformer.transform(np.array([999]))
+    assert len(evicted) == 1
+    assert evicted[0][0] == 20  # least recently used
+    # slot is recycled
+    assert slots2[0] == evicted[0][1]
+    # id 10 still resident
+    s10, adm, _ = transformer.transform(np.array([10]))
+    assert len(adm) == 0
+
+
+def test_stats_and_dump_restore(transformer):
+    transformer.transform(np.array([5, 6, 7, 5]))
+    st = transformer.stats
+    assert st["hits"] == 1 and st["misses"] == 3
+    pairs = transformer.dump()
+    assert {p[0] for p in pairs} == {5, 6, 7}
+
+    t2 = IDTransformer(capacity=8, use_native=transformer.is_native)
+    t2.restore(pairs)
+    slots, admitted, _ = t2.transform(np.array([5, 6, 7]))
+    assert len(admitted) == 0  # all restored as residents
+    assert sorted(slots.tolist()) == sorted(p[1] for p in pairs)
+
+
+def test_native_matches_python_semantics():
+    if _load_native() is None:
+        pytest.skip("no native lib")
+    tn = IDTransformer(64, use_native=True)
+    tp = IDTransformer(64, use_native=False)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ids = rng.integers(0, 200, 50)
+        sn, an, en = tn.transform(ids)
+        sp, ap, ep = tp.transform(ids)
+        # same residency behavior: same ids admitted/evicted (slot numbering
+        # may differ between implementations)
+        assert sorted(g for g, _ in an) == sorted(g for g, _ in ap)
+        assert sorted(g for g, _ in en) == sorted(g for g, _ in ep)
+        # consistency: same id within batch -> same slot
+        for impl_slots in (sn, sp):
+            for gid in np.unique(ids):
+                if gid == 0:
+                    continue
+                assert len(set(impl_slots[ids == gid].tolist())) == 1
+
+
+def test_group_nested_batch():
+    g = IDTransformerGroup({"video_id": 16, "author_id": 16}, use_native=False)
+    batch = {
+        "video_id": np.array([101, 102]),
+        "author_id": np.array([7, 8]),
+        "age": np.array([1, 2]),
+        "seq": {"video_id": np.array([[101, 0], [103, 104]])},
+    }
+    out, events = g.transform_batch(batch)
+    assert out["age"].tolist() == [1, 2]  # untouched
+    assert out["video_id"][0] == out["seq"]["video_id"][0][0]  # shared mapping
+    assert out["seq"]["video_id"][0][1] == 0  # padding
+    assert "video_id" in events and "author_id" in events
+
+
+def test_tde_model_end_to_end(tmp_path):
+    """Unbounded ids -> bounded table, with PS spill/restore round-trip."""
+    import jax
+
+    from nexus_tpu.data.attrs import DataAttr4Model, Statistics
+    from nexus_tpu.dynamic_embedding.tde import TDEModel
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever
+
+    CAP = 32
+    stats = Statistics.from_dict({"user_id": 100, "video_id": CAP, "author_id": 50})
+    attr = DataAttr4Model(
+        fiid="video_id", flabels=["click"], features=["user_id", "video_id", "author_id"],
+        context_features=["user_id"], item_features=["video_id", "author_id"],
+        seq_features={}, seq_lengths={}, num_items=CAP, stats=stats,
+    )
+    model = MLPRetriever(attr, {"embedding_dim": 4, "mlp_layers": [8], "num_neg": 2,
+                                "dropout": 0.0, "batch_norm": False})
+    tde = TDEModel(model, {"video_id": CAP}, use_native=False)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    # batch with HUGE global ids (way beyond table size)
+    batch = {"user_id": np.array([1, 2]), "video_id": np.array([10**12, 10**12 + 5]),
+             "author_id": np.array([3, 4]), "click": np.array([1, 0])}
+    new_batch, variables = tde.transform_batch(batch, variables)
+    assert new_batch["video_id"].max() < CAP
+    assert new_batch["user_id"].tolist() == [1, 2]
+
+    # fill beyond capacity -> evictions spill rows to PS
+    big = {"user_id": np.ones(CAP * 2, np.int64),
+           "video_id": np.arange(10**9, 10**9 + CAP * 2),
+           "author_id": np.ones(CAP * 2, np.int64), "click": np.zeros(CAP * 2, np.int64)}
+    _, variables = tde.transform_batch(big, variables)
+    assert tde.transformer_group["video_id"].stats["evictions"] > 0
+    assert len(tde.ps.keys("tde:*:video_id:*")) > 0  # keys are table-scoped
+
+    # save + restore into a fresh wrapper
+    tde.tde_save(str(tmp_path / "tde.pkl"), variables)
+    model2 = MLPRetriever(attr, {"embedding_dim": 4, "mlp_layers": [8], "num_neg": 2,
+                                 "dropout": 0.0, "batch_norm": False})
+    tde2 = TDEModel(model2, {"video_id": CAP}, ps=tde.ps, use_native=False)
+    variables2 = model2.init_variables(jax.random.PRNGKey(1))
+    variables2 = tde2.tde_load(str(tmp_path / "tde.pkl"), variables2)
+
+    def rows_of(tde_obj, variables_, gid_to_slot):
+        """Fetch each resident gid's row in every table containing video_id."""
+        out = {}
+        for path, offsets in tde_obj._layout(variables_["params"]):
+            if "video_id" not in offsets:
+                continue
+            table = variables_["params"]
+            for p in path:
+                table = table[p]
+            emb = np.asarray(table)
+            for gid, slot in gid_to_slot.items():
+                out.setdefault(gid, {})[path] = emb[offsets["video_id"] + slot]
+        return out
+
+    orig = dict(tde.transformer_group["video_id"].dump())
+    restored = dict(tde2.transformer_group["video_id"].dump())
+    assert set(orig) == set(restored)  # same resident ids
+    rows1 = rows_of(tde, variables, orig)
+    rows2 = rows_of(tde2, variables2, restored)
+    for gid in list(orig)[:5]:
+        for path in rows1[gid]:
+            assert np.allclose(rows1[gid][path], rows2[gid][path], atol=1e-6)
+
+
+def test_tde_retriever_runner_end_to_end(tmp_path):
+    """Full TDE training run on synthetic data: ids transformed per batch,
+    checkpoint + transformer state saved."""
+    import os
+
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.dynamic_embedding.runner import TDERetrieverRunner
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "ckpt"), num_train_epochs=1,
+        per_device_train_batch_size=8, max_steps=3, learning_rate=0.01,
+        logging_steps=10, evaluation_strategy="no",
+    ))
+    runner = TDERetrieverRunner(
+        {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 4, "dropout": 0.0, "batch_norm": False},
+        cfg, targs, model_class=MLPRetriever,
+        tde_features={"video_id": 2000}, use_native=False,
+    )
+    state = runner.run()
+    assert int(state.step) > 0
+    assert os.path.exists(str(tmp_path / "ckpt" / "tde_state.pkl"))
+    assert runner.tde.transformer_group["video_id"].stats["misses"] > 0
