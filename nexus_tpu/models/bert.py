@@ -41,6 +41,7 @@ class BertConfig(AbsArguments):
     pad_token_id: int = 0
     # nexus extras
     add_pooling_layer: bool = True
+    attention_impl: str = "xla"  # 'xla' | 'pallas' (flash attention kernel)
 
     @classmethod
     def from_hf(cls, hf_config) -> "BertConfig":
@@ -83,6 +84,14 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(b, l, n_heads, head_dim)
         k = k.reshape(b, l, n_heads, head_dim)
         v = v.reshape(b, l, n_heads, head_dim)
+        if c.attention_impl == "pallas" and not (train and c.attention_probs_dropout_prob > 0):
+            from nexus_tpu.ops.flash_attention import flash_attention
+
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                attention_mask,
+            ).transpose(0, 2, 1, 3)
+            return ctx.reshape(b, l, h)
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         bias = jnp.where(attention_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)

@@ -76,3 +76,24 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     _, rep_sh = data_parallel_shardings(mesh)
     return jax.device_put(tree, rep_sh)
+
+
+def zero1_shardings(tree, mesh: Mesh):
+    """ZeRO-1-style sharding spec for an optimizer-state pytree: each array
+    leaf is sharded along its largest divisible axis over the data axis
+    (optimizer moments are per-parameter, so this splits the optimizer
+    memory W-ways exactly like DeepSpeed stage 1); scalars and indivisible
+    leaves replicate. Returns a pytree of NamedSharding."""
+    n = mesh.shape[DATA_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        for axis, dim in enumerate(shape):
+            if dim % n == 0 and dim >= n:
+                parts = [None] * len(shape)
+                parts[axis] = DATA_AXIS
+                return NamedSharding(mesh, P(*parts))
+        return rep
+
+    return jax.tree_util.tree_map(spec, tree)

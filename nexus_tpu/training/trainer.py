@@ -140,7 +140,21 @@ class RecTrainer:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=batch_stats, opt_state=opt_state,
         )
-        state = jax.device_put(state, rep_sh)
+        if self.shard_opt_state:
+            # ZeRO-1: params/batch_stats replicated, optimizer moments
+            # sharded over the data axis (DeepSpeed stage-1 parity)
+            from nexus_tpu.parallel.mesh import zero1_shardings
+
+            self._state_shardings = TrainState(
+                step=rep_sh,
+                params=jax.tree_util.tree_map(lambda _: rep_sh, params),
+                batch_stats=jax.tree_util.tree_map(lambda _: rep_sh, batch_stats),
+                opt_state=zero1_shardings(opt_state, self.mesh),
+            )
+            state = jax.device_put(state, self._state_shardings)
+        else:
+            self._state_shardings = rep_sh
+            state = jax.device_put(state, rep_sh)
         self._state = state
         return state
 
@@ -171,12 +185,13 @@ class RecTrainer:
             return new_state, {"loss": loss}
 
         _, rep_sh = data_parallel_shardings(self.mesh)
+        state_sh = getattr(self, "_state_shardings", rep_sh)
         # batch shardings are inherited from shard_batch's per-leaf placement
         # (leaves with a ragged leading dim are replicated there)
         return jax.jit(
             train_step,
-            in_shardings=(rep_sh, None, rep_sh),
-            out_shardings=(rep_sh, rep_sh),
+            in_shardings=(state_sh, None, rep_sh),
+            out_shardings=(state_sh, rep_sh),
             donate_argnums=(0,),
         )
 

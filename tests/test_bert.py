@@ -79,3 +79,18 @@ def test_bert_bf16_runs(key):
     variables = model.init(key, ids)
     out = model.apply(variables, ids)
     assert out["last_hidden_state"].dtype == jnp.bfloat16
+
+
+def test_bert_pallas_attention_matches_xla(key):
+    cfg_x = BertConfig(**TINY)
+    cfg_p = BertConfig(**dict(TINY, attention_impl="pallas"))
+    ids = jnp.concatenate([jnp.ones((2, 10), jnp.int32) * 5, jnp.zeros((2, 6), jnp.int32)], axis=1)
+    mask = (ids != 0).astype(jnp.int32)
+    mx = BertEncoderModel(cfg_x)
+    variables = mx.init(key, ids)
+    out_x = mx.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+    mp = BertEncoderModel(cfg_p)
+    out_p = mp.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    dx = np.abs(np.asarray(out_x) - np.asarray(out_p))[valid]
+    assert dx.max() < 1e-4, dx.max()

@@ -1,0 +1,55 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.ops.flash_attention import _reference_attention, flash_attention
+
+
+@pytest.mark.parametrize("l,block", [(128, 64), (256, 128), (200, 128)])
+def test_flash_matches_reference(key, l, block):
+    b, h, d = 2, 4, 32
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, l, d))
+    k = jax.random.normal(k2, (b, h, l, d))
+    v = jax.random.normal(k3, (b, h, l, d))
+    # row 0 has padding at the tail
+    mask = np.ones((b, l), bool)
+    mask[0, l // 2 :] = False
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, mask, block, block)
+    ref = _reference_attention(q, k, v, mask)
+    # compare only valid query positions (padded queries are don't-care)
+    valid = np.asarray(mask)
+    diff = np.abs(np.asarray(out) - np.asarray(ref))[np.broadcast_to(valid[:, None, :, None], out.shape)]
+    assert diff.max() < 2e-5, diff.max()
+
+
+def test_flash_gradients_match(key):
+    b, h, l, d = 1, 2, 128, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, l, d))
+    kk = jax.random.normal(k2, (b, h, l, d))
+    v = jax.random.normal(k3, (b, h, l, d))
+    mask = jnp.ones((b, l), bool)
+
+    def loss_flash(q, kk, v):
+        return jnp.sum(flash_attention(q, kk, v, mask, 64, 64) ** 2)
+
+    def loss_ref(q, kk, v):
+        return jnp.sum(_reference_attention(q, kk, v, mask) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kk, v)
+    for a, b_ in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_flash_bf16(key):
+    b, h, l, d = 1, 2, 128, 32
+    q = jax.random.normal(key, (b, h, l, d), jnp.bfloat16)
+    mask = jnp.ones((b, l), bool)
+    out = flash_attention(q, q, q, mask, 64, 64)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
