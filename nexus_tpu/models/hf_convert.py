@@ -102,3 +102,53 @@ def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = Tr
     else:
         raise FileNotFoundError(f"no model weights found under {model_dir}")
     return config, torch_bert_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+
+
+def torch_llama_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True,
+                        lora: bool = False) -> dict:
+    """Map a HF LlamaModel/Qwen2Model state_dict onto LlamaModel params.
+    With ``lora=True`` the dense kernels nest under a 'base' child
+    (LoRADense layout) so adapters can be trained on top."""
+    sd = {k.removeprefix("model."): _t(v) for k, v in state_dict.items()}
+
+    def dense(prefix, wrap_lora):
+        d = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T, dtype)}
+        if f"{prefix}.bias" in sd:
+            d["bias"] = jnp.asarray(sd[f"{prefix}.bias"], dtype)
+        return {"base": d} if wrap_lora else d
+
+    def norm(prefix):
+        return {"weight": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32)}
+
+    layers = []
+    for i in range(config.num_hidden_layers):
+        p = f"layers.{i}"
+        layers.append({
+            "self_attn": {
+                "q_proj": dense(f"{p}.self_attn.q_proj", lora),
+                "k_proj": dense(f"{p}.self_attn.k_proj", lora),
+                "v_proj": dense(f"{p}.self_attn.v_proj", lora),
+                "o_proj": dense(f"{p}.self_attn.o_proj", lora),
+            },
+            "mlp": {
+                "gate_proj": dense(f"{p}.mlp.gate_proj", False),
+                "up_proj": dense(f"{p}.mlp.up_proj", False),
+                "down_proj": dense(f"{p}.mlp.down_proj", False),
+            },
+            "input_layernorm": norm(f"{p}.input_layernorm"),
+            "post_attention_layernorm": norm(f"{p}.post_attention_layernorm"),
+        })
+    params = {
+        "embed_tokens": {"embedding": jnp.asarray(sd["embed_tokens.weight"], dtype)},
+        "norm": norm("norm"),
+    }
+    if scan_layers:
+        import jax as _jax
+
+        params["layers"] = {"layer": _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)}
+    else:
+        for i, lp in enumerate(layers):
+            params[f"layer_{i}"] = lp
+    if "lm_head.weight" in {k for k in state_dict}:
+        params["lm_head"] = {"kernel": jnp.asarray(_t(state_dict["lm_head.weight"]).T, dtype)}
+    return {"params": params}

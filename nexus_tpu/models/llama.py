@@ -1,0 +1,205 @@
+"""Llama/Qwen-class causal decoder in Flax — the backbone for decoder-only
+(LLM) embedders and the VLM language tower (reference role: the causal LMs
+loaded by Nexus/training/embedder/text_retrieval/decoder_only/load_model.py).
+
+Architecture: RMSNorm (pre-norm), rotary position embeddings, grouped-query
+attention, SwiGLU MLP. TPU-first: bf16 compute with f32 norms, scan over
+layers (one compile), optional Pallas causal flash attention, optional LoRA
+on the attention projections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nexus_tpu.config import AbsArguments
+from nexus_tpu.models.lora import LoRADense
+
+Array = jnp.ndarray
+
+
+@dataclass
+class LlamaConfig(AbsArguments):
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # GQA; None -> MHA
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # Qwen2 uses True for qkv
+    pad_token_id: int = 0
+    attention_impl: str = "xla"  # 'xla' | 'pallas'
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "LlamaConfig":
+        import dataclasses as _dc
+
+        d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
+        names = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + self.eps) * w).astype(x.dtype)
+
+
+def rotary_embedding(x: Array, positions: Array, theta: float) -> Array:
+    """Apply RoPE to [B, L, H, D]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[:, :, None].astype(jnp.float32) * freqs[None, None, :]  # [B, L, D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def _dense(self, features, name, use_bias):
+        c = self.config
+        if c.lora_rank > 0:
+            return LoRADense(features, use_bias=use_bias, dtype=self.dtype,
+                             lora_rank=c.lora_rank, lora_alpha=c.lora_alpha, name=name)
+        return nn.Dense(features, use_bias=use_bias, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x: Array, attention_mask: Array, positions: Array):
+        c = self.config
+        h = c.hidden_size
+        n_q = c.num_attention_heads
+        n_kv = c.num_key_value_heads or n_q
+        head_dim = h // n_q
+        b, l, _ = x.shape
+        q = self._dense(n_q * head_dim, "q_proj", c.attention_bias)(x).reshape(b, l, n_q, head_dim)
+        k = self._dense(n_kv * head_dim, "k_proj", c.attention_bias)(x).reshape(b, l, n_kv, head_dim)
+        v = self._dense(n_kv * head_dim, "v_proj", c.attention_bias)(x).reshape(b, l, n_kv, head_dim)
+        q = rotary_embedding(q, positions, c.rope_theta)
+        k = rotary_embedding(k, positions, c.rope_theta)
+        if n_kv != n_q:  # GQA: repeat kv heads
+            rep = n_q // n_kv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        if c.attention_impl == "pallas":
+            from nexus_tpu.ops.flash_attention import flash_attention
+
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                attention_mask.astype(bool), 128, 128, True,
+            ).transpose(0, 2, 1, 3)
+        else:
+            scale = 1.0 / jnp.sqrt(head_dim)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            keep = causal[None, None] & attention_mask[:, None, None, :].astype(bool)
+            s = jnp.where(keep, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        out = ctx.reshape(b, l, n_q * head_dim)
+        return self._dense(h, "o_proj", False)(out)
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attention_mask, positions):
+        c = self.config
+        attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
+            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, positions
+        )
+        x = x + attn
+        mlp = LlamaMLP(c, dtype=self.dtype, name="mlp")(
+            RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+        return x + mlp
+
+
+class _ScannedLlamaLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, _, attention_mask, positions):
+        return LlamaLayer(self.config, dtype=self.dtype, name="layer")(
+            x, attention_mask, positions
+        ), None
+
+
+class LlamaModel(nn.Module):
+    """Causal decoder returning last_hidden_state (no LM head by default —
+    embedder use; `with_lm_head=True` adds tied/untied logits)."""
+
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    scan_layers: bool = True
+    with_lm_head: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: Array, attention_mask: Optional[Array] = None,
+                 positions: Optional[Array] = None, train: bool = False):
+        c = self.config
+        if attention_mask is None:
+            attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
+        if positions is None:
+            # left-padding-safe positions: cumsum over valid tokens
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="embed_tokens")
+        x = embed(input_ids)
+        if self.scan_layers:
+            Scanned = nn.scan(
+                _ScannedLlamaLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = Scanned(c, dtype=self.dtype, name="layers")(x, None, attention_mask, positions)
+        else:
+            for i in range(c.num_hidden_layers):
+                x = LlamaLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, attention_mask, positions)
+        x = RMSNorm(c.rms_norm_eps, name="norm")(x)
+        out = {"last_hidden_state": x}
+        if self.with_lm_head:
+            if c.tie_word_embeddings:
+                logits = embed.attend(x.astype(jnp.float32))
+            else:
+                logits = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32, name="lm_head")(x)
+            out["logits"] = logits
+        return out

@@ -1,0 +1,196 @@
+"""Decoder-only (LLM) bi-encoder embedder with LoRA
+(parity: Nexus/training/embedder/text_retrieval/decoder_only/):
+same contrastive recipe as the encoder embedder, with last-token pooling
+over a causal Llama/Qwen-class backbone and optional LoRA adapters
+(load_model.py:13-121, save_merged_model l.123, find_largest_checkpoint l.13).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+from nexus_tpu.models.lora import extract_lora_params, lora_param_filter, merge_lora_params
+from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderModelArguments
+from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
+from nexus_tpu.utils.registry import register_model
+
+
+def find_largest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Latest checkpoint-<step> subdir (parity: load_model.py:13-36)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(checkpoint_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(checkpoint_dir, name), int(m.group(1))
+    return best
+
+
+@register_model()
+class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
+    """Causal-LM bi-encoder: last-token pooling, instructions on queries only,
+    LoRA-adapters training mode."""
+
+    model_type = "decoder_only_embedder"
+
+    def __init__(
+        self,
+        llama_config: LlamaConfig,
+        model_args: Optional[TextEmbedderModelArguments] = None,
+        variables: Optional[dict] = None,
+    ):
+        self.bert_config = llama_config  # name kept for base-class save path
+        self.llama_config = llama_config
+        args = model_args or TextEmbedderModelArguments()
+        if args.sentence_pooling_method == "cls":
+            args.sentence_pooling_method = "last_token"
+        self.args = args
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        self.net = LlamaModel(llama_config, dtype=dtype)
+        self.variables = variables
+        from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
+
+        self.ce = CrossEntropyLoss()
+        self.distill_loss = KLDivLoss() if args.kd_loss_type == "kl_div" else M3KDLoss()
+
+    @property
+    def uses_lora(self) -> bool:
+        return self.llama_config.lora_rank > 0
+
+    def trainable_filter(self):
+        """optax mask: adapters-only training when LoRA is enabled."""
+        if not self.uses_lora or self.variables is None:
+            return None
+        return {"params": lora_param_filter(self.variables["params"])}
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        if self.variables is not None:
+            return self.variables
+        return self.net.init(rng, jnp.ones((2, 8), jnp.int32))
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, output_dir: str, variables) -> None:
+        from flax import serialization
+
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({**self.llama_config.to_dict(), "model_type": "llama"}, f, indent=2)
+        with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
+            json.dump({**self.args.to_dict(), "decoder_only": True}, f, indent=2)
+        if self.uses_lora:
+            adapters = extract_lora_params(variables["params"])
+            with open(os.path.join(output_dir, "adapter_model.msgpack"), "wb") as f:
+                host = jax.tree_util.tree_map(lambda x: np.asarray(x), adapters)
+                f.write(serialization.to_bytes(host))
+        else:
+            with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+                host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+                f.write(serialization.to_bytes(host))
+
+    def save_merged_model(self, output_dir: str, variables) -> None:
+        """Fold LoRA into base weights and save a plain model
+        (parity: load_model.py save_merged_model)."""
+        from flax import serialization
+
+        merged = {"params": merge_lora_params(variables["params"], self.llama_config.lora_alpha)}
+        os.makedirs(output_dir, exist_ok=True)
+        cfg = LlamaConfig.from_dict(self.llama_config.to_dict())
+        cfg.lora_rank = 0
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({**cfg.to_dict(), "model_type": "llama"}, f, indent=2)
+        with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
+            json.dump({**self.args.to_dict(), "decoder_only": True}, f, indent=2)
+        with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+            host = jax.tree_util.tree_map(lambda x: np.asarray(x), merged)
+            f.write(serialization.to_bytes(host))
+
+    @classmethod
+    def from_pretrained(
+        cls, model_dir: str, model_args=None, lora_rank: int = 0, lora_alpha: float = 16.0,
+    ) -> "BiDecoderOnlyEmbedderModel":
+        from flax import serialization
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            config = LlamaConfig.from_hf(json.load(f))
+        config.lora_rank = lora_rank
+        config.lora_alpha = lora_alpha
+        nexus_cfg = os.path.join(model_dir, "nexus_embedder_config.json")
+        if model_args is None and os.path.exists(nexus_cfg):
+            with open(nexus_cfg) as f:
+                d = json.load(f)
+                d.pop("decoder_only", None)
+                model_args = TextEmbedderModelArguments.from_dict(d)
+        model = cls(config, model_args)
+
+        flax_path = os.path.join(model_dir, "flax_model.msgpack")
+        if os.path.exists(flax_path):
+            target = jax.eval_shape(
+                lambda: model.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+            )
+            with open(flax_path, "rb") as f:
+                model.variables = serialization.from_bytes(target, f.read())
+        else:
+            # HF torch checkpoint
+            from nexus_tpu.models.hf_convert import torch_llama_to_flax
+
+            st = os.path.join(model_dir, "model.safetensors")
+            if os.path.exists(st):
+                from safetensors.numpy import load_file
+
+                sd = load_file(st)
+            else:
+                import torch
+
+                sd = torch.load(
+                    os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu",
+                    weights_only=True,
+                )
+            dtype = jnp.bfloat16 if model.args.dtype == "bfloat16" else jnp.float32
+            converted = torch_llama_to_flax(sd, config, dtype=dtype, lora=lora_rank > 0)
+            if lora_rank > 0:
+                # graft fresh adapters over the converted base weights
+                init = model.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+
+                def graft(conv, ini):
+                    if isinstance(ini, dict):
+                        out = {}
+                        for k, v in ini.items():
+                            if isinstance(conv, dict) and k in conv:
+                                out[k] = graft(conv[k], v)
+                            else:
+                                out[k] = v  # lora_A/lora_B from init
+                        return out
+                    return conv if conv is not None else ini
+
+                converted = {"params": graft(converted["params"], init["params"])}
+            model.variables = converted
+
+        # resume from latest adapter checkpoint if present
+        adapter = os.path.join(model_dir, "adapter_model.msgpack")
+        if os.path.exists(adapter) and model.variables is not None:
+            with open(adapter, "rb") as f:
+                adapters = serialization.msgpack_restore(f.read())
+
+            def apply_adapters(params, tree):
+                for k, v in tree.items():
+                    if k in ("lora_A", "lora_B"):
+                        params[k] = jnp.asarray(v)
+                    elif isinstance(v, dict) and k in params:
+                        apply_adapters(params[k], v)
+
+            import copy
+
+            p = jax.tree_util.tree_map(lambda x: x, model.variables["params"])
+            apply_adapters(p, adapters)
+            model.variables = {**model.variables, "params": p}
+        return model

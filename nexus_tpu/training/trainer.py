@@ -134,6 +134,16 @@ class RecTrainer:
         variables = self.model.init_variables(rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
+        # adapter-only training (LoRA): frozen params get zero updates
+        if hasattr(self.model, "trainable_filter"):
+            mask = self.model.trainable_filter()
+            if mask is not None:
+                labels = jax.tree_util.tree_map(
+                    lambda trainable: "train" if trainable else "freeze", mask["params"]
+                )
+                self.tx = optax.multi_transform(
+                    {"train": self.tx, "freeze": optax.set_to_zero()}, labels
+                )
         opt_state = self.tx.init(params)
         batch_sh, rep_sh = data_parallel_shardings(self.mesh)
         state = TrainState(

@@ -1,0 +1,138 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+from nexus_tpu.models.lora import extract_lora_params, lora_param_filter, merge_lora_params
+
+TINY = dict(
+    vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+)
+
+
+def test_llama_forward_shapes(key):
+    cfg = LlamaConfig(**TINY)
+    m = LlamaModel(cfg, dtype=jnp.float32)
+    ids = jnp.ones((2, 10), jnp.int32)
+    v = m.init(key, ids)
+    out = m.apply(v, ids)
+    assert out["last_hidden_state"].shape == (2, 10, 32)
+
+
+def test_llama_matches_hf(key):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLC, LlamaModel as HFLlama
+
+    from nexus_tpu.models.hf_convert import torch_llama_to_flax
+
+    hf = HFLlama(HFLC(**TINY)).eval()
+    cfg = LlamaConfig(**TINY)
+    variables = torch_llama_to_flax(hf.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 63, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[0, 9:] = 0
+    ids = ids * mask
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    ours = np.asarray(
+        LlamaModel(cfg, dtype=jnp.float32).apply(
+            variables, jnp.asarray(ids), attention_mask=jnp.asarray(mask)
+        )["last_hidden_state"]
+    )
+    valid = mask.astype(bool)
+    assert np.abs(ours[valid] - ref[valid]).max() < 5e-4
+
+
+def test_lora_zero_init_is_identity(key):
+    cfg0 = LlamaConfig(**TINY)
+    cfg1 = LlamaConfig(**dict(TINY, lora_rank=4))
+    m1 = LlamaModel(cfg1, dtype=jnp.float32)
+    ids = jnp.ones((2, 8), jnp.int32)
+    v1 = m1.init(key, ids)
+    # lora_B zero-init -> adapter contributes nothing initially
+    out1 = m1.apply(v1, ids)["last_hidden_state"]
+    merged = {"params": merge_lora_params(v1["params"], cfg1.lora_alpha)}
+    m0 = LlamaModel(cfg0, dtype=jnp.float32)
+    out0 = m0.apply(merged, ids)["last_hidden_state"]
+    assert np.allclose(np.asarray(out1), np.asarray(out0), atol=1e-5)
+
+    # filter marks only lora params trainable
+    mask = lora_param_filter(v1["params"])
+    flat = jax.tree_util.tree_leaves(mask)
+    assert any(flat) and not all(flat)
+    adapters = extract_lora_params(v1["params"])
+    assert adapters  # non-empty
+
+
+def test_decoder_only_embedder_train_and_merge(tmp_path, key):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFLC, LlamaModel as HFLlama
+
+    # local HF llama checkpoint
+    d = str(tmp_path / "llm")
+    HFLlama(HFLC(**TINY)).save_pretrained(d)
+
+    from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderModelArguments
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+        find_largest_checkpoint,
+    )
+
+    margs = TextEmbedderModelArguments(dtype="float32", temperature=0.1)
+    model = BiDecoderOnlyEmbedderModel.from_pretrained(d, margs, lora_rank=4)
+    assert model.uses_lora
+    variables = model.init_variables(key)
+
+    # one training step with adapter-only optimizer masking
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.trainer import RecTrainer
+
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "out"), num_train_epochs=1, max_steps=2,
+        per_device_train_batch_size=1, learning_rate=0.05, logging_steps=10,
+        optimizer="adamw", evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs, )
+    state0 = trainer.init_state()
+    base_kernel_before = np.asarray(
+        jax.tree_util.tree_leaves(state0.params["layers"]["layer"]["self_attn"]["q_proj"]["base"])[0]
+    )
+    rng = np.random.default_rng(0)
+    B, G, L = 8, 2, 10
+    batch = {
+        "query_input_ids": rng.integers(1, 63, (B, L)).astype(np.int32),
+        "query_attention_mask": np.ones((B, L), np.int32),
+        "passage_input_ids": rng.integers(1, 63, (B * G, L)).astype(np.int32),
+        "passage_attention_mask": np.ones((B * G, L), np.int32),
+    }
+    state = trainer.train([batch, batch])
+    # base weights frozen, adapters moved
+    base_kernel_after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["layers"]["layer"]["self_attn"]["q_proj"]["base"])[0]
+    )
+    assert np.allclose(base_kernel_before, base_kernel_after)
+    lora_b = np.asarray(state.params["layers"]["layer"]["self_attn"]["q_proj"]["lora_B"])
+    assert np.abs(lora_b).max() > 0  # adapters trained
+
+    # save adapters + merged model; reload merged
+    model.save(str(tmp_path / "adapters"), state.variables)
+    assert os.path.exists(str(tmp_path / "adapters" / "adapter_model.msgpack"))
+    model.save_merged_model(str(tmp_path / "merged"), state.variables)
+    merged = BiDecoderOnlyEmbedderModel.from_pretrained(str(tmp_path / "merged"))
+    assert not merged.uses_lora
+    ids = jnp.asarray(batch["query_input_ids"])
+    mask = jnp.asarray(batch["query_attention_mask"])
+    r1 = model.encode(state.variables, ids, mask)
+    r2 = merged.encode(merged.variables, ids, mask)
+    assert np.allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+
+    # find_largest_checkpoint helper
+    os.makedirs(str(tmp_path / "cks" / "checkpoint-10"))
+    os.makedirs(str(tmp_path / "cks" / "checkpoint-200"))
+    assert find_largest_checkpoint(str(tmp_path / "cks")).endswith("checkpoint-200")

@@ -53,3 +53,19 @@ def test_flash_bf16(key):
     out = flash_attention(q, q, q, mask, 64, 64)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_flash_causal_matches_reference(key):
+    b, h, l, d = 2, 2, 128, 32
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, l, d))
+    k = jax.random.normal(k2, (b, h, l, d))
+    v = jax.random.normal(k3, (b, h, l, d))
+    mask = np.ones((b, l), bool)
+    mask[1, 100:] = False
+    mask = jnp.asarray(mask)
+    out = flash_attention(q, k, v, mask, 64, 64, True)
+    ref = _reference_attention(q, k, v, mask, causal=True)
+    valid = np.asarray(mask)
+    diff = np.abs(np.asarray(out) - np.asarray(ref))[np.broadcast_to(valid[:, None, :, None], out.shape)]
+    assert diff.max() < 2e-5, diff.max()
