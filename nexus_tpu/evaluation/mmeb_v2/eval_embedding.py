@@ -1,0 +1,176 @@
+"""MMEB-v2 embedding evaluation (parity: Nexus/evaluation/mmeb_v2/
+eval_embedding.py:26-241 + gather_results/report_score_v2).
+
+Per task: encode queries and candidates with a MultimodalEmbedder
+(process-sharded with pad-to-divisible, the jax.process analog of
+split_dataset_by_node), cache embeddings to disk, score with the on-device
+top-k kernel, compute hit/ndcg/map/mrr@k, and aggregate a per-modality
+report table. A reranker engine can rescore each query's top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from nexus_tpu.evaluation.mmeb_v2.constant import MMEB_TASKS, get_task_info
+from nexus_tpu.evaluation.mmeb_v2.metrics import compute_task_metrics
+from nexus_tpu.ops.topk import brute_force_topk
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.evaluation.mmeb")
+
+
+def _load_jsonl(path: str) -> List[dict]:
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _shard(items: List, rank: int, world: int) -> List:
+    """Pad-to-divisible rank sharding (parity: eval_embedding.py:26-37)."""
+    if world == 1:
+        return items
+    per = -(-len(items) // world)
+    padded = items + items[: per * world - len(items)]
+    return padded[rank * per : (rank + 1) * per]
+
+
+class MMEBEvaluator:
+    def __init__(
+        self,
+        embedder,
+        dataset_dir: str,
+        output_dir: str = "./mmeb_results",
+        reranker=None,
+        rerank_top_k: int = 10,
+        k_values=(1, 5, 10),
+        rank: int = 0,
+        world_size: int = 1,
+        reuse_embeddings: bool = True,
+    ):
+        self.embedder = embedder
+        self.dataset_dir = dataset_dir
+        self.output_dir = output_dir
+        self.reranker = reranker
+        self.rerank_top_k = rerank_top_k
+        self.k_values = tuple(k_values)
+        self.rank = rank
+        self.world_size = world_size
+        self.reuse = reuse_embeddings
+
+    # -- per-task -----------------------------------------------------------
+
+    def _emb_cache(self, task: str, kind: str) -> str:
+        d = os.path.join(self.output_dir, "embeddings")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{task}_{kind}.npy")
+
+    def _encode_cached(self, task: str, kind: str, items: List) -> np.ndarray:
+        path = self._emb_cache(task, kind)
+        if self.reuse and os.path.exists(path):
+            return np.load(path)
+        embs = self.embedder.encode_corpus(items) if kind != "query" else self.embedder.encode_queries(items)
+        np.save(path, np.asarray(embs))
+        return np.asarray(embs)
+
+    def evaluate_task(self, task_name: str) -> Dict[str, float]:
+        get_task_info(task_name)
+        records = _load_jsonl(os.path.join(self.dataset_dir, f"{task_name}.jsonl"))
+        records = _shard(records, self.rank, self.world_size)
+        corpus_path = os.path.join(self.dataset_dir, f"{task_name}_corpus.jsonl")
+
+        queries = [r["query"] for r in records]
+        q_embs = self._encode_cached(task_name, "query", queries)
+
+        ranked: List[List[int]] = []
+        relevant: List[Set[int]] = []
+        if os.path.exists(corpus_path):  # shared-corpus retrieval
+            corpus = _load_jsonl(corpus_path)
+            c_embs = self._encode_cached(task_name, "corpus", corpus)
+            k = min(max(self.k_values) * 10, len(corpus))
+            _, idx = brute_force_topk(q_embs, c_embs, k=k)
+            idx = np.asarray(idx)
+            for i, r in enumerate(records):
+                ranked.append(idx[i].tolist())
+                relevant.append(set(r["rel_ids"]))
+        else:  # per-query candidate pools (classification/vqa style)
+            for i, r in enumerate(records):
+                cands = r["candidates"]
+                c_embs = np.asarray(self.embedder.encode_corpus(cands))
+                scores = q_embs[i : i + 1] @ c_embs.T
+                order = np.argsort(-scores[0])
+                ranked.append(order.tolist())
+                gold = r.get("label", 0)
+                relevant.append({gold} if isinstance(gold, int) else set(gold))
+
+        if self.reranker is not None:
+            ranked = self._rerank(task_name, records, ranked)
+
+        metrics = compute_task_metrics(ranked, relevant, self.k_values)
+        logger.info("%s: %s", task_name, metrics)
+        return metrics
+
+    def _rerank(self, task_name: str, records: List[dict], ranked: List[List[int]]):
+        """Cross-encoder rescoring of each query's top-k
+        (parity: eval_reranker.py:56-165). The reranker scores
+        (query text, candidate text) pairs."""
+        corpus_path = os.path.join(self.dataset_dir, f"{task_name}_corpus.jsonl")
+        corpus = _load_jsonl(corpus_path) if os.path.exists(corpus_path) else None
+
+        def text_of(item):
+            return item if isinstance(item, str) else (item.get("text") or "")
+
+        new_ranked = []
+        for r, order in zip(records, ranked):
+            top = order[: self.rerank_top_k]
+            cands = [corpus[c] if corpus is not None else r["candidates"][c] for c in top]
+            pairs = [(text_of(r["query"]), text_of(c)) for c in cands]
+            scores = self.reranker.compute_score(pairs, normalize=False)
+            reorder = np.argsort(-np.asarray(scores))
+            new_ranked.append([top[j] for j in reorder] + order[self.rerank_top_k :])
+        return new_ranked
+
+    # -- suite --------------------------------------------------------------
+
+    def run(self, task_names: Optional[List[str]] = None) -> Dict[str, Dict[str, float]]:
+        if task_names is None:
+            task_names = [
+                t for t in MMEB_TASKS
+                if os.path.exists(os.path.join(self.dataset_dir, f"{t}.jsonl"))
+            ]
+        results = {}
+        for task in task_names:
+            results[task] = self.evaluate_task(task)
+        self.report(results)
+        return results
+
+    def report(self, results: Dict[str, Dict[str, float]]) -> str:
+        """Aggregate per-modality means + per-task table
+        (parity: report_score_v2)."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        with open(os.path.join(self.output_dir, "mmeb_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        lines = ["# MMEB-v2 results", ""]
+        metric_names = sorted({m for r in results.values() for m in r})
+        lines.append("| task | modality | " + " | ".join(metric_names) + " |")
+        lines.append("|---" * (len(metric_names) + 2) + "|")
+        by_modality: Dict[str, list] = {}
+        for task, r in results.items():
+            mod = MMEB_TASKS.get(task, {}).get("modality", "?")
+            by_modality.setdefault(mod, []).append(r)
+            lines.append(
+                f"| {task} | {mod} | " + " | ".join(str(r.get(m, "")) for m in metric_names) + " |"
+            )
+        lines.append("")
+        lines.append("| modality | " + " | ".join(metric_names) + " |")
+        lines.append("|---" * (len(metric_names) + 1) + "|")
+        for mod, rs in by_modality.items():
+            means = {m: round(float(np.mean([r.get(m, 0.0) for r in rs])), 5) for m in metric_names}
+            lines.append(f"| {mod} (avg of {len(rs)}) | " + " | ".join(str(means[m]) for m in metric_names) + " |")
+        path = os.path.join(self.output_dir, "mmeb_results.md")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return path

@@ -1,0 +1,96 @@
+"""Multimodal embedder inference (parity: Nexus/inference/embedder/
+multimodal_retrieval/generic.py:26-287): batched encode of normalized
+multimodal items with query/corpus instruction split.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import jax
+import numpy as np
+
+from nexus_tpu.modules.multimodal import (
+    MultimodalProcessorAdapter,
+    apply_instruction,
+    normalize_multimodal_item,
+)
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.inference.multimodal")
+
+
+class MultimodalEmbedder:
+    def __init__(
+        self,
+        model=None,
+        model_name_or_path: Optional[str] = None,
+        tokenizer=None,
+        batch_size: int = 32,
+        max_length: int = 128,
+        max_images: int = 1,
+        media_root: Optional[str] = None,
+        query_instruction: Optional[str] = None,
+        corpus_instruction: Optional[str] = None,
+    ):
+        from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
+            BiMultimodalEmbedderModel,
+        )
+
+        if model is None:
+            model = BiMultimodalEmbedderModel.from_pretrained(model_name_or_path)
+        self.model = model
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.tokenizer = tokenizer
+        c = model.vlm_config
+        self.processor = MultimodalProcessorAdapter(
+            tokenizer, image_size=c.vision.image_size,
+            num_image_tokens=c.num_image_tokens, max_length=max_length,
+            max_images=max_images,
+        )
+        self.batch_size = batch_size
+        self.media_root = media_root
+        self.query_instruction = query_instruction
+        self.corpus_instruction = corpus_instruction
+        self._encode = jax.jit(
+            lambda variables, feed: self.model.encode_feed(variables, feed)
+        )
+
+    def _encode_items(self, items: List[dict]) -> np.ndarray:
+        reps = []
+        for off in range(0, len(items), self.batch_size):
+            chunk = items[off : off + self.batch_size]
+            n = len(chunk)
+            if n < self.batch_size:  # pad to static batch
+                chunk = chunk + [{"text": "", "images": [], "videos": [], "pages": []}] * (
+                    self.batch_size - n
+                )
+            feed = self.processor(chunk)
+            out = np.asarray(self._encode(self.model.variables, feed))
+            reps.append(out[:n])
+        return np.concatenate(reps, axis=0)
+
+    def encode_queries(self, queries: Union[str, List], **kw) -> np.ndarray:
+        single = not isinstance(queries, list)
+        if single:
+            queries = [queries]
+        items = [normalize_multimodal_item(q, self.media_root) for q in queries]
+        for it in items:
+            it["text"] = apply_instruction(it["text"], self.query_instruction)
+        out = self._encode_items(items)
+        return out[0] if single else out
+
+    def encode_corpus(self, corpus: Union[str, List], **kw) -> np.ndarray:
+        single = not isinstance(corpus, list)
+        if single:
+            corpus = [corpus]
+        items = [normalize_multimodal_item(c, self.media_root) for c in corpus]
+        for it in items:
+            it["text"] = apply_instruction(it["text"], self.corpus_instruction)
+        out = self._encode_items(items)
+        return out[0] if single else out
+
+    encode = encode_corpus

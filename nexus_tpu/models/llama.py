@@ -172,16 +172,19 @@ class LlamaModel(nn.Module):
     with_lm_head: bool = False
 
     @nn.compact
-    def __call__(self, input_ids: Array, attention_mask: Optional[Array] = None,
-                 positions: Optional[Array] = None, train: bool = False):
+    def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
+                 positions: Optional[Array] = None, train: bool = False,
+                 inputs_embeds: Optional[Array] = None):
         c = self.config
         if attention_mask is None:
+            if input_ids is None:
+                raise ValueError("attention_mask required with inputs_embeds")
             attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
         if positions is None:
             # left-padding-safe positions: cumsum over valid tokens
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="embed_tokens")
-        x = embed(input_ids)
+        x = inputs_embeds.astype(self.dtype) if inputs_embeds is not None else embed(input_ids)
         if self.scan_layers:
             Scanned = nn.scan(
                 _ScannedLlamaLayer,

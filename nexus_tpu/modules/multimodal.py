@@ -1,0 +1,184 @@
+"""Multimodal toolkit (parity: Nexus/modules/multimodal.py:151-1300):
+backbone/processor registry, multimodal item normalization, instruction
+templating, and the batching processor adapter.
+
+TPU redesign: the processor emits STATIC-shape batches — text tokens padded
+to max_length with `num_image_tokens` placeholder positions reserved per
+image slot, pixels stacked to [B, max_images, H, W, C] (zero-padded when a
+sample has fewer images). No chat-template string munging on the hot path.
+
+Media handling is dependency-light: PIL for images; videos are directories
+or lists of pre-extracted frame images (the decord path is gated out in this
+environment).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.multimodal")
+
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def normalize_multimodal_item(item: Union[str, dict], media_root: Optional[str] = None) -> dict:
+    """Normalize an item to {text, images, videos, pages} (parity:
+    multimodal.py:714). Accepts a plain string, or a dict with any of
+    text/image/images/video/videos/page/pages keys."""
+    if isinstance(item, str):
+        return {"text": item, "images": [], "videos": [], "pages": []}
+    out = {
+        "text": item.get("text", "") or "",
+        "images": list(item.get("images") or ([item["image"]] if item.get("image") else [])),
+        "videos": list(item.get("videos") or ([item["video"]] if item.get("video") else [])),
+        "pages": list(item.get("pages") or ([item["page"]] if item.get("page") else [])),
+    }
+    if media_root:
+        resolve = lambda p: p if os.path.isabs(str(p)) else os.path.join(media_root, str(p))
+        out["images"] = [resolve(p) for p in out["images"]]
+        out["videos"] = [resolve(p) for p in out["videos"]]
+        out["pages"] = [resolve(p) for p in out["pages"]]
+    return out
+
+
+def apply_instruction(text: str, instruction: Optional[str], fmt: str = "{}{}") -> str:
+    if not instruction:
+        return text
+    return fmt.format(instruction, text)
+
+
+def load_image(path_or_image, image_size: int) -> np.ndarray:
+    """-> [H, W, C] float32, CLIP-normalized."""
+    from PIL import Image
+
+    if isinstance(path_or_image, np.ndarray):
+        img = Image.fromarray(path_or_image.astype(np.uint8))
+    elif isinstance(path_or_image, Image.Image):
+        img = path_or_image
+    else:
+        img = Image.open(str(path_or_image))
+    img = img.convert("RGB").resize((image_size, image_size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGE_MEAN) / IMAGE_STD
+
+
+def load_video_frames(path, image_size: int, num_frames: int = 4) -> List[np.ndarray]:
+    """Videos as frame dirs / frame lists (decord-free)."""
+    if isinstance(path, (list, tuple)):
+        frames = list(path)
+    elif os.path.isdir(str(path)):
+        frames = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                  if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+    else:
+        raise ValueError(
+            f"video {path!r}: only pre-extracted frame dirs/lists are supported in this build"
+        )
+    if not frames:
+        return []
+    idx = np.linspace(0, len(frames) - 1, min(num_frames, len(frames))).astype(int)
+    return [load_image(frames[i], image_size) for i in idx]
+
+
+class MultimodalProcessorAdapter:
+    """Batch normalized items to static device arrays
+    (parity: MultimodalProcessorAdapter, multimodal.py:1144+).
+
+    Output feed:
+        input_ids / attention_mask   [B, L]
+        pixel_values                 [B, max_images, H, W, C]
+        image_slot_mask              [B, L]  (1 at reserved image positions)
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        image_size: int = 224,
+        num_image_tokens: int = 64,
+        max_length: int = 256,
+        max_images: int = 1,
+        num_video_frames: int = 4,
+        image_token: str = "<image>",
+    ):
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.num_image_tokens = num_image_tokens
+        self.max_length = max_length
+        self.max_images = max_images
+        self.num_video_frames = num_video_frames
+        self.image_token = image_token
+
+    def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        b = len(items)
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids = np.full((b, self.max_length), pad_id, np.int32)
+        mask = np.zeros((b, self.max_length), np.int32)
+        slot = np.zeros((b, self.max_length), np.int32)
+        pixels = np.zeros(
+            (b, self.max_images, self.image_size, self.image_size, 3), np.float32
+        )
+        for i, item in enumerate(items):
+            images = [load_image(p, self.image_size) for p in item.get("images", [])]
+            for v in item.get("videos", []):
+                images += load_video_frames(v, self.image_size, self.num_video_frames)
+            for p in item.get("pages", []):
+                images.append(load_image(p, self.image_size))
+            images = images[: self.max_images]
+            n_img = len(images)
+            for j, im in enumerate(images):
+                pixels[i, j] = im
+            text_enc = self.tokenizer(
+                item.get("text", ""), truncation=True,
+                max_length=self.max_length - n_img * self.num_image_tokens,
+                add_special_tokens=True,
+            )["input_ids"]
+            # layout: [image slots][text tokens]
+            off = 0
+            slots = n_img * self.num_image_tokens
+            slot[i, :slots] = 1
+            mask[i, : slots + len(text_enc)] = 1
+            ids[i, slots : slots + len(text_enc)] = text_enc[: self.max_length - slots]
+        return {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "pixel_values": pixels,
+            "image_slot_mask": slot,
+        }
+
+
+_BACKBONE_REGISTRY: dict = {}
+
+
+def register_multimodal_backbone(name: str):
+    def deco(fn):
+        _BACKBONE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def load_multimodal_backbone(model_type: str, **kwargs):
+    """Backbone factory by model type (parity: multimodal.py:172-512's
+    qwen2-vl/qwen2.5-vl/... registry — here 'nexus-vlm' is the in-house
+    TPU-native VLM; HF VLM families convert offline into its layout)."""
+    if model_type not in _BACKBONE_REGISTRY:
+        raise ValueError(
+            f"unknown multimodal backbone {model_type!r}; known: {sorted(_BACKBONE_REGISTRY)}"
+        )
+    return _BACKBONE_REGISTRY[model_type](**kwargs)
+
+
+@register_multimodal_backbone("nexus-vlm")
+def _build_nexus_vlm(config=None, dtype=None, **kw):
+    import jax.numpy as jnp
+
+    from nexus_tpu.models.vlm import VLMBackbone, VLMConfig
+
+    config = config or VLMConfig.tiny()
+    return VLMBackbone(config, dtype=dtype or jnp.bfloat16)

@@ -1,0 +1,148 @@
+"""Multimodal bi-encoder embedder (parity: Nexus/training/embedder/
+multimodal_retrieval/modeling.py:92-150 + the shared contrastive recipe).
+
+Same three-regime contrastive/KD losses as the text embedder over a VLM
+backbone (vision tower + causal trunk) with last-token pooling, plus the
+reference's `local_loss_weight` extra local term.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.models.bert import pool_hidden_states
+from nexus_tpu.models.vlm import VLMBackbone, VLMConfig
+from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderModelArguments
+from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
+from nexus_tpu.utils.registry import register_model
+
+Array = jnp.ndarray
+
+
+@register_model()
+class BiMultimodalEmbedderModel(BiTextEmbedderModel):
+    model_type = "multimodal_embedder"
+
+    def __init__(
+        self,
+        vlm_config: VLMConfig,
+        model_args: Optional[TextEmbedderModelArguments] = None,
+        variables: Optional[dict] = None,
+        local_loss_weight: float = 0.0,
+    ):
+        self.bert_config = vlm_config  # base-class compat
+        self.vlm_config = vlm_config
+        args = model_args or TextEmbedderModelArguments()
+        if args.sentence_pooling_method == "cls":
+            args.sentence_pooling_method = "last_token"
+        self.args = args
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        self.net = VLMBackbone(vlm_config, dtype=dtype)
+        self.variables = variables
+        self.local_loss_weight = local_loss_weight
+        from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
+
+        self.ce = CrossEntropyLoss()
+        self.distill_loss = KLDivLoss() if args.kd_loss_type == "kl_div" else M3KDLoss()
+
+    # -- encoding over multimodal feeds -------------------------------------
+
+    def encode_feed(self, variables, feed: Dict[str, Array], train=False, rngs=None) -> Array:
+        out = self.net.apply(
+            variables,
+            input_ids=feed["input_ids"],
+            attention_mask=feed["attention_mask"],
+            pixel_values=feed.get("pixel_values"),
+            image_slot_mask=feed.get("image_slot_mask"),
+            train=train,
+            rngs=rngs,
+        )
+        reps = pool_hidden_states(
+            out["last_hidden_state"].astype(jnp.float32),
+            feed["attention_mask"],
+            self.args.sentence_pooling_method,
+        )
+        if self.args.normalize_embeddings:
+            reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+        return reps
+
+    def init_variables(self, rng: jax.Array) -> dict:
+        if self.variables is not None:
+            return self.variables
+        c = self.vlm_config
+        b, l = 2, 32
+        feed = {
+            "input_ids": jnp.ones((b, l), jnp.int32),
+            "attention_mask": jnp.ones((b, l), jnp.int32),
+            "pixel_values": jnp.zeros((b, 1, c.vision.image_size, c.vision.image_size, 3)),
+            "image_slot_mask": jnp.zeros((b, l), jnp.int32),
+        }
+        return self.net.init(
+            rng, input_ids=feed["input_ids"], attention_mask=feed["attention_mask"],
+            pixel_values=feed["pixel_values"], image_slot_mask=feed["image_slot_mask"],
+        )
+
+    def loss_fn(self, variables, batch: Dict[str, Array], rng) -> Tuple[Array, dict]:
+        q_feed = {k.removeprefix("query_"): v for k, v in batch.items() if k.startswith("query_")}
+        p_feed = {k.removeprefix("passage_"): v for k, v in batch.items() if k.startswith("passage_")}
+        q_reps = self.encode_feed(variables, q_feed, train=True, rngs={"dropout": rng})
+        p_reps = self.encode_feed(
+            variables, p_feed, train=True, rngs={"dropout": jax.random.fold_in(rng, 1)}
+        )
+        loss = self.compute_loss_from_reps(
+            q_reps, p_reps, batch.get("teacher_scores"),
+            no_in_batch_neg=getattr(self, "no_in_batch_neg_flag", False),
+        )
+        if self.local_loss_weight > 0:
+            local = self._local_scores(q_reps, p_reps)
+            local_loss = self.ce(local, jnp.zeros((local.shape[0],), jnp.int32))
+            loss = loss + self.local_loss_weight * local_loss
+        return loss, {"batch_stats": None}
+
+    def eval_step(self, variables, batch):
+        q_feed = {k.removeprefix("query_"): v for k, v in batch.items() if k.startswith("query_")}
+        p_feed = {k.removeprefix("passage_"): v for k, v in batch.items() if k.startswith("passage_")}
+        q_reps = self.encode_feed(variables, q_feed)
+        p_reps = self.encode_feed(variables, p_feed)
+        local = self._local_scores(q_reps, p_reps)
+        return local, jnp.zeros((local.shape[0],), jnp.int32)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, output_dir: str, variables) -> None:
+        from flax import serialization
+
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({**self.vlm_config.to_dict(), "model_type": "nexus-vlm"}, f, indent=2, default=str)
+        with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
+            json.dump({**self.args.to_dict(), "multimodal": True}, f, indent=2)
+        with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+            host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+            f.write(serialization.to_bytes(host))
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, model_args=None) -> "BiMultimodalEmbedderModel":
+        from flax import serialization
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            config = VLMConfig.from_dict(json.load(f))
+        nexus_cfg = os.path.join(model_dir, "nexus_embedder_config.json")
+        if model_args is None and os.path.exists(nexus_cfg):
+            with open(nexus_cfg) as f:
+                d = json.load(f)
+                d.pop("multimodal", None)
+                model_args = TextEmbedderModelArguments.from_dict(d)
+        model = cls(config, model_args)
+        flax_path = os.path.join(model_dir, "flax_model.msgpack")
+        if os.path.exists(flax_path):
+            target = jax.eval_shape(lambda: model.init_variables(jax.random.PRNGKey(0)))
+            with open(flax_path, "rb") as f:
+                model.variables = serialization.from_bytes(target, f.read())
+        return model
