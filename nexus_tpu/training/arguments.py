@@ -40,6 +40,10 @@ class TrainingArguments(AbsArguments):
 
     seed: int = 42
     bf16: bool = True  # compute in bfloat16 on the forward where safe
+    # structured profiling: capture a jax profiler trace for steps [a, b)
+    # into <output_dir>/profile (open with tensorboard / xprof)
+    profile_step_start: Optional[int] = None
+    profile_step_end: Optional[int] = None
     item_batch_size: int = 2048
     disable_tqdm: bool = True  # accepted for config parity; no tqdm used
 

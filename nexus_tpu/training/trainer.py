@@ -79,6 +79,20 @@ class RecTrainer:
     ):
         self.model = model
         self.args = training_args
+        # plumb eval metric config through to the model (reference passes
+        # metrics/cutoffs via TrainingArguments)
+        mc = getattr(model, "model_config", None)
+        if mc is not None:
+            if getattr(mc, "metrics", None) is None and training_args.metrics:
+                try:
+                    mc.metrics = list(training_args.metrics)
+                except Exception:
+                    pass
+            if getattr(mc, "cutoffs", None) is None and training_args.cutoffs:
+                try:
+                    mc.cutoffs = list(training_args.cutoffs)
+                except Exception:
+                    pass
         self.mesh = mesh or get_default_mesh()
         self.should_stop = False
         self.train_summary: Dict[str, float] = {}
@@ -242,10 +256,19 @@ class RecTrainer:
             if hasattr(data_iter, "set_epoch"):
                 data_iter.set_epoch(epoch)
             for batch in data_iter:
+                if self.args.profile_step_start is not None and step == self.args.profile_step_start:
+                    jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
                 batch.pop("_nvalid", None)
                 device_batch = shard_batch(batch, self.mesh)
                 self._state, metrics = self._train_step(self._state, device_batch, rng)
                 step += 1
+                if self.args.profile_step_end is not None and step == self.args.profile_step_end:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                        self._state.params,
+                    )
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s/profile", self.args.output_dir)
                 running_loss += float(metrics["loss"])
                 running_n += 1
                 if step % self.args.logging_steps == 0:
@@ -298,11 +321,27 @@ class RecTrainer:
     # -- persistence ------------------------------------------------------
 
     def save_model(self, output_dir: Optional[str] = None) -> None:
+        """Model weights (+ full trainer state for exact resume)."""
         output_dir = output_dir or self.args.output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.model.save(output_dir, self._state.variables)
+        self._save_trainer_state(output_dir)
+
+    def _save_trainer_state(self, output_dir: str) -> None:
+        from flax import serialization
+
+        state_host = jax.tree_util.tree_map(
+            lambda x: np.asarray(x), {"step": self._state.step, "opt_state": self._state.opt_state}
+        )
+        with open(os.path.join(output_dir, "trainer_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(state_host))
 
     def load_model(self, checkpoint_dir: str) -> None:
+        """Restore model weights; when trainer_state.msgpack is present,
+        also restore optimizer state + step (exact resume, HF
+        resume_from_checkpoint parity)."""
+        from flax import serialization
+
         from nexus_tpu.training.checkpoint import load_checkpoint
 
         _, variables = load_checkpoint(checkpoint_dir, type(self.model))
@@ -312,3 +351,20 @@ class RecTrainer:
         if self._state is None:
             self.init_state()
         self._state = self._state.replace(params=params, batch_stats=bs)
+        ts_path = os.path.join(checkpoint_dir, "trainer_state.msgpack")
+        if os.path.exists(ts_path):
+            target = jax.tree_util.tree_map(
+                lambda x: np.asarray(x), {"step": self._state.step, "opt_state": self._state.opt_state}
+            )
+            with open(ts_path, "rb") as f:
+                restored = serialization.from_bytes(target, f.read())
+            opt_sh = (
+                self._state_shardings.opt_state
+                if isinstance(getattr(self, "_state_shardings", None), TrainState)
+                else rep_sh
+            )
+            self._state = self._state.replace(
+                step=jnp.asarray(restored["step"]),
+                opt_state=jax.device_put(restored["opt_state"], opt_sh),
+            )
+            logger.info("resumed trainer state at step %d", int(self._state.step))

@@ -50,3 +50,53 @@ def test_zero1_shards_opt_state_and_trains(tmp_path):
         hasattr(l, "sharding") and not l.sharding.is_fully_replicated
         for l in leaves2 if hasattr(l, "shape") and l.size > n
     )
+
+
+def test_resume_restores_optimizer_state(tmp_path):
+    """Exact-resume parity: step + optimizer moments round-trip."""
+    import jax
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.data.dataset import ShardedDataset
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    model = MLPRanker(train_cfg.to_attr(),
+                      {"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False})
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "ckpt"), num_train_epochs=1, max_steps=3,
+        per_device_train_batch_size=8, learning_rate=0.01, logging_steps=10,
+        optimizer="adam", evaluation_strategy="no",
+    ))
+    mesh = get_default_mesh()
+    n = mesh.shape[DATA_AXIS]
+    trainer = RecTrainer(model, targs, mesh=mesh)
+    ds = ShardedDataset(train_cfg, batch_size=8 * n, drop_last=True)
+    state = trainer.train(lambda: iter(ds))
+    trainer.save_model(str(tmp_path / "ckpt"))
+    mu_before = jax.tree_util.tree_leaves(state.opt_state)[1]
+
+    model2 = MLPRanker(train_cfg.to_attr(),
+                       {"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False})
+    trainer2 = RecTrainer(model2, targs, mesh=mesh)
+    trainer2.init_state()
+    trainer2.load_model(str(tmp_path / "ckpt"))
+    assert int(trainer2._state.step) == 3
+    mu_after = jax.tree_util.tree_leaves(trainer2._state.opt_state)[1]
+    assert np.allclose(np.asarray(mu_before), np.asarray(mu_after))
+
+
+def test_trainer_plumbs_metrics_from_args(tmp_path):
+    cfg = generate_synthetic_recflow(str(tmp_path / "d2"), n_days=2, rows_per_day=128, seq_len=4)
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever
+
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    model = MLPRetriever(train_cfg.to_attr(),
+                         {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 2,
+                          "dropout": 0.0, "batch_norm": False})
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "c"), metrics=["recall"], cutoffs=[2, 7],
+        evaluation_strategy="no",
+    ))
+    RecTrainer(model, targs)
+    assert model.cutoffs == [2, 7]
