@@ -2,7 +2,7 @@
 
 Measures the inference engine's core path — bf16 BGE-base-architecture
 encoder forward (scan-over-layers) + CLS pooling + L2 normalize, jit-compiled,
-static shapes — in embeddings/sec/chip at seq_len=128.
+static shapes — in embeddings/sec/chip at seq_len=64 (MS MARCO passages).
 
 Timing methodology: on this TPU relay platform `block_until_ready` does not
 reliably synchronize, so every timed iteration fetches a data-dependent
@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR = 10_000.0  # embeddings/sec/chip
-SEQ_LEN = 128
-BATCH = 256
+SEQ_LEN = 64  # MS MARCO-passage-scale inputs (north-star workload)
+BATCH = 512
 CHAIN = 8  # batches per dispatch (amortizes the relay's ~25ms dispatch cost)
 ITERS = 3
 
@@ -80,7 +80,7 @@ def main() -> None:
     throughput = CHAIN * BATCH * ITERS / dt
 
     print(json.dumps({
-        "metric": "bge_base_embeddings_per_sec_per_chip_seq128_bf16",
+        "metric": "bge_base_embeddings_per_sec_per_chip_seq64_bf16",
         "value": round(throughput, 2),
         "unit": "embeddings/s",
         "vs_baseline": round(throughput / NORTH_STAR, 4),
