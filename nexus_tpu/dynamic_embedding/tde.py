@@ -77,29 +77,47 @@ class TDEModel:
         return found
 
     def _layout(self, params) -> List[Tuple[tuple, Dict[str, int]]]:
-        """[(table_path, {feature: in-table offset})] — a table is identified
-        by matching its row count against the possible feature-list layouts
-        (context / item / all-stats), the orders MultiFeatEmbedding uses."""
+        """[(table_path, {feature: in-table offset})] — tables are identified
+        by the embedding module's name in the param path (context_embedding /
+        item_embedding / embedding_layer), falling back to row-count matching
+        against the feature-list layouts MultiFeatEmbedding uses."""
         if self._tables is not None:
             return self._tables
         d = self.model.data_config
         stats = d.stats
-        candidates = []
-        for feats in (d.context_features, d.item_features, list(stats.columns)):
-            if not feats:
-                continue
-            offsets, cur = {}, 0
+
+        def offsets_of(feats):
+            out, cur = {}, 0
             for f in feats:
-                offsets[f] = cur
+                out[f] = cur
                 cur += int(getattr(stats, f))
-            candidates.append((cur, offsets))
+            # MultiFeatEmbedding pads fused tables up to 128 rows
+            return -(-cur // 128) * 128, out
+
+        named_layouts = {
+            "context_embedding": d.context_features,
+            "item_embedding": d.item_features,
+            "embedding_layer": list(stats.columns),
+        }
+        fallback = [offsets_of(f) for f in
+                    (d.context_features, d.item_features, list(stats.columns)) if f]
         tables = []
         for path in self._find_embedding_paths(params):
             table = params
             for p in path:
                 table = table[p]
             rows = table.shape[0]
-            match = next((off for total, off in candidates if total == rows), None)
+            match = None
+            for key in path:
+                name = getattr(key, "key", key) if not isinstance(key, str) else key
+                for module_name, feats in named_layouts.items():
+                    if feats and module_name in str(name):
+                        match = offsets_of(feats)[1]
+                        break
+                if match:
+                    break
+            if match is None:
+                match = next((off for total, off in fallback if total == rows), None)
             if match is None:
                 logger.warning("tde: no feature layout matches table %s (%d rows)", path, rows)
                 continue
@@ -131,11 +149,14 @@ class TDEModel:
                         load_rows.append(base + slot)
                         load_vals.append(np.frombuffer(blob, np.float32))
             if evict_rows:
-                rows = np.asarray(emb[jnp.asarray(evict_rows)])
+                rows = np.asarray(emb)[np.asarray(evict_rows)]
                 for key, row in zip(evict_keys, rows):
                     self.ps.set(key, row.astype(np.float32).tobytes())
             if load_rows:
-                emb = emb.at[jnp.asarray(load_rows)].set(jnp.asarray(np.stack(load_vals)))
+                # emb may be numpy (fresh checkpoint restore) or a jax array
+                emb = jnp.asarray(emb).at[jnp.asarray(load_rows)].set(
+                    jnp.asarray(np.stack(load_vals))
+                )
                 new_params = _set_in(new_params, list(path), emb)
         if new_params is not params:
             variables = {**variables, "params": new_params}

@@ -27,9 +27,18 @@ class RecommenderAbsEvaluator:
         self.model = model
         self.variables = variables
         self.mesh = mesh or get_default_mesh()
-        self.eval_args = eval_args or TrainingArguments.from_dict(
-            {"output_dir": "/tmp/nexus_eval", "evaluation_strategy": "no"}
-        )
+        if eval_args is None:
+            defaults = (
+                ["ndcg", "recall"] if model.model_type == "retriever" else ["auc", "logloss"]
+            )
+            eval_args = TrainingArguments.from_dict(
+                {
+                    "output_dir": "/tmp/nexus_eval",
+                    "evaluation_strategy": "no",
+                    "metrics": list(getattr(model.model_config, "metrics", None) or defaults),
+                }
+            )
+        self.eval_args = eval_args
         self.trainer = RecTrainer(model, self.eval_args, mesh=self.mesh)
         self.trainer.init_state()
         self.trainer._state = self.trainer._state.replace(params=variables["params"])

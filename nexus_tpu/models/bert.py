@@ -151,6 +151,7 @@ class BertEncoderModel(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
+    remat: bool = False  # gradient checkpointing: recompute layer activations in backward
 
     @nn.compact
     def __call__(
@@ -173,8 +174,11 @@ class BertEncoderModel(nn.Module):
             input_ids, token_type_ids, position_ids, train
         )
         if self.scan_layers:
+            layer_cls = (
+                nn.remat(_ScannedLayer, static_argnums=(4,)) if self.remat else _ScannedLayer
+            )
             Scanned = nn.scan(
-                _ScannedLayer,
+                layer_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=c.num_hidden_layers,

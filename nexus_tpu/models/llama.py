@@ -170,6 +170,7 @@ class LlamaModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     scan_layers: bool = True
     with_lm_head: bool = False
+    remat: bool = False  # gradient checkpointing over the layer scan
 
     @nn.compact
     def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
@@ -186,8 +187,9 @@ class LlamaModel(nn.Module):
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="embed_tokens")
         x = inputs_embeds.astype(self.dtype) if inputs_embeds is not None else embed(input_ids)
         if self.scan_layers:
+            layer_cls = nn.remat(_ScannedLlamaLayer) if self.remat else _ScannedLlamaLayer
             Scanned = nn.scan(
-                _ScannedLlamaLayer,
+                layer_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_hidden_layers,

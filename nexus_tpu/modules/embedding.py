@@ -58,7 +58,9 @@ class MultiFeatEmbedding(nn.Module):
             offsets[feat] = cur
             cur += int(n)
         self._feat2offset = offsets
-        self._total_rows = cur
+        # round the fused table up to 128 rows: aligned for TPU tiling and
+        # evenly divisible for model-parallel row sharding
+        self._total_rows = -(-cur // 128) * 128
         self.combined_table = nn.Embed(
             num_embeddings=self._total_rows,
             features=self.embedding_dim,

@@ -78,6 +78,30 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, rep_sh)
 
 
+def embedding_shardings(params, mesh: Mesh, min_rows: int = 1024):
+    """Model-parallel row sharding for large embedding tables — the TorchRec
+    row-wise table-sharding parity. Any `embedding` leaf with >= min_rows
+    rows divisible by the `model` axis is sharded P('model', None); XLA
+    turns the lookups into collectives over ICI. Other params replicate."""
+    if MODEL_AXIS not in mesh.shape:
+        raise ValueError("mesh has no 'model' axis; build with make_mesh({'data':d,'model':m})")
+    m = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+    row_sharded = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    def spec_for(path, x):
+        is_embedding = any(getattr(k, "key", None) == "embedding" for k in path)
+        shape = getattr(x, "shape", ())
+        # uneven row counts are fine: GSPMD pads the last shard internally
+        if is_embedding and len(shape) == 2 and shape[0] >= min_rows:
+            return row_sharded
+        return rep
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(spec_for, params)
+
+
 def zero1_shardings(tree, mesh: Mesh):
     """ZeRO-1-style sharding spec for an optimizer-state pytree: each array
     leaf is sharded along its largest divisible axis over the data axis

@@ -40,6 +40,8 @@ class TrainingArguments(AbsArguments):
 
     seed: int = 42
     bf16: bool = True  # compute in bfloat16 on the forward where safe
+    fast_prng: bool = True  # use the hardware RBG PRNG for dropout (threefry
+    # mask generation costs ~30% of a seq-512 encoder forward on TPU)
     # structured profiling: capture a jax profiler trace for steps [a, b)
     # into <output_dir>/profile (open with tensorboard / xprof)
     profile_step_start: Optional[int] = None

@@ -19,6 +19,7 @@ class TextEmbedderModelArguments(AbsArguments):
     kd_loss_type: str = "kl_div"  # kl_div | m3_kd_loss
     sub_batch_size: Optional[int] = None
     dtype: str = "bfloat16"  # compute dtype on TPU
+    gradient_checkpointing: bool = False  # remat the layer scan (reference default for fine-tunes)
 
 
 @dataclass

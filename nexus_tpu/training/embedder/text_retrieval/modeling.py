@@ -46,7 +46,9 @@ class BiTextEmbedderModel:
         self.args = model_args or TextEmbedderModelArguments()
         dtype = jnp.bfloat16 if self.args.dtype == "bfloat16" else jnp.float32
         bert_config.add_pooling_layer = False
-        self.net = BertEncoderModel(bert_config, dtype=dtype)
+        self.net = BertEncoderModel(
+            bert_config, dtype=dtype, remat=self.args.gradient_checkpointing
+        )
         self.variables = variables
         self.ce = CrossEntropyLoss()
         self.distill_loss = KLDivLoss() if self.args.kd_loss_type == "kl_div" else M3KDLoss()

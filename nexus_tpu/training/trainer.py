@@ -76,6 +76,7 @@ class RecTrainer:
         optimizer: Optional[optax.GradientTransformation] = None,
         callbacks: Optional[list] = None,
         shard_opt_state: bool = False,
+        shard_embedding_tables: bool = False,
     ):
         self.model = model
         self.args = training_args
@@ -93,6 +94,11 @@ class RecTrainer:
                     mc.cutoffs = list(training_args.cutoffs)
                 except Exception:
                     pass
+        if training_args.fast_prng and jax.default_backend() == "tpu":
+            try:
+                jax.config.update("jax_default_prng_impl", "rbg")
+            except Exception:
+                pass
         self.mesh = mesh or get_default_mesh()
         self.should_stop = False
         self.train_summary: Dict[str, float] = {}
@@ -114,6 +120,7 @@ class RecTrainer:
             tx = optax.chain(optax.clip_by_global_norm(training_args.max_grad_norm), tx)
         self.tx = tx
         self.shard_opt_state = shard_opt_state
+        self.shard_embedding_tables = shard_embedding_tables
 
         self.callbacks: list[Callback] = callbacks or []
         self.callbacks.append(LoggerCallback())
@@ -164,16 +171,45 @@ class RecTrainer:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=batch_stats, opt_state=opt_state,
         )
-        if self.shard_opt_state:
-            # ZeRO-1: params/batch_stats replicated, optimizer moments
-            # sharded over the data axis (DeepSpeed stage-1 parity)
-            from nexus_tpu.parallel.mesh import zero1_shardings
+        if self.shard_opt_state or self.shard_embedding_tables:
+            from nexus_tpu.parallel.mesh import embedding_shardings, zero1_shardings
 
+            if self.shard_embedding_tables:
+                # model-parallel row sharding for big embedding tables
+                # (TorchRec row-wise parity); optimizer moments mirror the
+                # param layout (same-shape leaves share the spec)
+                param_sh = embedding_shardings(params, self.mesh)
+                sharded_shapes = {
+                    tuple(p.shape)
+                    for p, s in zip(
+                        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(param_sh)
+                    )
+                    if not s.is_fully_replicated
+                }
+                spec_by_shape = {
+                    tuple(p.shape): s
+                    for p, s in zip(
+                        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(param_sh)
+                    )
+                }
+                opt_sh = jax.tree_util.tree_map(
+                    lambda x: spec_by_shape.get(tuple(getattr(x, "shape", ())), rep_sh)
+                    if tuple(getattr(x, "shape", ())) in sharded_shapes
+                    else rep_sh,
+                    opt_state,
+                )
+            else:
+                param_sh = jax.tree_util.tree_map(lambda _: rep_sh, params)
+                opt_sh = rep_sh
+            if self.shard_opt_state:
+                # ZeRO-1: optimizer moments sharded over the data axis
+                # (DeepSpeed stage-1 parity)
+                opt_sh = zero1_shardings(opt_state, self.mesh)
             self._state_shardings = TrainState(
                 step=rep_sh,
-                params=jax.tree_util.tree_map(lambda _: rep_sh, params),
+                params=param_sh,
                 batch_stats=jax.tree_util.tree_map(lambda _: rep_sh, batch_stats),
-                opt_state=zero1_shardings(opt_state, self.mesh),
+                opt_state=opt_sh,
             )
             state = jax.device_put(state, self._state_shardings)
         else:

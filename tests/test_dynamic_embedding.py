@@ -189,3 +189,54 @@ def test_tde_retriever_runner_end_to_end(tmp_path):
     assert int(state.step) > 0
     assert os.path.exists(str(tmp_path / "ckpt" / "tde_state.pkl"))
     assert runner.tde.transformer_group["video_id"].stats["misses"] > 0
+
+
+def test_tde_serving_engine(tmp_path):
+    """TDE u2i serving: unbounded raw ids hydrate -> transform -> encode."""
+    import numpy as np
+
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.dynamic_embedding.runner import TDERetrieverRunner
+    from nexus_tpu.inference.feature_store import FeatureCache, MemoryKVStore
+    from nexus_tpu.inference.index import ItemIndex
+    from nexus_tpu.inference.tde_engine import TDEEmbedderInferenceEngine
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    ckpt = str(tmp_path / "ckpt")
+    runner = TDERetrieverRunner(
+        {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 4, "dropout": 0.0, "batch_norm": False},
+        cfg,
+        TrainingArguments.from_dict(dict(output_dir=ckpt, num_train_epochs=1, max_steps=3,
+                                         per_device_train_batch_size=8, learning_rate=0.01,
+                                         logging_steps=10, evaluation_strategy="no")),
+        model_class=MLPRetriever, tde_features={"video_id": 2000}, use_native=False,
+    )
+    state = runner.run()
+    runner.model.update_item_vectors(state.variables)
+    runner.trainer.save_model(ckpt)
+
+    kv = MemoryKVStore()
+    # move the training PS contents into the serving store
+    for k in runner.tde.ps.keys("tde:*"):
+        kv.set(k, runner.tde.ps.get(k))
+    cache = FeatureCache(kv)
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    kv.set("user:1", cache.codec.encode({
+        "user_id": 1, "device_id": 2, "age": 3, "gender": 1, "province": 4,
+        "seq_effective.video_id": [11, 12, 0, 0],
+        "seq_effective.author_id": [1, 2, 0, 0],
+        "seq_effective.category_level_two": [1, 1, 0, 0],
+        "seq_effective.category_level_one": [1, 1, 0, 0],
+        "seq_effective.upload_type": [1, 1, 0, 0],
+    }))
+    index = ItemIndex.build(runner.model.item_vectors, index_type="flat")
+    engine = TDEEmbedderInferenceEngine(
+        {"model_ckpt_path": ckpt, "retrieve_mode": "u2i", "output_topk": 5,
+         "tde_features": {"video_id": 2000}},
+        kv_store=kv, item_index=index,
+    )
+    out = engine.batch_inference([1])
+    assert out["item_ids"].shape == (1, 5)
