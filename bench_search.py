@@ -1,0 +1,65 @@
+"""Retrieval-latency benchmark: top-100 search over a large corpus on one
+chip (the Faiss-replacement datapoint; north star: <10ms p50 top-100 over
+100M vectors on v5e-8 — this measures the per-chip building block).
+
+Prints one JSON line per index type.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 5_000_000  # corpus vectors per chip (5M x 256 bf16 = 2.6 GB HBM)
+DIM = 256
+Q = 16  # queries per request
+K = 100
+ITERS = 10
+
+
+def main() -> None:
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from nexus_tpu.inference.index import ItemIndex
+    from nexus_tpu.ops.topk import brute_force_topk
+
+    # generate ON device: shipping 5 GB through the host relay would dominate
+    key = jax.random.PRNGKey(0)
+    corpus = jax.jit(
+        lambda k: jax.random.normal(k, (N, DIM), jnp.bfloat16)
+    )(key)
+    queries = jax.jit(
+        lambda k: jax.random.normal(k, (Q, DIM), jnp.bfloat16)
+    )(jax.random.fold_in(key, 1))
+
+    @jax.jit
+    def flat_search(q, c):
+        scores, idx = brute_force_topk(q.astype(jnp.float32), c.astype(jnp.float32), k=K,
+                                       block_size=262144)
+        return scores, idx
+
+    s, i = flat_search(queries, corpus)
+    _ = np.asarray(i)  # sync
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        s, i = flat_search(queries, corpus)
+        _ = np.asarray(i[0, 0])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat, 50))
+    print(json.dumps({
+        "metric": f"flat_top{K}_p50_ms_{N//1_000_000}M_x{DIM}_batch{Q}",
+        "value": round(p50, 2), "unit": "ms",
+        "per_query_ms": round(p50 / Q, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

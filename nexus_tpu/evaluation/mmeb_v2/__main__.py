@@ -1,0 +1,46 @@
+"""MMEB-v2 CLI (parity: the reference's eval_embedding.py HfArgumentParser
+main). Example:
+    python -m nexus_tpu.evaluation.mmeb_v2 --model_dir ... --dataset_dir ... \
+        --tasks MSCOCO_t2i ImageNet-1K --output_dir ./mmeb_out
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--dataset_dir", required=True)
+    ap.add_argument("--tasks", nargs="*", default=None)
+    ap.add_argument("--output_dir", default="./mmeb_results")
+    ap.add_argument("--reranker_dir", default=None)
+    ap.add_argument("--rerank_top_k", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--media_root", default=None)
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--world_size", type=int, default=1)
+    args = ap.parse_args()
+
+    from nexus_tpu.evaluation.mmeb_v2 import MMEBEvaluator
+    from nexus_tpu.inference.embedder.multimodal import MultimodalEmbedder
+
+    embedder = MultimodalEmbedder(
+        model_name_or_path=args.model_dir, batch_size=args.batch_size,
+        media_root=args.media_root,
+    )
+    reranker = None
+    if args.reranker_dir:
+        from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+
+        reranker = TextReranker(model_name_or_path=args.reranker_dir)
+    ev = MMEBEvaluator(
+        embedder, args.dataset_dir, output_dir=args.output_dir, reranker=reranker,
+        rerank_top_k=args.rerank_top_k, rank=args.rank, world_size=args.world_size,
+    )
+    results = ev.run(args.tasks)
+    for task, m in results.items():
+        print(task, m)
+
+
+if __name__ == "__main__":
+    main()

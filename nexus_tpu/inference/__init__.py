@@ -12,3 +12,11 @@ from nexus_tpu.inference.reranker.text_retrieval import (  # noqa: F401
     BaseRerankerInferenceEngine,
     TextReranker,
 )
+from nexus_tpu.inference.embedder.multimodal import MultimodalEmbedder  # noqa: F401
+from nexus_tpu.inference.index import ItemIndex, gen_i2i_index, gen_item_index  # noqa: F401
+from nexus_tpu.inference.feature_store import (  # noqa: F401
+    FeatureCache,
+    FeatureCodec,
+    MemoryKVStore,
+    get_kv_store,
+)

@@ -15,7 +15,6 @@ environment).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Union
 
 import numpy as np

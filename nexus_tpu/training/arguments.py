@@ -16,6 +16,7 @@ class TrainingArguments(AbsArguments):
     max_steps: Optional[int] = None
     per_device_train_batch_size: int = 512
     per_device_eval_batch_size: Optional[int] = None
+    gradient_accumulation_steps: int = 1
     train_batch_size: Optional[int] = None  # alias accepted by configs
 
     learning_rate: float = 1e-3

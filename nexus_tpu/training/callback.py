@@ -30,12 +30,31 @@ class Callback:
 
 
 class LoggerCallback(Callback):
+    """Console + jsonl history (the WANDB-less observability path: every log
+    and eval record lands in <output_dir>/train_log.jsonl)."""
+
+    def _append(self, trainer, record: dict):
+        try:
+            import json
+
+            os.makedirs(trainer.args.output_dir, exist_ok=True)
+            with open(os.path.join(trainer.args.output_dir, "train_log.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+        except Exception:
+            pass
+
     def on_log(self, trainer, logs: dict):
         log_dict(logger, logs, prefix=f"step {logs.get('step', '?')}")
+        self._append(trainer, {"event": "log", **logs})
 
     def on_epoch_end(self, trainer, epoch, metrics=None):
         if metrics:
             log_dict(logger, metrics, prefix=f"eval epoch {epoch}")
+            self._append(trainer, {"event": "eval", "epoch": epoch, **metrics})
+
+    def on_train_end(self, trainer):
+        if trainer.train_summary:
+            self._append(trainer, {"event": "summary", **trainer.train_summary})
 
 
 class StopCallback(Callback):

@@ -118,13 +118,16 @@ class RecTrainer:
         )
         if training_args.max_grad_norm:
             tx = optax.chain(optax.clip_by_global_norm(training_args.max_grad_norm), tx)
+        if training_args.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, training_args.gradient_accumulation_steps)
         self.tx = tx
         self.shard_opt_state = shard_opt_state
         self.shard_embedding_tables = shard_embedding_tables
 
         self.callbacks: list[Callback] = callbacks or []
-        self.callbacks.append(LoggerCallback())
+        # throughput first so its on_train_end summary exists for the logger
         self.callbacks.append(ThroughputCallback(self._global_batch_size()))
+        self.callbacks.append(LoggerCallback())
         if training_args.max_steps:
             self.callbacks.append(StopCallback(training_args.max_steps))
         if training_args.checkpoint_steps:

@@ -100,3 +100,35 @@ def test_trainer_plumbs_metrics_from_args(tmp_path):
     ))
     RecTrainer(model, targs)
     assert model.cutoffs == [2, 7]
+
+
+def test_gradient_accumulation(tmp_path):
+    """MultiSteps: params update every k micro-batches only."""
+    import jax
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.data.dataset import ShardedDataset
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    model = MLPRanker(train_cfg.to_attr(),
+                      {"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False})
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "c"), num_train_epochs=1, max_steps=2,
+        per_device_train_batch_size=8, gradient_accumulation_steps=2,
+        learning_rate=0.1, logging_steps=10, evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs)
+    state0 = trainer.init_state()
+    p0 = jax.tree_util.tree_leaves(state0.params)[0].copy()
+    n = trainer.mesh.shape[DATA_AXIS]
+    ds = ShardedDataset(train_cfg, batch_size=8 * n, drop_last=True)
+    it = iter(ds)
+    b1, b2 = next(it), next(it)
+    state1 = trainer.train([b1])  # first micro-batch: accumulating, no update
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    assert np.allclose(np.asarray(p0), np.asarray(p1))
+    trainer.args.max_steps = 4
+    trainer.should_stop = False
+    state2 = trainer.train([b2])  # second micro-batch completes the step
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))
