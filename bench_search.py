@@ -58,7 +58,35 @@ def main() -> None:
         "metric": f"flat_top{K}_p50_ms_{N//1_000_000}M_x{DIM}_batch{Q}",
         "value": round(p50, 2), "unit": "ms",
         "per_query_ms": round(p50 / Q, 3),
-    }))
+    }), flush=True)
+
+    # IVF: nlist=1024 coarse cells, probe 64 (1/16 of the corpus scored)
+    t0 = time.perf_counter()
+    index = ItemIndex.build(np.asarray(corpus, np.float32), index_type="ivf",
+                            nlist=1024, nprobe=64)
+    print(json.dumps({"metric": "ivf_build_s_5M", "value": round(time.perf_counter() - t0, 1),
+                      "unit": "s"}), flush=True)
+    qf = jnp.asarray(np.asarray(queries, np.float32))
+    _s, _i = index.search(qf, K)  # compile + warm
+    # recall@10 of IVF vs exact
+    flat_ids = np.asarray(i)
+    ivf_scores, ivf_rows = index.search(qf, K)
+    recall = np.mean([
+        len(set(ivf_rows[j][:10]) & set(flat_ids[j][:10])) / 10 for j in range(Q)
+    ])
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        ivf_scores, ivf_rows = index.search(qf, K)
+        _ = np.asarray(ivf_rows[0, 0])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat, 50))
+    print(json.dumps({
+        "metric": f"ivf_top{K}_p50_ms_{N//1_000_000}M_x{DIM}_batch{Q}_nprobe64of1024",
+        "value": round(p50, 2), "unit": "ms",
+        "per_query_ms": round(p50 / Q, 3),
+        "recall10_vs_exact": round(float(recall), 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

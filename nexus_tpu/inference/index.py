@@ -95,23 +95,15 @@ class ItemIndex:
         return np.asarray(scores), self.item_ids[np.asarray(rows)]
 
     def _ivf_search(self, q: jnp.ndarray, k: int):
-        """Probe the nprobe nearest coarse cells, score their members."""
-        cscores = q @ self.centroids.T  # [B, nlist]
-        _, probe = jax.lax.top_k(cscores, min(self.nprobe, self.centroids.shape[0]))  # [B, P]
-        cand_rows = self.cluster_items[probe]  # [B, P, maxlen]
-        b, p, m = cand_rows.shape
-        cand_rows = cand_rows.reshape(b, p * m)
-        cand_vecs = self.vectors[cand_rows]  # [B, P*m, D]
-        scores = jnp.einsum("bd,bnd->bn", q, cand_vecs)
-        # mask padding slots beyond each cluster's count
-        counts = self.cluster_counts[probe]  # [B, P]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (b, p, m), 2)
-        valid = (slot < counts[..., None]).reshape(b, p * m)
-        scores = jnp.where(valid, scores, -jnp.inf)
-        k_eff = min(k, p * m)
-        top_scores, pos = jax.lax.top_k(scores, k_eff)
-        rows = jnp.take_along_axis(cand_rows, pos, axis=-1)
-        return top_scores, rows
+        """Jit-compiled IVF search (arrays passed as arguments — closing the
+        corpus into the program as a constant stalls XLA compilation)."""
+        key = ("ivf", k, min(self.nprobe, self.centroids.shape[0]))
+        cache = self.__dict__.setdefault("_compiled", {})
+        if key not in cache:
+            cache[key] = jax.jit(
+                partial(_ivf_search_impl, k=k, nprobe=key[2])
+            )
+        return cache[key](q, self.vectors, self.centroids, self.cluster_items, self.cluster_counts)
 
     # -- persistence -------------------------------------------------------
 
@@ -180,3 +172,35 @@ def gen_i2i_index(
             item = off + i
             neighbors = [int(x) for x in ids[i] if int(x) != item][:topk]
             kv_store.set(key_template.format(item), ",".join(map(str, neighbors)))
+
+def _ivf_search_impl(q, vectors, centroids, items, counts, *, k: int, nprobe: int):
+    """Probe the nprobe nearest coarse cells, scoring one cell per scan step
+    with a running top-k merge — peak memory is one [B, maxlen, D] gather
+    instead of all probed cells at once."""
+    cscores = q @ centroids.T  # [B, nlist]
+    _, probe = jax.lax.top_k(cscores, nprobe)  # [B, P]
+    b = q.shape[0]
+    m = items.shape[1]
+    k_eff = min(k, m)
+
+    def step(carry, pi):
+        vals, idx = carry
+        cells = probe[:, pi]  # [B]
+        rows = items[cells]  # [B, m]
+        vecs = vectors[rows]  # [B, m, D]
+        scores = jnp.einsum("bd,bmd->bm", q, vecs).astype(jnp.float32)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+        scores = jnp.where(slot < counts[cells][:, None], scores, -jnp.inf)
+        top_s, top_pos = jax.lax.top_k(scores, k_eff)
+        top_rows = jnp.take_along_axis(rows, top_pos, axis=-1)
+        all_s = jnp.concatenate([vals, top_s], axis=-1)
+        all_i = jnp.concatenate([idx, top_rows], axis=-1)
+        best_s, best_pos = jax.lax.top_k(all_s, k_eff)
+        return (best_s, jnp.take_along_axis(all_i, best_pos, axis=-1)), None
+
+    init = (
+        jnp.full((b, k_eff), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k_eff), jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    return vals, rows

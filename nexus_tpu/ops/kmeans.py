@@ -14,10 +14,22 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _assign(X: Array, C: Array) -> Array:
-    # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant for argmin
-    dist = -2.0 * (X @ C.T) + jnp.sum(C * C, axis=-1)[None, :]
-    return jnp.argmin(dist, axis=-1)
+def _assign(X: Array, C: Array, block: int = 262144) -> Array:
+    # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant for argmin.
+    # Blocked over rows so the [N, K] distance matrix never materializes
+    # (5M x 1024 f32 would be 20 GB).
+    n = X.shape[0]
+    if n <= block:
+        dist = -2.0 * (X @ C.T) + jnp.sum(C * C, axis=-1)[None, :]
+        return jnp.argmin(dist, axis=-1)
+    n_blocks = -(-n // block)
+    Xp = jnp.pad(X, ((0, n_blocks * block - n), (0, 0))).reshape(n_blocks, block, -1)
+    csq = jnp.sum(C * C, axis=-1)[None, :]
+
+    def one(xb):
+        return jnp.argmin(-2.0 * (xb @ C.T) + csq, axis=-1)
+
+    return jax.lax.map(one, Xp).reshape(-1)[:n]
 
 
 def kmeans(key: jax.Array, X: Array, k: int, max_iter: int = 30):

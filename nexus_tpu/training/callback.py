@@ -129,6 +129,35 @@ class ItemVectorCallback(Callback):
             trainer.model.update_item_vectors(trainer.state_variables())
 
 
+class SamplerRefreshCallback(Callback):
+    """Rebuild quantized-sampler codebooks (MIDX/cluster/LSH) from the
+    current item vectors between epochs (the reference refreshes sampler
+    state alongside item-vector updates). Invalidates the compiled train
+    step so the new index is baked into the next epoch's program."""
+
+    def __init__(self, every_n_epochs: int = 1):
+        self.every_n_epochs = every_n_epochs
+
+    def on_epoch_end(self, trainer, epoch, metrics=None):
+        model = trainer.model
+        if not hasattr(model, "update_sampler_index"):
+            return
+        sampler = getattr(model, "negative_sampler", None)
+        if sampler is None or not hasattr(sampler, "update"):
+            return
+        from nexus_tpu.modules.sampler import PopularSampler, UniformSampler
+
+        if isinstance(sampler, (UniformSampler, PopularSampler)):
+            return  # stateless samplers: nothing to rebuild
+        if (epoch + 1) % self.every_n_epochs != 0:
+            return
+        import jax
+
+        model.update_sampler_index(jax.random.PRNGKey(epoch + 1), trainer.state_variables())
+        trainer._train_step = None  # re-jit with the refreshed index
+        logger.info("sampler index refreshed after epoch %d", epoch)
+
+
 class ThroughputCallback(Callback):
     """Samples/sec accounting — the train_samples_per_second parity signal."""
 

@@ -299,6 +299,8 @@ class RecTrainer:
                     jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
                 batch.pop("_nvalid", None)
                 device_batch = shard_batch(batch, self.mesh)
+                if self._train_step is None:  # invalidated (e.g. sampler refresh)
+                    self._train_step = self._build_train_step()
                 self._state, metrics = self._train_step(self._state, device_batch, rng)
                 step += 1
                 if self.args.profile_step_end is not None and step == self.args.profile_step_end:

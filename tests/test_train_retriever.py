@@ -102,3 +102,30 @@ def test_retriever_predict(synth, tmp_path):
     candidates = {k: np.tile(b[k][:9][None], (4, 1)) for k in runner.data_attr.item_features}
     idx = runner.model.predict(state.variables, context, candidates, topk=5)
     assert idx.shape == (4, 5)
+
+
+def test_midx_sampler_training_with_refresh(synth, tmp_path):
+    """Train with the MIDX sampler + per-epoch codebook refresh."""
+    from nexus_tpu.modules.sampler import MIDXUniformSampler
+    from nexus_tpu.training.callback import SamplerRefreshCallback
+
+    runner = RetrieverRunner(
+        model_config_or_path=dict(MODEL_CFG, sampler="midx_uni", num_clusters=4),
+        data_config_or_path=synth,
+        train_config_or_path=train_args(tmp_path, num_train_epochs=2),
+        model_class=MLPRetriever,
+    )
+    model = runner.model
+    assert isinstance(model.negative_sampler, MIDXUniformSampler)
+    # initial index build from the (random-init) item vectors
+    import jax
+
+    runner.trainer.init_state()
+    model.update_sampler_index(jax.random.PRNGKey(0), runner.trainer.state_variables())
+    assert model.negative_sampler.c0 is not None
+    runner.trainer.callbacks.append(SamplerRefreshCallback())
+    c0_before = np.asarray(model.negative_sampler.c0)
+    state = runner.trainer.train(lambda: iter(runner.load_dataset()[0]))
+    assert int(state.step) > 0
+    # codebooks were rebuilt from trained item vectors
+    assert not np.allclose(c0_before, np.asarray(model.negative_sampler.c0))
