@@ -30,10 +30,11 @@ class ItemIndex:
     item_ids: np.ndarray  # [N]
     metric: str = "ip"  # 'ip' | 'l2' | 'cosine'
     # IVF state (optional)
-    centroids: Optional[jnp.ndarray] = None  # [nlist, D]
-    cluster_items: Optional[jnp.ndarray] = None  # [nlist, maxlen] row indices
-    cluster_counts: Optional[jnp.ndarray] = None  # [nlist]
+    centroids: Optional[jnp.ndarray] = None  # [n_subcells, D]
+    cluster_items: Optional[jnp.ndarray] = None  # [n_subcells] start row in the reordered corpus
+    cluster_counts: Optional[jnp.ndarray] = None  # [n_subcells] rows in subcell (<= cell_cap)
     nprobe: int = 10
+    cell_cap: int = 0  # subcell row capacity (static slice size)
 
     @property
     def is_ivf(self) -> bool:
@@ -51,23 +52,53 @@ class ItemIndex:
         nlist: int = 100,
         nprobe: int = 10,
         seed: int = 0,
+        dtype=jnp.float32,
+        kmeans_train_size: int = 262144,
     ) -> "ItemIndex":
-        vectors = jnp.asarray(vectors, jnp.float32)
+        vectors = jnp.asarray(vectors).astype(dtype)
         if metric == "cosine":
-            vectors = vectors / jnp.clip(jnp.linalg.norm(vectors, axis=-1, keepdims=True), 1e-12, None)
+            vectors = vectors / jnp.clip(
+                jnp.linalg.norm(vectors.astype(jnp.float32), axis=-1, keepdims=True), 1e-12, None
+            ).astype(dtype)
         if item_ids is None:
             item_ids = np.arange(vectors.shape[0])
         idx = cls(vectors=vectors, item_ids=np.asarray(item_ids), metric=metric, nprobe=nprobe)
         if index_type == "ivf":
-            from nexus_tpu.modules.sampler import build_padded_cluster_index
+            from nexus_tpu.ops.kmeans import _assign
 
             key = jax.random.PRNGKey(seed)
-            nlist = min(nlist, vectors.shape[0])
-            centroids, assign = kmeans(key, vectors, nlist, max_iter=20)
-            items, counts, _ = build_padded_cluster_index(assign, nlist)
-            idx.centroids = centroids
-            idx.cluster_items = items
-            idx.cluster_counts = counts
+            n = vectors.shape[0]
+            nlist = min(nlist, n)
+            # Faiss-style: train centroids on a sample, then assign everything
+            if n > kmeans_train_size:
+                sample_rows = jax.random.choice(key, n, (kmeans_train_size,), replace=False)
+                train_vecs = vectors[sample_rows].astype(jnp.float32)
+            else:
+                train_vecs = vectors.astype(jnp.float32)
+            centroids, _ = kmeans(key, train_vecs, nlist, max_iter=20)
+            assign = np.asarray(jax.jit(_assign)(vectors, centroids))
+            # Cell-contiguous layout: reorder the corpus so every cell is a
+            # contiguous row range, split oversized cells into capped
+            # SUBCELLS sharing the centroid. Search then reads subcells with
+            # full-bandwidth dynamic slices — random row gathers measured 6x
+            # slower than contiguous streaming on v5e.
+            cap = min(max(int(2 * n / nlist), 512), n)
+            order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[order]
+            boundaries = np.searchsorted(sorted_assign, np.arange(nlist + 1))
+            sub_centroid_rows, sub_starts, sub_counts = [], [], []
+            for cell in range(nlist):
+                lo, hi = int(boundaries[cell]), int(boundaries[cell + 1])
+                for off in range(lo, hi, cap):
+                    sub_centroid_rows.append(cell)
+                    sub_starts.append(off)
+                    sub_counts.append(min(cap, hi - off))
+            idx.vectors = vectors[jnp.asarray(order)]  # reordered corpus
+            idx.item_ids = np.asarray(item_ids)[order]
+            idx.centroids = jnp.asarray(np.asarray(centroids)[sub_centroid_rows], dtype)
+            idx.cluster_items = jnp.asarray(np.asarray(sub_starts, np.int32))  # subcell start rows
+            idx.cluster_counts = jnp.asarray(np.asarray(sub_counts, np.int32))
+            idx.cell_cap = cap
         return idx
 
     # -- search ------------------------------------------------------------
@@ -97,11 +128,14 @@ class ItemIndex:
     def _ivf_search(self, q: jnp.ndarray, k: int):
         """Jit-compiled IVF search (arrays passed as arguments — closing the
         corpus into the program as a constant stalls XLA compilation)."""
-        key = ("ivf", k, min(self.nprobe, self.centroids.shape[0]))
+        nprobe = min(self.nprobe, self.centroids.shape[0])
+        max_union = min(q.shape[0] * nprobe, self.centroids.shape[0])
+        key = ("ivf", k, nprobe, max_union, q.shape[0])
         cache = self.__dict__.setdefault("_compiled", {})
         if key not in cache:
             cache[key] = jax.jit(
-                partial(_ivf_search_impl, k=k, nprobe=key[2])
+                partial(_ivf_search_impl, k=k, nprobe=nprobe, max_union=max_union,
+                        cap=self.cell_cap)
             )
         return cache[key](q, self.vectors, self.centroids, self.cluster_items, self.cluster_counts)
 
@@ -114,6 +148,7 @@ class ItemIndex:
             "item_ids": self.item_ids,
             "metric": np.asarray(self.metric),
             "nprobe": np.asarray(self.nprobe),
+            "cell_cap": np.asarray(self.cell_cap),
         }
         if self.is_ivf:
             arrays.update(
@@ -131,6 +166,7 @@ class ItemIndex:
             item_ids=data["item_ids"],
             metric=str(data["metric"]),
             nprobe=int(data["nprobe"]),
+            cell_cap=int(data["cell_cap"]) if "cell_cap" in data else 0,
         )
         if "centroids" in data:
             idx.centroids = jnp.asarray(data["centroids"])
@@ -173,26 +209,58 @@ def gen_i2i_index(
             neighbors = [int(x) for x in ids[i] if int(x) != item][:topk]
             kv_store.set(key_template.format(item), ",".join(map(str, neighbors)))
 
-def _ivf_search_impl(q, vectors, centroids, items, counts, *, k: int, nprobe: int):
-    """Probe the nprobe nearest coarse cells, scoring one cell per scan step
-    with a running top-k merge — peak memory is one [B, maxlen, D] gather
-    instead of all probed cells at once."""
-    cscores = q @ centroids.T  # [B, nlist]
+def _ivf_search_impl(q, vectors, centroids, starts, counts, *, k: int, nprobe: int,
+                     max_union: int, cap: int):
+    """Union-scan IVF: dedupe the batch's probed subcells, then scan the
+    union — each step reads ONE subcell as a contiguous [cap, D] dynamic
+    slice (full HBM bandwidth; random row gathers measured ~6x slower) and
+    scores it against ALL queries (extra cells only improve a query's
+    recall). Running top-k merge across steps."""
+    qf = q.astype(jnp.float32)
+    cscores = qf @ centroids.T.astype(jnp.float32)  # [B, S]
     _, probe = jax.lax.top_k(cscores, nprobe)  # [B, P]
-    b = q.shape[0]
-    m = items.shape[1]
-    k_eff = min(k, m)
+    b, d = q.shape
+    n = vectors.shape[0]
+    k_eff = min(k, cap)
 
-    def step(carry, pi):
+    # dedupe probe ids into at most max_union slots (sentinel -1 elsewhere)
+    flat = jnp.sort(probe.reshape(-1))
+    is_new = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    slot = jnp.where(is_new, jnp.cumsum(is_new) - 1, max_union)  # OOB writes drop
+    union = jnp.full((max_union,), -1, jnp.int32).at[slot].set(flat, mode="drop")
+
+    # process SLOTS_PER_STEP subcells per scan step: fewer, fatter steps
+    # (256 tiny slice+matmul steps are per-step-latency bound)
+    spc = 8
+    n_steps = -(-max_union // spc)
+
+    def step(carry, si):
         vals, idx = carry
-        cells = probe[:, pi]  # [B]
-        rows = items[cells]  # [B, m]
-        vecs = vectors[rows]  # [B, m, D]
-        scores = jnp.einsum("bd,bmd->bm", q, vecs).astype(jnp.float32)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
-        scores = jnp.where(slot < counts[cells][:, None], scores, -jnp.inf)
+        blocks, metas = [], []
+        for j in range(spc):
+            u = si * spc + j
+            cell = jnp.where(u < max_union, union[jnp.minimum(u, max_union - 1)], -1)
+            valid_cell = cell >= 0
+            cell_safe = jnp.maximum(cell, 0)
+            start = jnp.where(valid_cell, starts[cell_safe], 0)
+            # slice start clamps so [cap] rows fit; the cell's rows then
+            # begin at `shift` within the slice
+            slice_start = jnp.minimum(start, n - cap)
+            shift = start - slice_start
+            blocks.append(jax.lax.dynamic_slice_in_dim(vectors, slice_start, cap))
+            metas.append((slice_start, shift, counts[cell_safe], valid_cell))
+        block = jnp.concatenate(blocks, axis=0)  # [spc*cap, D] contiguous reads
+        scores = qf @ block.T.astype(jnp.float32)  # [B, spc*cap]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, spc * cap), 1) % cap
+        seg = jax.lax.broadcasted_iota(jnp.int32, (1, spc * cap), 1) // cap
+        shift_v = jnp.stack([m[1] for m in metas])  # [spc]
+        count_v = jnp.stack([m[2] for m in metas])
+        valid_v = jnp.stack([m[3] for m in metas])
+        base_v = jnp.stack([m[0] for m in metas])
+        row_valid = (pos >= shift_v[seg]) & (pos < shift_v[seg] + count_v[seg]) & valid_v[seg]
+        scores = jnp.where(row_valid, scores, -jnp.inf)
         top_s, top_pos = jax.lax.top_k(scores, k_eff)
-        top_rows = jnp.take_along_axis(rows, top_pos, axis=-1)
+        top_rows = base_v[top_pos // cap] + top_pos % cap
         all_s = jnp.concatenate([vals, top_s], axis=-1)
         all_i = jnp.concatenate([idx, top_rows], axis=-1)
         best_s, best_pos = jax.lax.top_k(all_s, k_eff)
@@ -202,5 +270,5 @@ def _ivf_search_impl(q, vectors, centroids, items, counts, *, k: int, nprobe: in
         jnp.full((b, k_eff), -jnp.inf, jnp.float32),
         jnp.zeros((b, k_eff), jnp.int32),
     )
-    (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return vals, rows

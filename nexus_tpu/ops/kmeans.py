@@ -16,20 +16,23 @@ Array = jnp.ndarray
 
 def _assign(X: Array, C: Array, block: int = 262144) -> Array:
     # ||x-c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant for argmin.
-    # Blocked over rows so the [N, K] distance matrix never materializes
-    # (5M x 1024 f32 would be 20 GB).
+    # Blocked over rows (clamped dynamic slices, no padded copy of X) so the
+    # [N, K] distance matrix never materializes (5M x 1024 f32 = 20 GB).
     n = X.shape[0]
+    Cf = C.astype(jnp.float32)
+    csq = jnp.sum(Cf * Cf, axis=-1)[None, :]
     if n <= block:
-        dist = -2.0 * (X @ C.T) + jnp.sum(C * C, axis=-1)[None, :]
+        dist = -2.0 * (X.astype(jnp.float32) @ Cf.T) + csq
         return jnp.argmin(dist, axis=-1)
     n_blocks = -(-n // block)
-    Xp = jnp.pad(X, ((0, n_blocks * block - n), (0, 0))).reshape(n_blocks, block, -1)
-    csq = jnp.sum(C * C, axis=-1)[None, :]
 
-    def one(xb):
-        return jnp.argmin(-2.0 * (xb @ C.T) + csq, axis=-1)
+    def body(i, out):
+        start = jnp.minimum(i * block, n - block)
+        xb = jax.lax.dynamic_slice_in_dim(X, start, block).astype(jnp.float32)
+        a = jnp.argmin(-2.0 * (xb @ Cf.T) + csq, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(out, a, start, axis=0)
 
-    return jax.lax.map(one, Xp).reshape(-1)[:n]
+    return jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((n,), jnp.int32))
 
 
 def kmeans(key: jax.Array, X: Array, k: int, max_iter: int = 30):
