@@ -84,3 +84,50 @@ def test_calc_slice_position_covers_all_rows():
     for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
         assert e1 == s2
     assert covered[-1][1] == n
+
+
+def test_filter_settings(synth):
+    """process_conditions-driven row filtering (reference filter_settings)."""
+    import copy
+
+    train_cfg, _ = ConfigProcessor(synth).split_config()
+    cfg = copy.deepcopy(train_cfg)
+    cfg.filter_settings = {"by": "effective_view", "filter_conditions": [">=1"]}
+    ds = ShardedDataset(cfg, batch_size=32, drop_last=False)
+    rows = 0
+    for b in ds:
+        nv = int(b.get("_nvalid", len(b["user_id"])))
+        assert (b["effective_view"][:nv] >= 1).all()
+        rows += nv
+    assert 0 < rows < 1024  # some rows filtered out
+
+
+def test_same_dataset_within_batch_merge_and_drop(tmp_path):
+    import json
+
+    from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderDataArguments
+    from nexus_tpu.training.embedder.text_retrieval.dataset import TextEmbedderTrainDataset
+
+    def write(name, n):
+        p = tmp_path / name
+        with open(p, "w") as f:
+            for i in range(n):
+                f.write(json.dumps({"query": f"q{i}", "pos": [f"p{i}"], "neg": ["n"]}) + "\n")
+        return str(p)
+
+    big = write("big.jsonl", 20)
+    small = write("small.jsonl", 6)
+    tiny = write("tiny.jsonl", 2)
+    args = TextEmbedderDataArguments(
+        train_data=[big, small, tiny], train_group_size=2,
+        same_dataset_within_batch=True, small_threshold=10, drop_threshold=4,
+    )
+    ds = TextEmbedderTrainDataset(args)
+    # big kept; small (6 >= drop 4, < small 10) merged; tiny (2 < 4) dropped
+    assert "big.jsonl" in ds.dataset_names
+    assert "_merged_small" in ds.dataset_names
+    assert len(ds) == 26
+    # batches are homogeneous: queries within one batch share a source
+    for group in ds.iter_batches(4):
+        texts = {e["query"][0] for e in group}
+        assert len(group) == 4
