@@ -152,6 +152,8 @@ class BertEncoderModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False  # gradient checkpointing: recompute layer activations in backward
+    remat_policy: Optional[str] = None  # None=full remat | 'dots' = save matmul
+    # outputs, recompute only elementwise (cheaper backward, more memory)
 
     @nn.compact
     def __call__(
@@ -174,9 +176,13 @@ class BertEncoderModel(nn.Module):
             input_ids, token_type_ids, position_ids, train
         )
         if self.scan_layers:
-            layer_cls = (
-                nn.remat(_ScannedLayer, static_argnums=(4,)) if self.remat else _ScannedLayer
-            )
+            if self.remat:
+                remat_kw = {"static_argnums": (4,)}
+                if self.remat_policy == "dots":
+                    remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                layer_cls = nn.remat(_ScannedLayer, **remat_kw)
+            else:
+                layer_cls = _ScannedLayer
             Scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},

@@ -121,3 +121,50 @@ def test_recommendation_eval_runner(tmp_path):
     out = runner.run()
     assert any(k.startswith("ndcg@") for k in out["retriever"])
     assert "auc" in out["ranker"]
+
+
+def test_infer_mode_parity_eval(tmp_path):
+    """The reference's eval-as-parity-test: the SAME benchmark through the
+    normal-jit engine and the AOT engine must produce identical metrics."""
+    pytest.importorskip("torch")
+    import json as _json
+
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    words = ["the", "dog", "cat", "runs", "sits", "sky", "red", "blue"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    ds_dir = tmp_path / "data" / "toy"
+    ds_dir.mkdir(parents=True)
+    docs = {"d1": "the dog runs", "d2": "the cat sits", "d3": "red sky", "d4": "blue sky"}
+    with open(ds_dir / "corpus.jsonl", "w") as f:
+        for did, text in docs.items():
+            f.write(_json.dumps({"_id": did, "title": "", "text": text}) + "\n")
+    with open(ds_dir / "queries.jsonl", "w") as f:
+        f.write(_json.dumps({"_id": "q1", "text": "dog runs"}) + "\n")
+        f.write(_json.dumps({"_id": "q2", "text": "red sky"}) + "\n")
+    with open(ds_dir / "qrels.tsv", "w") as f:
+        f.write("q1\td1\t1\nq2\td3\t1\n")
+
+    from nexus_tpu.evaluation.text_retrieval.runner import (
+        TextRetrievalEvalArguments,
+        TextRetrievalEvalRunner,
+    )
+
+    results = {}
+    for mode in ("normal", "aot"):
+        args = TextRetrievalEvalArguments(
+            dataset_dir=str(tmp_path / "data"), dataset_names=["toy"],
+            eval_output_dir=str(tmp_path / f"out_{mode}"),
+            embedder_name_or_path=str(d), embedder_infer_mode=mode,
+            search_top_k=4, k_values=[1, 3], embedder_batch_size=4,
+        )
+        results[mode] = TextRetrievalEvalRunner(args).run()["toy"]["NoReranker"]
+    assert results["normal"] == results["aot"], (results["normal"], results["aot"])
