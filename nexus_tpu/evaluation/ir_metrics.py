@@ -62,7 +62,7 @@ def evaluate_ir_metrics(
                 prec_at_i = np.cumsum(hits) / np.arange(1, len(hits) + 1)
                 _map[f"MAP@{k}"] += float(np.sum(prec_at_i * hits)) / min(n_rel, k)
     n = max(n_queries, 1)
-    fmt = lambda d: {k: round(v / n, 5) for k, v in d.items()}
+    fmt = lambda d: {k: round(float(v) / n, 5) for k, v in d.items()}
     return fmt(ndcg), fmt(_map), fmt(recall), fmt(precision)
 
 
