@@ -17,9 +17,8 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 from collections import OrderedDict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import numpy as np
 
 from nexus_tpu.data.dataset import ItemDataset, ShardedDataset
 from nexus_tpu.data.processor import ConfigProcessor

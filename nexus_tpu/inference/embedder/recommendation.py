@@ -21,7 +21,6 @@ import numpy as np
 
 from nexus_tpu.inference.feature_store import FeatureCache, FeatureCodec, get_kv_store
 from nexus_tpu.inference.index import ItemIndex
-from nexus_tpu.inference.session import NormalSession
 from nexus_tpu.utils.logging import get_logger
 
 logger = get_logger("nexus_tpu.inference.rec_embedder")

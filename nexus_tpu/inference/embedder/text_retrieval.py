@@ -13,8 +13,7 @@ deterministic bucketing: TPU memory use is known at compile time.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

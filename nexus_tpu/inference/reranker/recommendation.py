@@ -7,7 +7,7 @@ return top-k item ids.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

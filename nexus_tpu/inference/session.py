@@ -18,7 +18,7 @@ The reference dispatches between torch / onnxruntime / TensorRT sessions by
 from __future__ import annotations
 
 import pickle
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

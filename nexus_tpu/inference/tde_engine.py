@@ -7,7 +7,7 @@ forward — serving with unbounded vocabularies.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nexus_tpu.modules.embedding import MultiFeatEmbedding
-from nexus_tpu.modules.encoders import MLPItemEncoder, MLPQueryEncoder, SASRecEncoder
+from nexus_tpu.modules.encoders import MLPItemEncoder, MLPQueryEncoder
 from nexus_tpu.modules.layers import MLPModule
 from nexus_tpu.modules.loss import (
     BinaryCrossEntropyLoss,

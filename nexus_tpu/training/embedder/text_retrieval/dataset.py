@@ -19,7 +19,7 @@ import json
 import math
 import os
 import random
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -188,8 +188,6 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
                     elif isinstance(v, dict) and k in params:
                         apply_adapters(params[k], v)
 
-            import copy
-
             p = jax.tree_util.tree_map(lambda x: x, model.variables["params"])
             apply_adapters(p, adapters)
             model.variables = {**model.variables, "params": p}

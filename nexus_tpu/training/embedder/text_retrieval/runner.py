@@ -3,7 +3,6 @@ text_retrieval/runner.py:32-182)."""
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from nexus_tpu.parallel.mesh import get_default_mesh

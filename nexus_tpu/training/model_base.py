@@ -9,7 +9,7 @@ while keeping the compute path purely functional for pjit.
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

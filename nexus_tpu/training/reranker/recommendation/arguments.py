@@ -3,7 +3,7 @@ arguments.py ModelArguments + per-model extensions used in benchmark/)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 from nexus_tpu.config import AbsArguments

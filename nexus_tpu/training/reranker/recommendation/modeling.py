@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nexus_tpu.modules.aggregate import AverageAggregator, DeepInterestAggregator
+from nexus_tpu.modules.aggregate import AverageAggregator
 from nexus_tpu.modules.embedding import MultiFeatEmbedding
 from nexus_tpu.modules.feature_interaction import CrossNetwork, MultiExperts
 from nexus_tpu.modules.layers import MLPModule

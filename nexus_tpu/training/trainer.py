@@ -16,7 +16,6 @@ Replaces the reference's HF Trainer + Accelerate + DeepSpeed stack
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax

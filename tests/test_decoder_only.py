@@ -136,3 +136,29 @@ def test_decoder_only_embedder_train_and_merge(tmp_path, key):
     os.makedirs(str(tmp_path / "cks" / "checkpoint-10"))
     os.makedirs(str(tmp_path / "cks" / "checkpoint-200"))
     assert find_largest_checkpoint(str(tmp_path / "cks")).endswith("checkpoint-200")
+
+
+def test_llm_embedder_through_inference_engine(tmp_path, key):
+    """LLM embedder inference parity: a decoder-only model flows through the
+    standard TextEmbedder engine (last-token pooling, left-pad-safe)."""
+    pytest.importorskip("torch")
+    from transformers import BertTokenizerFast, LlamaConfig as HFLC, LlamaModel as HFLlama
+
+    d = str(tmp_path / "llm")
+    HFLlama(HFLC(**dict(TINY, vocab_size=32))).save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"w{i}" for i in range(27)]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+
+    from nexus_tpu.inference import TextEmbedder
+    from nexus_tpu.training.embedder.text_retrieval.arguments import TextEmbedderModelArguments
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import BiDecoderOnlyEmbedderModel
+
+    model = BiDecoderOnlyEmbedderModel.from_pretrained(
+        d, TextEmbedderModelArguments(dtype="float32")
+    )
+    assert model.args.sentence_pooling_method == "last_token"
+    emb = TextEmbedder(model=model, tokenizer=tok, batch_size=2, max_length=16)
+    reps = emb.encode_queries(["w1 w2 w3", "w4"])
+    assert reps.shape == (2, TINY["hidden_size"])
+    assert np.allclose(np.linalg.norm(reps, axis=-1), 1.0, atol=1e-3)

@@ -95,3 +95,39 @@ def test_multimodal_retrieval_eval_runner(tmp_path):
     )
     out = runner.run()
     assert out["toy"]["NoReranker"]["NDCG@1"] == 1.0
+
+
+class _FakeReranker:
+    """Scores pairs by shared-token count (prefers true matches)."""
+
+    def compute_score(self, pairs, normalize=False):
+        return [len(set(q.split()) & set(p.split())) for q, p in pairs]
+
+
+def test_mmeb_reranker_rescoring(tmp_path):
+    from nexus_tpu.evaluation.mmeb_v2 import MMEBEvaluator
+
+    ds = tmp_path / "mmeb"
+    ds.mkdir()
+    corpus = [{"text": f"topic {i} words"} for i in range(10)]
+    with open(ds / "WebQA.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"query": {"text": f"find topic {i}"}, "rel_ids": [i]}) + "\n")
+    with open(ds / "WebQA_corpus.jsonl", "w") as f:
+        for c in corpus:
+            f.write(json.dumps(c) + "\n")
+
+    class _BadEmbedder(_FakeEmbedder):
+        """Embeddings carry no signal -> retrieval alone is near-random."""
+
+        def _vec(self, item):
+            rng = np.random.default_rng(0)  # same vector for everything
+            v = rng.normal(size=self.dim) + 1e-3 * np.random.default_rng(
+                abs(hash(str(item))) % (2**32)).normal(size=self.dim)
+            return v / np.linalg.norm(v)
+
+    ev = MMEBEvaluator(_BadEmbedder(), str(ds), output_dir=str(tmp_path / "o"),
+                       reranker=_FakeReranker(), rerank_top_k=10)
+    m = ev.evaluate_task("WebQA")
+    # reranker rescues the ranking: gold doc shares its topic number
+    assert m["hit@1"] == 1.0
