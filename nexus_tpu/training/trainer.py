@@ -288,7 +288,8 @@ class RecTrainer:
             cb.on_train_begin(self)
 
         step = int(self._state.step)
-        running_loss, running_n = 0.0, 0
+        pending_losses: list = []  # device arrays; host-sync only on logging
+        # boundaries (each float() costs a full host round-trip per step)
         for epoch in range(self.args.num_train_epochs):
             data_iter = train_data() if callable(train_data) else train_data
             if hasattr(data_iter, "set_epoch"):
@@ -302,6 +303,7 @@ class RecTrainer:
                     self._train_step = self._build_train_step()
                 self._state, metrics = self._train_step(self._state, device_batch, rng)
                 step += 1
+                pending_losses.append(metrics["loss"])
                 if self.args.profile_step_end is not None and step == self.args.profile_step_end:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
@@ -309,11 +311,10 @@ class RecTrainer:
                     )
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s/profile", self.args.output_dir)
-                running_loss += float(metrics["loss"])
-                running_n += 1
                 if step % self.args.logging_steps == 0:
-                    logs = {"step": step, "epoch": epoch, "loss": running_loss / max(running_n, 1)}
-                    running_loss, running_n = 0.0, 0
+                    mean_loss = float(jnp.mean(jnp.stack(pending_losses)))
+                    pending_losses = []
+                    logs = {"step": step, "epoch": epoch, "loss": mean_loss}
                     for cb in self.callbacks:
                         cb.on_log(self, logs)
                 for cb in self.callbacks:
