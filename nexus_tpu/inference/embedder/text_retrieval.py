@@ -43,11 +43,17 @@ class TextEmbedder:
         max_length: int = 512,
         seq_buckets: Sequence[int] = DEFAULT_SEQ_BUCKETS,
         infer_mode: str = "normal",
+        mesh=None,
     ):
+        """``mesh``: shard encode batches across the mesh's data axis — the
+        multi-chip replacement for the reference's per-GPU process pool
+        (abc/inference/embedder/AbsEmbedder.py:120-245); one compiled program,
+        XLA splits the batch over chips."""
         from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
 
         if model is None:
             model = BiTextEmbedderModel.from_pretrained(model_name_or_path)
+        self.mesh = mesh
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer
@@ -79,6 +85,19 @@ class TextEmbedder:
     def _build_session(self):
         names = ["input_ids", "attention_mask"]
         bound = self.model.variables
+        if self.mesh is not None:
+            # multi-chip encode: params replicated, token batch sharded on
+            # the data axis; XLA compiles ONE program over all chips
+            import jax
+            from nexus_tpu.parallel.mesh import data_parallel_shardings
+
+            batch_sh, rep_sh = data_parallel_shardings(self.mesh)
+            session = NormalSession(self._encode_fn, names, bound=jax.device_put(bound, rep_sh))
+            session.fn = jax.jit(
+                self._encode_fn, in_shardings=(rep_sh, batch_sh, batch_sh),
+                out_shardings=rep_sh,
+            )
+            return session
         if self.infer_mode == "normal":
             return NormalSession(self._encode_fn, names, bound=bound)
         buckets = [
@@ -134,6 +153,14 @@ class TextEmbedder:
             if bucket_len > L:
                 ids = np.pad(ids, ((0, 0), (0, bucket_len - L)))
                 mask = np.pad(mask, ((0, 0), (0, bucket_len - L)))
+            if self.mesh is not None:
+                from nexus_tpu.parallel.mesh import DATA_AXIS
+
+                n_dev = self.mesh.shape[DATA_AXIS]
+                pad_rows = (-len(ids)) % n_dev
+                if pad_rows:
+                    ids = np.pad(ids, ((0, pad_rows), (0, 0)))
+                    mask = np.pad(mask, ((0, pad_rows), (0, 0)))
             reps = self.session.run(
                 None, {"input_ids": ids.astype(np.int32), "attention_mask": mask.astype(np.int32)}
             )[0]

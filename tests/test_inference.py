@@ -117,3 +117,36 @@ def test_feature_cache_mget():
     fetched = cache.fetch("user:{}", [3, 7, 99])
     assert int(fetched[0]["age"]) == 3
     assert fetched[2] == {}  # missing key -> empty dict
+
+
+def test_multichip_sharded_encode(tmp_path):
+    """Multi-chip encode parity (replaces the reference's per-GPU process
+    pool): the same texts encode identically through a single-device session
+    and a batch-sharded 8-device mesh session."""
+    pytest.importorskip("torch")
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b", "c", "d"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    from nexus_tpu.inference import TextEmbedder
+    from nexus_tpu.parallel.mesh import get_default_mesh
+
+    texts = [f"a b c d a b"[: 3 + i % 6] for i in range(13)]  # ragged batch
+    single = TextEmbedder(model_name_or_path=str(d), batch_size=8, max_length=16)
+    sharded = TextEmbedder(model=single.model, tokenizer=single.tokenizer,
+                           batch_size=8, max_length=16, mesh=get_default_mesh())
+    r1 = single.encode_corpus(texts)
+    r2 = sharded.encode_corpus(texts)
+    assert r1.shape == r2.shape == (13, 32)
+    assert np.allclose(r1, r2, atol=1e-5)
