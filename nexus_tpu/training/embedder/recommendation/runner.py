@@ -42,11 +42,19 @@ class RetrieverRunner:
         self.data_attr = self.train_data_args.to_attr()
         self.model = model_class(self.data_attr, model_config_or_path)
 
-        # item dataset: dense feature table + popularity for IPS losses
+        # item dataset: dense feature table + popularity for IPS losses;
+        # precomputed counts load from item_pop_dict_path when provided
+        # (reference DataArguments field), else one scan of the train files
         self.item_dataset = ItemDataset(self.train_data_args)
-        self.item_dataset.item_pop_dict = compute_item_popularity(
-            ShardedDataset(self.train_data_args, batch_size=1), self.data_attr.fiid
-        )
+        if self.train_data_args.item_pop_dict_path:
+            import json
+
+            with open(self.train_data_args.item_pop_dict_path) as f:
+                self.item_dataset.item_pop_dict = {int(k): int(v) for k, v in json.load(f).items()}
+        else:
+            self.item_dataset.item_pop_dict = compute_item_popularity(
+                ShardedDataset(self.train_data_args, batch_size=1), self.data_attr.fiid
+            )
         self.model.set_item_dataset(self.item_dataset)
         self.trainer = RecTrainer(self.model, self.train_args, mesh=self.mesh)
 
