@@ -205,17 +205,43 @@ class BaseRetriever(RecModelBase):
         return UniformSampler(num_items=self.data_config.num_items)
 
     def _sampler_from_name(self, name: str):
+        """Build the configured sampler. Popularity variants defer until the
+        item dataset attaches (set_item_dataset wires the counts); LSH builds
+        from the item-vector dimensionality."""
         kwargs = {"num_items": self.data_config.num_items}
         if "midx" in name or "cluster" in name:
             kwargs["num_clusters"] = self.model_config.num_clusters
-        if "pop" in name:
-            raise ValueError(
-                "popularity samplers need item counts; construct explicitly and assign "
-                "model.negative_sampler"
-            )
-        if name == "lsh":
-            raise ValueError("LSH sampler needs a key/dims; construct explicitly")
+        if "pop" in name or name == "lsh":
+            self._pending_sampler_name = name
+            return None  # completed in set_item_dataset
         return get_sampler(name, **kwargs)
+
+    def _finalize_pending_sampler(self, item_dataset) -> None:
+        name = getattr(self, "_pending_sampler_name", None)
+        if name is None:
+            return
+        import numpy as np
+
+        if "pop" in name:
+            pop_dict = getattr(item_dataset, "item_pop_dict", None) or {}
+            counts = np.zeros(self.num_items, np.float32)
+            for iid, c in pop_dict.items():
+                if 0 <= int(iid) < self.num_items:
+                    counts[int(iid)] = c
+            if name == "popular":
+                self.negative_sampler = get_sampler("popular", pop_count=counts)
+            else:
+                self.negative_sampler = get_sampler(
+                    name, pop_count=counts, num_clusters=self.model_config.num_clusters
+                )
+        elif name == "lsh":
+            item_dim = len(self.data_config.item_features) * self.model_config.embedding_dim
+            if self.model_config.mlp_layers:
+                item_dim = list(self.model_config.mlp_layers)[-1]
+            self.negative_sampler = get_sampler(
+                "lsh", key=jax.random.PRNGKey(0), num_items=self.num_items, n_dims=item_dim
+            )
+        self._pending_sampler_name = None
 
     def build_net(self):
         self.item_encoder_module = self.get_item_encoder()
@@ -232,6 +258,7 @@ class BaseRetriever(RecModelBase):
         self.item_feat_table = {
             k: jnp.asarray(v) for k, v in item_dataset.item_feature_table().items()
         }
+        self._finalize_pending_sampler(item_dataset)
         if isinstance(self.loss_function, InBatchSoftmaxLoss) and hasattr(
             item_dataset, "item_pop_dict"
         ):

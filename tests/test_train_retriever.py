@@ -129,3 +129,29 @@ def test_midx_sampler_training_with_refresh(synth, tmp_path):
     assert int(state.step) > 0
     # codebooks were rebuilt from trained item vectors
     assert not np.allclose(c0_before, np.asarray(model.negative_sampler.c0))
+
+
+def test_popular_and_lsh_samplers_from_config(synth, tmp_path):
+    """Popularity/LSH samplers wire up from the sampler= config string once
+    the item dataset (with popularity counts) attaches."""
+    import jax
+
+    from nexus_tpu.modules.sampler import LSHSampler, MIDXPopSampler, PopularSampler
+    from nexus_tpu.training.callback import SamplerRefreshCallback
+
+    for name, cls in [("popular", PopularSampler), ("midx_pop", MIDXPopSampler),
+                      ("lsh", LSHSampler)]:
+        runner = RetrieverRunner(
+            model_config_or_path=dict(MODEL_CFG, sampler=name, num_clusters=4),
+            data_config_or_path=synth,
+            train_config_or_path=train_args(tmp_path, max_steps=2),
+            model_class=MLPRetriever,
+        )
+        assert isinstance(runner.model.negative_sampler, cls), name
+        if name != "popular":  # quantized samplers need an index build
+            runner.trainer.init_state()
+            runner.model.update_sampler_index(
+                jax.random.PRNGKey(0), runner.trainer.state_variables()
+            )
+        state = runner.trainer.train(lambda: iter(runner.load_dataset()[0]))
+        assert int(state.step) > 0, name
