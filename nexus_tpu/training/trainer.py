@@ -42,6 +42,35 @@ from nexus_tpu.utils.logging import get_logger
 logger = get_logger("nexus_tpu.trainer")
 
 
+def _prefetch(iterator, size: int = 2):
+    """Host-side async prefetch: a daemon thread keeps `size` batches ahead
+    (parquet reads + side-table joins overlap device compute)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the training loop
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -294,7 +323,7 @@ class RecTrainer:
             data_iter = train_data() if callable(train_data) else train_data
             if hasattr(data_iter, "set_epoch"):
                 data_iter.set_epoch(epoch)
-            for batch in data_iter:
+            for batch in _prefetch(iter(data_iter)):
                 if self.args.profile_step_start is not None and step == self.args.profile_step_start:
                     jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
                 batch.pop("_nvalid", None)
