@@ -54,9 +54,10 @@ class _TDERunnerMixin:
         train_ds, eval_ds = self.load_dataset()
         if self.trainer._state is None:
             self.trainer.init_state()
+        # the _Wrapped view is re-iterable and forwards set_epoch, so epoch
+        # reshuffling flows through to the underlying ShardedDataset
         state = self.trainer.train(
-            lambda: iter(self._wrap(train_ds)),
-            lambda: iter(self._wrap(eval_ds)),
+            self._wrap(train_ds), self._wrap(eval_ds),
             resume_from_checkpoint=resume_from_checkpoint,
         )
         import os

@@ -221,18 +221,22 @@ def _ivf_search_impl(q, vectors, centroids, starts, counts, *, k: int, nprobe: i
     _, probe = jax.lax.top_k(cscores, nprobe)  # [B, P]
     b, d = q.shape
     n = vectors.shape[0]
-    k_eff = min(k, cap)
+
+    # process SLOTS_PER_STEP subcells per scan step: fewer, fatter steps
+    # (256 tiny slice+matmul steps are per-step-latency bound)
+    spc = 8
+    n_steps = -(-max_union // spc)
+    # per-step candidate cap: a step scores spc*cap rows, so that is the most
+    # it can contribute; the RUNNING merge still carries the full k columns
+    # (k > cap must not silently truncate the result width — callers index
+    # [:, :k]). Slots past the true candidate count surface as -inf scores.
+    k_step = min(k, spc * cap)
 
     # dedupe probe ids into at most max_union slots (sentinel -1 elsewhere)
     flat = jnp.sort(probe.reshape(-1))
     is_new = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
     slot = jnp.where(is_new, jnp.cumsum(is_new) - 1, max_union)  # OOB writes drop
     union = jnp.full((max_union,), -1, jnp.int32).at[slot].set(flat, mode="drop")
-
-    # process SLOTS_PER_STEP subcells per scan step: fewer, fatter steps
-    # (256 tiny slice+matmul steps are per-step-latency bound)
-    spc = 8
-    n_steps = -(-max_union // spc)
 
     def step(carry, si):
         vals, idx = carry
@@ -259,16 +263,16 @@ def _ivf_search_impl(q, vectors, centroids, starts, counts, *, k: int, nprobe: i
         base_v = jnp.stack([m[0] for m in metas])
         row_valid = (pos >= shift_v[seg]) & (pos < shift_v[seg] + count_v[seg]) & valid_v[seg]
         scores = jnp.where(row_valid, scores, -jnp.inf)
-        top_s, top_pos = jax.lax.top_k(scores, k_eff)
+        top_s, top_pos = jax.lax.top_k(scores, k_step)
         top_rows = base_v[top_pos // cap] + top_pos % cap
         all_s = jnp.concatenate([vals, top_s], axis=-1)
         all_i = jnp.concatenate([idx, top_rows], axis=-1)
-        best_s, best_pos = jax.lax.top_k(all_s, k_eff)
+        best_s, best_pos = jax.lax.top_k(all_s, k)
         return (best_s, jnp.take_along_axis(all_i, best_pos, axis=-1)), None
 
     init = (
-        jnp.full((b, k_eff), -jnp.inf, jnp.float32),
-        jnp.zeros((b, k_eff), jnp.int32),
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.zeros((b, k), jnp.int32),
     )
     (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return vals, rows

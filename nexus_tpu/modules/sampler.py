@@ -124,6 +124,10 @@ class UniformSampler:
     num_items: int
     scorer: Optional[object] = None
 
+    @property
+    def needs_update(self) -> bool:
+        return False
+
     def update(self, key, item_embs, **kw):
         return self
 
@@ -145,6 +149,8 @@ def uniform_sample_masked_hist(
 ) -> Array:
     """Uniform sampling over items NOT in the user's history
     (parity: sampler.py:52-83). ``user_hist`` is [B, L], 0-padded, ids 1-based.
+    ``num_items`` is the count of REAL items: the output universe is
+    [1, num_items] minus the history.
 
     Trick: draw from the (num_items - |hist|) "gap" positions, then shift each
     draw up past the sorted history entries with a searchsorted rank.
@@ -168,16 +174,23 @@ def uniform_sample_masked_hist(
 @dataclass(frozen=True)
 class MaskedUniformSampler(UniformSampler):
     """Uniform negatives excluding the user's interaction history
-    (parity: sampler.py:215-245)."""
+    (parity: sampler.py:215-245).
+
+    Id convention: item ids are RAW ids that double as feature-table rows;
+    id 0 is the padding item, real items live in [1, num_items-1]. The gap
+    sampler therefore draws over ``num_items - 1`` real items so emitted ids
+    never exceed the table (an id == num_items would be silently clamped by
+    the XLA gather in train_forward, attributing wrong features)."""
 
     def __call__(self, key, query, num_neg, pos_items=None, user_hist: Array = None):
         if user_hist is None:
             raise ValueError("MaskedUniformSampler requires user_hist")
+        n_real = self.num_items - 1  # ids 1..num_items-1; row 0 = padding
         if query.ndim == 2:
-            neg = uniform_sample_masked_hist(key, self.num_items, num_neg, user_hist)
+            neg = uniform_sample_masked_hist(key, n_real, num_neg, user_hist)
         elif query.ndim == 3:
             neg = uniform_sample_masked_hist(
-                key, self.num_items, num_neg, user_hist, num_query_per_user=query.shape[1]
+                key, n_real, num_neg, user_hist, num_query_per_user=query.shape[1]
             )
         else:
             raise ValueError("query must be 2- or 3-dimensional")
@@ -201,6 +214,10 @@ class PopularSampler:
         w = _pop_weights(pop_count, mode)
         prob = w / jnp.sum(w)
         return cls(pop_prob=prob, table=jnp.cumsum(prob), num_items=int(len(w) - 1))
+
+    @property
+    def needs_update(self) -> bool:
+        return False
 
     def update(self, key, item_embs, **kw):
         return self
@@ -258,6 +275,10 @@ class MIDXUniformSampler:
     @property
     def _use_pop(self) -> bool:
         return self.pop_count is not None
+
+    @property
+    def needs_update(self) -> bool:
+        return self.c0 is None
 
     def update(self, key, item_embs: Array, max_iter: int = 30) -> "MIDXUniformSampler":
         if isinstance(self.scorer, CosineScorer):
@@ -398,6 +419,10 @@ class ClusterUniformSampler:
     def _use_pop(self) -> bool:
         return self.pop_count is not None
 
+    @property
+    def needs_update(self) -> bool:
+        return self.c is None
+
     def update(self, key, item_embs: Array, max_iter: int = 30) -> "ClusterUniformSampler":
         if isinstance(self.scorer, CosineScorer):
             item_embs = item_embs / jnp.maximum(
@@ -500,6 +525,10 @@ class LSHSampler:
             num_items=num_items, n_dims=n_dims, n_bits=n_bits, n_table=n_table,
             scorer=scorer, weight_vectors=w,
         )
+
+    @property
+    def needs_update(self) -> bool:
+        return self.table_indices is None
 
     def _hash(self, x: Array) -> Array:
         """[B, D] -> [L, B] integer bucket codes."""

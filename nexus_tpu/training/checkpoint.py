@@ -72,3 +72,15 @@ def _to_host(tree):
     import jax
 
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def restore_flax_msgpack(checkpoint_dir: str, current) -> dict:
+    """Restore variables from an HF-layout save dir (flax_model.msgpack),
+    typed against the current variable tree. The shared implementation of
+    the model ``load_variables`` trainer-resume protocol for text/multimodal
+    models (whose save() writes HF-style dirs, not the rec schema above)."""
+    path = os.path.join(checkpoint_dir, "flax_model.msgpack")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no flax_model.msgpack in {checkpoint_dir}")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(current, f.read())

@@ -127,6 +127,13 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
             f.write(serialization.to_bytes(host))
 
+    def load_variables(self, checkpoint_dir: str, current=None) -> dict:
+        """Trainer resume protocol: restore from an HF-layout save dir."""
+        from nexus_tpu.training.checkpoint import restore_flax_msgpack
+
+        target = current or jax.eval_shape(lambda: self.init_variables(jax.random.PRNGKey(0)))
+        return restore_flax_msgpack(checkpoint_dir, target)
+
     @classmethod
     def from_pretrained(cls, model_dir: str, model_args=None) -> "BiMultimodalEmbedderModel":
         from flax import serialization

@@ -61,6 +61,9 @@ class TwoTowerBase(nn.Module):
         self, batch, sampler, num_neg: int, item_feat_table: Dict[str, Array],
         fiid: str, user_hist: Optional[Array] = None,
     ):
+        # Id convention: sampled neg_ids are RAW item ids, which are also
+        # the rows of item_feat_table (built dense[id] = features); id 0 is
+        # the padding item. Samplers must emit ids < num_items.
         q = self.encode_query(batch, train=True)
         pos_vec = self.encode_item(batch, train=True)
         log_pos_prob = neg_ids = log_neg_prob = neg_vec = None

@@ -76,9 +76,10 @@ class RetrieverRunner:
 
     def run(self, resume_from_checkpoint: Optional[str] = None):
         train_ds, eval_ds = self.load_dataset()
+        # pass the re-iterable datasets themselves (NOT a lambda over iter()):
+        # the trainer calls set_epoch on them so each epoch reshuffles
         state = self.trainer.train(
-            lambda: iter(train_ds), lambda: iter(eval_ds),
-            resume_from_checkpoint=resume_from_checkpoint,
+            train_ds, eval_ds, resume_from_checkpoint=resume_from_checkpoint,
         )
         # refresh + persist item vectors alongside the checkpoint
         self.model.update_item_vectors(state.variables)

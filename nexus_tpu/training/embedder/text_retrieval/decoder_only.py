@@ -114,6 +114,46 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
             host = jax.tree_util.tree_map(lambda x: np.asarray(x), merged)
             f.write(serialization.to_bytes(host))
 
+    def load_variables(self, checkpoint_dir: str, current=None) -> dict:
+        """Trainer resume protocol. LoRA runs restore adapters over the
+        current base weights; full runs restore flax_model.msgpack."""
+        from flax import serialization
+
+        flax_path = os.path.join(checkpoint_dir, "flax_model.msgpack")
+        adapter_path = os.path.join(checkpoint_dir, "adapter_model.msgpack")
+        if os.path.exists(flax_path):
+            target = current or jax.eval_shape(
+                lambda: self.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+            )
+            with open(flax_path, "rb") as f:
+                return serialization.from_bytes(target, f.read())
+        if os.path.exists(adapter_path):
+            if current is None:
+                raise ValueError("adapter-only checkpoint needs current base variables")
+            with open(adapter_path, "rb") as f:
+                adapters = serialization.msgpack_restore(f.read())
+
+            def apply_adapters(params, tree):
+                for k, v in tree.items():
+                    if k in ("lora_A", "lora_B"):
+                        params[k] = jnp.asarray(v)
+                    elif isinstance(v, dict) and k in params:
+                        apply_adapters(params[k], v)
+
+            from collections.abc import Mapping
+
+            def copy_tree(t):
+                if isinstance(t, Mapping):
+                    return {k: copy_tree(v) for k, v in t.items()}
+                return t
+
+            p = copy_tree(current["params"])
+            apply_adapters(p, adapters)
+            return {**current, "params": p}
+        raise FileNotFoundError(
+            f"no flax_model.msgpack or adapter_model.msgpack in {checkpoint_dir}"
+        )
+
     @classmethod
     def from_pretrained(
         cls, model_dir: str, model_args=None, lora_rank: int = 0, lora_alpha: float = 16.0,

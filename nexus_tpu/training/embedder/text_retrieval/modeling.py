@@ -175,6 +175,17 @@ class BiTextEmbedderModel:
             host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
             f.write(serialization.to_bytes(host))
 
+    def load_variables(self, checkpoint_dir: str, current=None) -> dict:
+        """Trainer resume protocol: restore variables from a dir written by
+        save() (HF-layout: flax_model.msgpack) without re-deriving the model
+        class from a rec-style model_config.json."""
+        from nexus_tpu.training.checkpoint import restore_flax_msgpack
+
+        target = current or jax.eval_shape(
+            lambda: self.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+        )
+        return restore_flax_msgpack(checkpoint_dir, target)
+
     @classmethod
     def from_pretrained(cls, model_dir: str, model_args=None) -> "BiTextEmbedderModel":
         """Load from either a nexus_tpu save dir (flax_model.msgpack) or a HF

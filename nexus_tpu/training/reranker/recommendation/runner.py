@@ -69,9 +69,10 @@ class RankerRunner:
 
     def run(self, resume_from_checkpoint: Optional[str] = None):
         train_ds, eval_ds = self.load_dataset()
+        # re-iterable datasets passed directly so the trainer's set_epoch
+        # reshuffles each epoch (a lambda over iter() would pin epoch 0)
         state = self.trainer.train(
-            lambda: iter(train_ds), lambda: iter(eval_ds),
-            resume_from_checkpoint=resume_from_checkpoint,
+            train_ds, eval_ds, resume_from_checkpoint=resume_from_checkpoint,
         )
         self.trainer.save_model(self.train_args.output_dir)
         logger.info("model saved to %s", self.train_args.output_dir)

@@ -114,6 +114,15 @@ class CrossEncoderModel:
             host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
             f.write(serialization.to_bytes(host))
 
+    def load_variables(self, checkpoint_dir: str, current=None) -> dict:
+        """Trainer resume protocol: restore from an HF-layout save dir."""
+        from nexus_tpu.training.checkpoint import restore_flax_msgpack
+
+        target = current or jax.eval_shape(
+            lambda: self.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+        )
+        return restore_flax_msgpack(checkpoint_dir, target)
+
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw) -> "CrossEncoderModel":
         """Load from a nexus save dir or a HF torch BertForSequenceClassification dir."""

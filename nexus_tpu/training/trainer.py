@@ -295,6 +295,26 @@ class RecTrainer:
         _, rep_sh = data_parallel_shardings(self.mesh)
         return jax.jit(eval_step, in_shardings=(rep_sh, None, rep_sh))
 
+    def _maybe_init_sampler(self) -> None:
+        """Quantized samplers (MIDX/cluster/LSH) need codebooks built from
+        item vectors before the first batch; build them here and auto-register
+        the refresh callback so they track the training item encoder."""
+        model = self.model
+        sampler = getattr(model, "negative_sampler", None)
+        if sampler is None or not hasattr(model, "update_sampler_index"):
+            return
+        if not getattr(sampler, "needs_update", False):
+            return
+        from nexus_tpu.training.callback import SamplerRefreshCallback
+
+        model.update_sampler_index(
+            jax.random.PRNGKey(self.args.seed), self.state_variables()
+        )
+        self._train_step = None  # bake the fresh index into the program
+        if not any(isinstance(cb, SamplerRefreshCallback) for cb in self.callbacks):
+            self.callbacks.append(SamplerRefreshCallback())
+        logger.info("sampler index initialized (%s)", type(sampler).__name__)
+
     # -- loops ------------------------------------------------------------
 
     def train(
@@ -307,6 +327,7 @@ class RecTrainer:
             self.init_state()
         if resume_from_checkpoint:
             self.load_model(resume_from_checkpoint)
+        self._maybe_init_sampler()
         if self._train_step is None:
             self._train_step = self._build_train_step()
         rng = jax.random.PRNGKey(self.args.seed + 1)
@@ -409,17 +430,27 @@ class RecTrainer:
     def load_model(self, checkpoint_dir: str) -> None:
         """Restore model weights; when trainer_state.msgpack is present,
         also restore optimizer state + step (exact resume, HF
-        resume_from_checkpoint parity)."""
+        resume_from_checkpoint parity).
+
+        Weight restore is delegated to the model when it implements the
+        ``load_variables(dir, current=...)`` protocol method (text/multimodal
+        models save HF-layout dirs, not the rec model_config.json schema);
+        the rec checkpoint loader is the fallback."""
         from flax import serialization
 
-        from nexus_tpu.training.checkpoint import load_checkpoint
+        if self._state is None:
+            self.init_state()
+        if hasattr(self.model, "load_variables"):
+            variables = self.model.load_variables(
+                checkpoint_dir, current=self._state.variables
+            )
+        else:
+            from nexus_tpu.training.checkpoint import load_checkpoint
 
-        _, variables = load_checkpoint(checkpoint_dir, type(self.model))
+            _, variables = load_checkpoint(checkpoint_dir, type(self.model))
         _, rep_sh = data_parallel_shardings(self.mesh)
         params = jax.device_put(variables["params"], rep_sh)
         bs = jax.device_put(variables.get("batch_stats", FrozenDict()), rep_sh)
-        if self._state is None:
-            self.init_state()
         self._state = self._state.replace(params=params, batch_stats=bs)
         ts_path = os.path.join(checkpoint_dir, "trainer_state.msgpack")
         if os.path.exists(ts_path):
