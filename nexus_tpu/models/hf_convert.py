@@ -33,13 +33,23 @@ def torch_bert_to_flax(
     """Map a HF BertModel state_dict onto BertEncoderModel params.
 
     With ``scan_layers`` the per-layer trees are stacked on axis 0 for the
-    lax.scan layer loop (see BertEncoderModel.scan_layers)."""
+    lax.scan layer loop (see BertEncoderModel.scan_layers). When
+    ``config.fused_qkv`` the three projection matrices pack into one
+    [h, 3h] kernel (single fat MXU GEMM at inference)."""
     sd = {k.removeprefix("bert."): _t(v) for k, v in state_dict.items()}
 
     def dense(prefix):
         return {
             "kernel": jnp.asarray(sd[f"{prefix}.weight"].T, dtype),
             "bias": jnp.asarray(sd[f"{prefix}.bias"], dtype),
+        }
+
+    def fused_qkv(p):
+        kernels = [sd[f"{p}.attention.self.{n}.weight"].T for n in ("query", "key", "value")]
+        biases = [sd[f"{p}.attention.self.{n}.bias"] for n in ("query", "key", "value")]
+        return {
+            "kernel": jnp.asarray(np.concatenate(kernels, axis=1), dtype),
+            "bias": jnp.asarray(np.concatenate(biases), dtype),
         }
 
     def layernorm(prefix):
@@ -59,11 +69,15 @@ def torch_bert_to_flax(
     for i in range(config.num_hidden_layers):
         p = f"encoder.layer.{i}"
         params[f"layer_{i}"] = {
-            "attention_self": {
-                "query": dense(f"{p}.attention.self.query"),
-                "key": dense(f"{p}.attention.self.key"),
-                "value": dense(f"{p}.attention.self.value"),
-            },
+            "attention_self": (
+                {"qkv": fused_qkv(p)}
+                if config.fused_qkv
+                else {
+                    "query": dense(f"{p}.attention.self.query"),
+                    "key": dense(f"{p}.attention.self.key"),
+                    "value": dense(f"{p}.attention.self.value"),
+                }
+            ),
             "attention_output_dense": dense(f"{p}.attention.output.dense"),
             "attention_output_LayerNorm": layernorm(f"{p}.attention.output.LayerNorm"),
             "intermediate_dense": dense(f"{p}.intermediate.dense"),

@@ -20,6 +20,9 @@ class TextEmbedderModelArguments(AbsArguments):
     sub_batch_size: Optional[int] = None
     dtype: str = "bfloat16"  # compute dtype on TPU
     gradient_checkpointing: bool = False  # remat the layer scan (reference default for fine-tunes)
+    remat_policy: Optional[str] = None  # None = full remat | 'dots' = save matmul outputs
+    attention_impl: str = "auto"  # auto | xla | pallas (flash kernel; the
+    # flash-attn-2 parity for long-seq training — O(L) memory fwd AND bwd)
 
 
 @dataclass

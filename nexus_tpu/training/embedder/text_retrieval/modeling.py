@@ -46,8 +46,11 @@ class BiTextEmbedderModel:
         self.args = model_args or TextEmbedderModelArguments()
         dtype = jnp.bfloat16 if self.args.dtype == "bfloat16" else jnp.float32
         bert_config.add_pooling_layer = False
+        if self.args.attention_impl != "auto":
+            bert_config.attention_impl = self.args.attention_impl
         self.net = BertEncoderModel(
-            bert_config, dtype=dtype, remat=self.args.gradient_checkpointing
+            bert_config, dtype=dtype, remat=self.args.gradient_checkpointing,
+            remat_policy=self.args.remat_policy,
         )
         self.variables = variables
         self.ce = CrossEntropyLoss()
