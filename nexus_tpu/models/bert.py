@@ -95,9 +95,13 @@ class BertSelfAttention(nn.Module):
             from nexus_tpu.ops.flash_attention import flash_attention
 
             seg = segment_ids if segment_ids is not None else attention_mask
+            # whole-row blocks up to 512: at encoder lengths one (head, row)
+            # program does a single dense VMEM attention — far fewer, fatter
+            # programs than the 128-block streaming shape
+            blk = min(512, max(128, l))
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                seg,
+                seg, blk, blk,
             ).transpose(0, 2, 1, 3)
             return ctx.reshape(b, l, h)
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
