@@ -166,3 +166,88 @@ def torch_llama_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool
     if "lm_head.weight" in {k for k in state_dict}:
         params["lm_head"] = {"kernel": jnp.asarray(_t(state_dict["lm_head.weight"]).T, dtype)}
     return {"params": params}
+
+
+def torch_qwen2vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:
+    """Map a HF Qwen2VLModel / Qwen2VLForConditionalGeneration state_dict
+    onto Qwen2VLBackbone params (vision tower + merger + Qwen2 text trunk).
+
+    The Conv3d patch embed becomes a Dense kernel over the processor's
+    flattened [C*T*P*P] patch layout (kernel == stride, so they are the
+    same linear map)."""
+    import jax as _jax
+
+    sd = {k.removeprefix("model."): _t(v) for k, v in state_dict.items()}
+    vis_sd = {k.removeprefix("visual."): v for k, v in sd.items() if k.startswith("visual.")}
+    txt_sd = {
+        k.removeprefix("language_model."): v
+        for k, v in sd.items()
+        if k.startswith("language_model.")
+    }
+    if not txt_sd:  # plain Qwen2VLModel layout (layers.* at top level)
+        txt_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+
+    def dense(m, prefix):
+        d = {"kernel": jnp.asarray(m[f"{prefix}.weight"].T, dtype)}
+        if f"{prefix}.bias" in m:
+            d["bias"] = jnp.asarray(m[f"{prefix}.bias"], dtype)
+        return d
+
+    def ln(m, prefix):
+        return {
+            "scale": jnp.asarray(m[f"{prefix}.weight"], jnp.float32),
+            "bias": jnp.asarray(m[f"{prefix}.bias"], jnp.float32),
+        }
+
+    vc = config.vision
+    pe = vis_sd["patch_embed.proj.weight"]  # [embed, C, T, P, P]
+    visual = {
+        "patch_embed": {"kernel": jnp.asarray(pe.reshape(pe.shape[0], -1).T, dtype)},
+        "ln_q": ln(vis_sd, "merger.ln_q"),
+        "merger_fc1": dense(vis_sd, "merger.mlp.0"),
+        "merger_fc2": dense(vis_sd, "merger.mlp.2"),
+    }
+    blocks = []
+    for i in range(vc.depth):
+        p = f"blocks.{i}"
+        blocks.append({
+            "norm1": ln(vis_sd, f"{p}.norm1"),
+            "norm2": ln(vis_sd, f"{p}.norm2"),
+            "qkv": dense(vis_sd, f"{p}.attn.qkv"),
+            "attn_proj": dense(vis_sd, f"{p}.attn.proj"),
+            "fc1": dense(vis_sd, f"{p}.mlp.fc1"),
+            "fc2": dense(vis_sd, f"{p}.mlp.fc2"),
+        })
+    if scan_layers:
+        visual["blocks"] = {"block": _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)}
+    else:
+        for i, bp in enumerate(blocks):
+            visual[f"block_{i}"] = bp
+
+    text = torch_llama_to_flax(txt_sd, config.text, dtype=dtype, scan_layers=scan_layers)["params"]
+    text.pop("lm_head", None)  # embedder use: no LM head
+    return {"params": {**text, "visual": visual}}
+
+
+def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True):
+    """Load a local HF Qwen2-VL checkpoint dir into (Qwen2VLConfig, variables)."""
+    from nexus_tpu.models.qwen2_vl import Qwen2VLConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    config = Qwen2VLConfig.from_hf(cfg_dict)
+
+    sd = {}
+    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            sd.update(load_file(os.path.join(model_dir, f)))
+    else:
+        import torch
+
+        sd = torch.load(
+            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
+        )
+    return config, torch_qwen2vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)

@@ -1,0 +1,434 @@
+"""Qwen2-VL backbone in Flax — the real-VLM family for multimodal embedders
+(reference role: the qwen2-vl/qwen2.5-vl backbones loaded by
+Nexus/modules/multimodal.py:172-512 via transformers).
+
+Architecture (numerically matched against HF Qwen2VLModel in
+tests/test_qwen2_vl.py):
+- vision tower: linear patch embed over [C*T*P*P] flattened patches, 2D
+  rotary position embedding in merge-group patch order, pre-norm blocks with
+  a fused QKV(+bias) projection, PatchMerger (LayerNorm -> concat 2x2
+  spatial groups -> MLP to text hidden size);
+- text trunk: Qwen2 (Llama + QKV bias) with M-RoPE — rotary frequencies
+  split into (temporal, height, width) sections driven by 3-component
+  position ids.
+
+TPU-first deviations from the HF implementation (behavior-preserving):
+- STATIC shapes: a batch of images is [N, P, patch_dim] with one static
+  (t, h, w) grid (the processor pins resolution per bucket); vision
+  attention is dense per image row — no cu_seqlens varlen machinery;
+- rotary tables for the static grid are baked at trace time;
+- scan-over-layers for both towers (one compile per depth).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.config import AbsArguments
+from nexus_tpu.models.llama import LlamaConfig, RMSNorm
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Qwen2VLVisionConfig(AbsArguments):
+    depth: int = 32
+    embed_dim: int = 1280
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    mlp_ratio: float = 4.0
+    hidden_size: int = 3584  # output dim (= text hidden size)
+    hidden_act: str = "quick_gelu"
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size**2
+
+    @classmethod
+    def from_hf(cls, d) -> "Qwen2VLVisionConfig":
+        import dataclasses as _dc
+
+        d = d.to_dict() if hasattr(d, "to_dict") else dict(d)
+        d.setdefault("in_channels", d.pop("in_chans", 3))
+        names = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclass
+class Qwen2VLConfig(AbsArguments):
+    vision: Qwen2VLVisionConfig = None
+    text: LlamaConfig = None
+    mrope_section: List[int] = field(default_factory=lambda: [16, 24, 24])
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "Qwen2VLConfig":
+        d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
+        text = d.get("text_config", d)
+        tc = LlamaConfig.from_hf(text)
+        tc.attention_bias = True  # Qwen2 QKV biases
+        rope_scaling = text.get("rope_scaling") or {}
+        return cls(
+            vision=Qwen2VLVisionConfig.from_hf(d["vision_config"]),
+            text=tc,
+            mrope_section=list(rope_scaling.get("mrope_section", [16, 24, 24])),
+            image_token_id=d.get("image_token_id", 151655),
+            video_token_id=d.get("video_token_id", 151656),
+            vision_start_token_id=d.get("vision_start_token_id", 151652),
+        )
+
+    @staticmethod
+    def from_dict(d: dict) -> "Qwen2VLConfig":
+        d = dict(d)
+        if isinstance(d.get("vision"), dict):
+            d["vision"] = Qwen2VLVisionConfig.from_dict(d["vision"])
+        if isinstance(d.get("text"), dict):
+            d["text"] = LlamaConfig.from_dict(d["text"])
+        names = set(Qwen2VLConfig.__dataclass_fields__)
+        return Qwen2VLConfig(**{k: v for k, v in d.items() if k in names})
+
+
+# ---------------------------------------------------------------------------
+# rotary helpers
+# ---------------------------------------------------------------------------
+
+def _rotate_half(x: Array) -> Array:
+    x1, x2 = x[..., : x.shape[-1] // 2], x[..., x.shape[-1] // 2 :]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def vision_rotary_tables(grid_thw: Tuple[int, int, int], head_dim: int,
+                         merge: int, theta: float) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin [P, head_dim] for one static (t, h, w) patch grid, in the
+    processor's merge-group patch order (HF rot_pos_emb parity)."""
+    t, h, w = grid_thw
+    hpos = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    wpos = np.broadcast_to(np.arange(w)[None, :], (h, w))
+
+    def to_merge_order(p):
+        return p.reshape(h // merge, merge, w // merge, merge).transpose(0, 2, 1, 3).reshape(-1)
+
+    pos = np.stack([to_merge_order(hpos), to_merge_order(wpos)], axis=-1)  # [h*w, 2]
+    pos = np.tile(pos, (t, 1))  # [P, 2]
+    dim = head_dim // 2
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    freqs = pos[:, :, None] * inv_freq[None, None, :]  # [P, 2, dim/2]
+    freqs = freqs.reshape(pos.shape[0], -1)  # [P, head_dim/2]
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def mrope_cos_sin(positions3: Array, head_dim: int, theta: float,
+                  sections: List[int]) -> Tuple[Array, Array]:
+    """M-RoPE cos/sin [B, L, head_dim] from 3-component positions [3, B, L].
+
+    Frequency channels are split into 2*len(sections) chunks of sizes
+    sections*2; chunk i takes its angle from position component i % 3
+    (HF apply_multimodal_rotary_pos_emb parity — note a frequency's two
+    duplicated halves may use DIFFERENT components; that asymmetry is part
+    of the trained models)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    angles = positions3[..., None].astype(jnp.float32) * jnp.asarray(inv_freq, jnp.float32)
+    emb = jnp.concatenate([angles, angles], axis=-1)  # [3, B, L, head_dim]
+    comp = np.repeat([i % 3 for i in range(len(sections) * 2)],
+                     np.tile(np.asarray(sections), 2))
+    onehot = jnp.asarray(np.eye(3, dtype=np.float32)[:, comp])  # [3, head_dim]
+    cos = jnp.sum(jnp.cos(emb) * onehot[:, None, None, :], axis=0)
+    sin = jnp.sum(jnp.sin(emb) * onehot[:, None, None, :], axis=0)
+    return cos, sin
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+# ---------------------------------------------------------------------------
+
+_ACT = {
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+    "gelu_pytorch_tanh": nn.gelu,
+}
+
+
+class Qwen2VLVisionBlock(nn.Module):
+    config: Qwen2VLVisionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, cos: Array, sin: Array):
+        c = self.config
+        n, p, d = x.shape
+        hd = c.head_dim
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="qkv")(h)
+        q, k, v = (t.reshape(n, p, c.num_heads, hd) for t in jnp.split(qkv, 3, axis=-1))
+        # 2D rotary in f32 (HF applies rotary in float)
+        cb, sb = cos[None, :, None, :], sin[None, :, None, :]
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
+        k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
+        s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+        probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, p, d)
+        x = x + nn.Dense(d, dtype=self.dtype, name="attn_proj")(ctx)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(int(d * c.mlp_ratio), dtype=self.dtype, name="fc1")(h)
+        h = _ACT[c.hidden_act](h)
+        h = nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class _ScannedVisionBlock(nn.Module):
+    config: Qwen2VLVisionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _, cos, sin):
+        return Qwen2VLVisionBlock(self.config, dtype=self.dtype, name="block")(x, cos, sin), None
+
+
+class Qwen2VLVisionTower(nn.Module):
+    """[N, P, patch_dim] flattened patches (one static grid) ->
+    [N, P/merge², hidden_size] merged vision tokens."""
+
+    config: Qwen2VLVisionConfig
+    grid_thw: Tuple[int, int, int] = (1, 16, 16)  # static patch grid
+    dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
+
+    @nn.compact
+    def __call__(self, patches: Array, train: bool = False):
+        c = self.config
+        n, p, _ = patches.shape
+        x = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype, name="patch_embed")(
+            patches.astype(self.dtype)
+        )
+        cos_np, sin_np = vision_rotary_tables(self.grid_thw, c.head_dim,
+                                              c.spatial_merge_size, c.rope_theta)
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+        if self.scan_layers:
+            Scanned = nn.scan(
+                _ScannedVisionBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.depth,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = Scanned(c, dtype=self.dtype, name="blocks")(x, None, cos, sin)
+        else:
+            for i in range(c.depth):
+                x = Qwen2VLVisionBlock(c, dtype=self.dtype, name=f"block_{i}")(x, cos, sin)
+        # PatchMerger: merge-order layout makes each 2x2 spatial group
+        # CONSECUTIVE, so the merge is one reshape
+        m2 = c.spatial_merge_size**2
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_q")(x).astype(self.dtype)
+        x = x.reshape(n, p // m2, m2 * c.embed_dim)
+        x = nn.Dense(m2 * c.embed_dim, dtype=self.dtype, name="merger_fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="merger_fc2")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# text trunk (Qwen2 + M-RoPE)
+# ---------------------------------------------------------------------------
+
+class Qwen2VLTextAttention(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask, cos, sin):
+        c = self.config
+        n_q = c.num_attention_heads
+        n_kv = c.num_key_value_heads or n_q
+        hd = c.hidden_size // n_q
+        b, l, _ = x.shape
+        q = nn.Dense(n_q * hd, use_bias=True, dtype=self.dtype, name="q_proj")(x).reshape(b, l, n_q, hd)
+        k = nn.Dense(n_kv * hd, use_bias=True, dtype=self.dtype, name="k_proj")(x).reshape(b, l, n_kv, hd)
+        v = nn.Dense(n_kv * hd, use_bias=True, dtype=self.dtype, name="v_proj")(x).reshape(b, l, n_kv, hd)
+        cb, sb = cos[:, :, None, :], sin[:, :, None, :]
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
+        k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
+        if n_kv != n_q:
+            rep = n_q // n_kv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+        causal = jnp.tril(jnp.ones((l, l), bool))
+        keep = causal[None, None] & attention_mask[:, None, None, :].astype(bool)
+        s = jnp.where(keep, s, -1e30)
+        probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, n_q * hd)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(ctx)
+
+
+class Qwen2VLTextLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask, cos, sin):
+        from nexus_tpu.models.llama import LlamaMLP
+
+        c = self.config
+        x = x + Qwen2VLTextAttention(c, dtype=self.dtype, name="self_attn")(
+            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin
+        )
+        return x + LlamaMLP(c, dtype=self.dtype, name="mlp")(
+            RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+
+
+class _ScannedTextLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _, attention_mask, cos, sin):
+        return Qwen2VLTextLayer(self.config, dtype=self.dtype, name="layer")(
+            x, attention_mask, cos, sin
+        ), None
+
+
+# ---------------------------------------------------------------------------
+# full backbone
+# ---------------------------------------------------------------------------
+
+class Qwen2VLBackbone(nn.Module):
+    """input_ids + flattened image patches -> last_hidden_state, with vision
+    tokens scattered over image-token positions (HF Qwen2VLModel parity)."""
+
+    config: Qwen2VLConfig
+    grid_thw: Tuple[int, int, int] = (1, 16, 16)
+    dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,  # [B, L]
+        attention_mask: Optional[Array] = None,  # [B, L]
+        pixel_patches: Optional[Array] = None,  # [N_img, P, patch_dim]
+        positions3: Optional[Array] = None,  # [3, B, L] M-RoPE ids
+        train: bool = False,
+    ):
+        c = self.config
+        tc = c.text
+        if attention_mask is None:
+            pad = tc.pad_token_id if tc.pad_token_id is not None else -1
+            attention_mask = (input_ids != pad).astype(jnp.int32)
+        if positions3 is None:
+            pos = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+            positions3 = jnp.broadcast_to(pos[None], (3, *pos.shape))
+        embed = nn.Embed(tc.vocab_size, tc.hidden_size, dtype=self.dtype, name="embed_tokens")
+        x = embed(input_ids)
+
+        if pixel_patches is not None:
+            tower = Qwen2VLVisionTower(
+                c.vision, grid_thw=self.grid_thw, dtype=self.dtype,
+                scan_layers=self.scan_layers, name="visual",
+            )
+            vis = tower(pixel_patches, train)  # [N, K, D]
+            vis_flat = vis.reshape(-1, vis.shape[-1])  # [N*K, D] in image order
+            is_img = (input_ids == c.image_token_id) | (input_ids == c.video_token_id)
+            # n-th image token position (row-major over the batch) takes the
+            # n-th vision token — matches HF masked_scatter semantics
+            order = jnp.cumsum(is_img.reshape(-1)) - 1
+            order = jnp.clip(order, 0, vis_flat.shape[0] - 1)
+            gathered = vis_flat[order].reshape(*input_ids.shape, -1)
+            x = jnp.where(is_img[..., None], gathered.astype(x.dtype), x)
+
+        hd = tc.hidden_size // tc.num_attention_heads
+        cos, sin = mrope_cos_sin(positions3, hd, tc.rope_theta, c.mrope_section)
+        if self.scan_layers:
+            layer_cls = nn.remat(_ScannedTextLayer) if self.remat else _ScannedTextLayer
+            Scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=tc.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = Scanned(tc, dtype=self.dtype, name="layers")(x, None, attention_mask, cos, sin)
+        else:
+            for i in range(tc.num_hidden_layers):
+                x = Qwen2VLTextLayer(tc, dtype=self.dtype, name=f"layer_{i}")(
+                    x, attention_mask, cos, sin
+                )
+        x = RMSNorm(tc.rms_norm_eps, name="norm")(x)
+        return {"last_hidden_state": x}
+
+
+# ---------------------------------------------------------------------------
+# host-side M-RoPE position ids (HF get_rope_index parity)
+# ---------------------------------------------------------------------------
+
+def get_mrope_positions(
+    input_ids: np.ndarray,  # [B, L]
+    attention_mask: Optional[np.ndarray],
+    grid_thw_per_image: List[Tuple[int, int, int]],
+    *,
+    image_token_id: int,
+    video_token_id: int,
+    merge: int = 2,
+) -> np.ndarray:
+    """[3, B, L] position ids: text runs are sequential (all components
+    equal), each vision run gets its (t, h/merge, w/merge) grid coordinates
+    offset past the preceding text (HF Qwen2VLModel.get_rope_index)."""
+    b, l = input_ids.shape
+    if attention_mask is None:
+        attention_mask = np.ones_like(input_ids)
+    out = np.ones((3, b, l), np.int32)
+    img_idx = 0
+    for i in range(b):
+        ids = input_ids[i][attention_mask[i] == 1]
+        chunks = []
+        st = 0
+        pos_max = 0
+        j = 0
+        while j < len(ids):
+            if ids[j] in (image_token_id, video_token_id):
+                text_len = j - st
+                chunks.append(np.tile(np.arange(text_len) + pos_max, (3, 1)))
+                pos_max = pos_max + text_len
+                t, h, w = grid_thw_per_image[img_idx]
+                gh, gw = h // merge, w // merge
+                t_i = np.repeat(np.arange(t), gh * gw)
+                h_i = np.tile(np.repeat(np.arange(gh), gw), t)
+                w_i = np.tile(np.arange(gw), t * gh)
+                chunks.append(np.stack([t_i, h_i, w_i]) + pos_max)
+                pos_max = pos_max + max(t, gh, gw)
+                img_idx += 1
+                j += t * gh * gw
+                st = j
+            else:
+                j += 1
+        if st < len(ids):
+            text_len = len(ids) - st
+            chunks.append(np.tile(np.arange(text_len) + pos_max, (3, 1)))
+        llm_pos = np.concatenate(chunks, axis=1) if chunks else np.zeros((3, 0), np.int64)
+        out[:, i, attention_mask[i] == 1] = llm_pos.astype(np.int32)
+    return out

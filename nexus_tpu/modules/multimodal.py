@@ -151,6 +151,117 @@ class MultimodalProcessorAdapter:
         }
 
 
+def qwen2vl_image_to_patches(
+    frames: np.ndarray, patch_size: int = 14, temporal_patch_size: int = 2,
+    merge: int = 2,
+) -> np.ndarray:
+    """[T, H, W, C] normalized frames -> [P, C*tps*ps*ps] flattened patches in
+    the Qwen2-VL merge-group order (exact HF image-processor layout, so the
+    converted Conv3d patch-embed weights see identical inputs)."""
+    patches = frames.transpose(0, 3, 1, 2)  # [T, C, H, W]
+    if patches.shape[0] % temporal_patch_size != 0:
+        reps = np.repeat(
+            patches[-1][None], temporal_patch_size - patches.shape[0] % temporal_patch_size, axis=0
+        )
+        patches = np.concatenate([patches, reps], axis=0)
+    t, c, h, w = patches.shape
+    grid_t = t // temporal_patch_size
+    grid_h, grid_w = h // patch_size, w // patch_size
+    patches = patches.reshape(
+        grid_t, temporal_patch_size, c,
+        grid_h // merge, merge, patch_size,
+        grid_w // merge, merge, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return patches.reshape(
+        grid_t * grid_h * grid_w, c * temporal_patch_size * patch_size**2
+    ).astype(np.float32)
+
+
+class Qwen2VLProcessorAdapter:
+    """Static-shape batching for the Qwen2-VL backbone (parity role:
+    MultimodalProcessorAdapter's qwen2-vl path, multimodal.py:1144+).
+
+    Resolution is PINNED to image_size x image_size so every image yields the
+    same static (1, g, g) patch grid (the TPU answer to HF's dynamic
+    smart_resize). Layout per sample: [vision_start][image tokens][text].
+
+    Output feed: input_ids / attention_mask [B, L], positions3 [3, B, L]
+    (M-RoPE ids), pixel_patches [N_images_total, P, patch_dim] in batch
+    order (absent for text-only batches).
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        image_size: int = 224,
+        patch_size: int = 14,
+        temporal_patch_size: int = 2,
+        spatial_merge_size: int = 2,
+        max_length: int = 256,
+        num_video_frames: int = 4,
+        image_token_id: int = 151655,
+        video_token_id: int = 151656,
+        vision_start_token_id: int = 151652,
+    ):
+        assert image_size % (patch_size * spatial_merge_size) == 0
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge = spatial_merge_size
+        self.max_length = max_length
+        self.num_video_frames = num_video_frames
+        self.image_token_id = image_token_id
+        self.video_token_id = video_token_id
+        self.vision_start_token_id = vision_start_token_id
+        g = image_size // patch_size
+        self.grid_thw = (1, g, g)
+        self.tokens_per_image = (g // spatial_merge_size) ** 2
+
+    def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        from nexus_tpu.models.qwen2_vl import get_mrope_positions
+
+        b = len(items)
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids = np.full((b, self.max_length), pad_id, np.int32)
+        mask = np.zeros((b, self.max_length), np.int32)
+        all_patches: List[np.ndarray] = []
+        grids: List[tuple] = []
+        for i, item in enumerate(items):
+            images = [load_image(p, self.image_size) for p in item.get("images", [])]
+            for v in item.get("videos", []):
+                images += load_video_frames(v, self.image_size, self.num_video_frames)
+            for p in item.get("pages", []):
+                images.append(load_image(p, self.image_size))
+            row: List[int] = []
+            for im in images:
+                if len(row) + 1 + self.tokens_per_image > self.max_length:
+                    break
+                all_patches.append(qwen2vl_image_to_patches(
+                    im[None], self.patch_size, self.temporal_patch_size, self.merge
+                ))
+                grids.append(self.grid_thw)
+                row.append(self.vision_start_token_id)
+                row.extend([self.image_token_id] * self.tokens_per_image)
+            text_ids = self.tokenizer(
+                item.get("text", ""), truncation=True,
+                max_length=self.max_length - len(row), add_special_tokens=True,
+            )["input_ids"]
+            row.extend(text_ids)
+            row = row[: self.max_length]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        positions3 = get_mrope_positions(
+            ids, mask, grids, image_token_id=self.image_token_id,
+            video_token_id=self.video_token_id, merge=self.merge,
+        )
+        feed = {"input_ids": ids, "attention_mask": mask, "positions3": positions3}
+        if all_patches:
+            feed["pixel_patches"] = np.stack(all_patches)
+        return feed
+
+
 _BACKBONE_REGISTRY: dict = {}
 
 
@@ -181,3 +292,12 @@ def _build_nexus_vlm(config=None, dtype=None, **kw):
 
     config = config or VLMConfig.tiny()
     return VLMBackbone(config, dtype=dtype or jnp.bfloat16)
+
+
+@register_multimodal_backbone("qwen2-vl")
+def _build_qwen2_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
+    import jax.numpy as jnp
+
+    from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone
+
+    return Qwen2VLBackbone(config, grid_thw=tuple(grid_thw), dtype=dtype or jnp.bfloat16)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -31,19 +31,31 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
 
     def __init__(
         self,
-        vlm_config: VLMConfig,
+        vlm_config,
         model_args: Optional[TextEmbedderModelArguments] = None,
         variables: Optional[dict] = None,
         local_loss_weight: float = 0.0,
+        backbone_type: str = "nexus-vlm",  # nexus-vlm | qwen2-vl
+        grid_thw: Tuple[int, int, int] = (1, 16, 16),  # static patch grid (qwen2-vl)
     ):
         self.bert_config = vlm_config  # base-class compat
         self.vlm_config = vlm_config
+        self.backbone_type = backbone_type
+        self.grid_thw = tuple(grid_thw)
         args = model_args or TextEmbedderModelArguments()
         if args.sentence_pooling_method == "cls":
             args.sentence_pooling_method = "last_token"
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        self.net = VLMBackbone(vlm_config, dtype=dtype)
+        if backbone_type == "qwen2-vl":
+            from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone
+
+            self.net = Qwen2VLBackbone(
+                vlm_config, grid_thw=self.grid_thw, dtype=dtype,
+                remat=args.gradient_checkpointing,
+            )
+        else:
+            self.net = VLMBackbone(vlm_config, dtype=dtype)
         self.variables = variables
         self.local_loss_weight = local_loss_weight
         from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
@@ -51,18 +63,47 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         self.ce = CrossEntropyLoss()
         self.distill_loss = KLDivLoss() if args.kd_loss_type == "kl_div" else M3KDLoss()
 
+    @classmethod
+    def from_hf_pretrained(
+        cls, model_dir: str, model_args: Optional[TextEmbedderModelArguments] = None,
+        image_size: int = 224, **kw,
+    ) -> "BiMultimodalEmbedderModel":
+        """Load a real HF Qwen2-VL checkpoint directory (weights converted to
+        the TPU layout; parity-tested in tests/test_qwen2_vl.py). The static
+        patch grid follows the pinned processor resolution."""
+        from nexus_tpu.models.hf_convert import load_hf_qwen2vl
+
+        model_args = model_args or TextEmbedderModelArguments()
+        dtype = jnp.bfloat16 if model_args.dtype == "bfloat16" else jnp.float32
+        config, variables = load_hf_qwen2vl(model_dir, dtype=dtype)
+        g = image_size // config.vision.patch_size
+        model = cls(config, model_args, variables=variables,
+                    backbone_type="qwen2-vl", grid_thw=(1, g, g), **kw)
+        return model
+
     # -- encoding over multimodal feeds -------------------------------------
 
     def encode_feed(self, variables, feed: Dict[str, Array], train=False, rngs=None) -> Array:
-        out = self.net.apply(
-            variables,
-            input_ids=feed["input_ids"],
-            attention_mask=feed["attention_mask"],
-            pixel_values=feed.get("pixel_values"),
-            image_slot_mask=feed.get("image_slot_mask"),
-            train=train,
-            rngs=rngs,
-        )
+        if self.backbone_type == "qwen2-vl":
+            out = self.net.apply(
+                variables,
+                input_ids=feed["input_ids"],
+                attention_mask=feed["attention_mask"],
+                pixel_patches=feed.get("pixel_patches"),
+                positions3=feed.get("positions3"),
+                train=train,
+                rngs=rngs,
+            )
+        else:
+            out = self.net.apply(
+                variables,
+                input_ids=feed["input_ids"],
+                attention_mask=feed["attention_mask"],
+                pixel_values=feed.get("pixel_values"),
+                image_slot_mask=feed.get("image_slot_mask"),
+                train=train,
+                rngs=rngs,
+            )
         reps = pool_hidden_states(
             out["last_hidden_state"].astype(jnp.float32),
             feed["attention_mask"],
@@ -77,6 +118,13 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             return self.variables
         c = self.vlm_config
         b, l = 2, 32
+        if self.backbone_type == "qwen2-vl":
+            t, h, w = self.grid_thw
+            patches = jnp.zeros((1, t * h * w, c.vision.patch_dim))
+            return self.net.init(
+                rng, input_ids=jnp.ones((b, l), jnp.int32),
+                attention_mask=jnp.ones((b, l), jnp.int32), pixel_patches=patches,
+            )
         feed = {
             "input_ids": jnp.ones((b, l), jnp.int32),
             "attention_mask": jnp.ones((b, l), jnp.int32),
@@ -120,7 +168,11 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
 
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "config.json"), "w") as f:
-            json.dump({**self.vlm_config.to_dict(), "model_type": "nexus-vlm"}, f, indent=2, default=str)
+            json.dump(
+                {**self.vlm_config.to_dict(), "model_type": self.backbone_type,
+                 "grid_thw": list(self.grid_thw)},
+                f, indent=2, default=str,
+            )
         with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
             json.dump({**self.args.to_dict(), "multimodal": True}, f, indent=2)
         with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
@@ -139,14 +191,25 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         from flax import serialization
 
         with open(os.path.join(model_dir, "config.json")) as f:
-            config = VLMConfig.from_dict(json.load(f))
+            cfg_dict = json.load(f)
+        backbone_type = cfg_dict.pop("model_type", "nexus-vlm")
+        grid_thw = tuple(cfg_dict.pop("grid_thw", (1, 16, 16)))
+        if backbone_type == "qwen2-vl":
+            from nexus_tpu.models.qwen2_vl import Qwen2VLConfig
+
+            config = Qwen2VLConfig.from_dict(cfg_dict)
+        elif "architectures" in cfg_dict or "vision_config" in cfg_dict:
+            # a raw HF Qwen2-VL checkpoint dir: convert the torch weights
+            return cls.from_hf_pretrained(model_dir, model_args)
+        else:
+            config = VLMConfig.from_dict(cfg_dict)
         nexus_cfg = os.path.join(model_dir, "nexus_embedder_config.json")
         if model_args is None and os.path.exists(nexus_cfg):
             with open(nexus_cfg) as f:
                 d = json.load(f)
                 d.pop("multimodal", None)
                 model_args = TextEmbedderModelArguments.from_dict(d)
-        model = cls(config, model_args)
+        model = cls(config, model_args, backbone_type=backbone_type, grid_thw=grid_thw)
         flax_path = os.path.join(model_dir, "flax_model.msgpack")
         if os.path.exists(flax_path):
             target = jax.eval_shape(lambda: model.init_variables(jax.random.PRNGKey(0)))
