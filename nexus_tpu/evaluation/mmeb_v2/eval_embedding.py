@@ -1,11 +1,17 @@
 """MMEB-v2 embedding evaluation (parity: Nexus/evaluation/mmeb_v2/
 eval_embedding.py:26-241 + gather_results/report_score_v2).
 
-Per task: encode queries and candidates with a MultimodalEmbedder
-(process-sharded with pad-to-divisible, the jax.process analog of
-split_dataset_by_node), cache embeddings to disk, score with the on-device
-top-k kernel, compute hit/ndcg/map/mrr@k, and aggregate a per-modality
-report table. A reranker engine can rescore each query's top-k.
+Two data paths per task:
+- the REAL MMEB-v2 format: local HF save_to_disk annotation trees parsed by
+  the 21-parser registry (datasets.py) — used when `data_basedir` is set;
+- a simple jsonl fixture format (legacy smoke path) under `dataset_dir`.
+
+Per task: encode queries and the dedup'd candidate pool with a
+MultimodalEmbedder (process-sharded with pad-to-divisible, the jax.process
+analog of split_dataset_by_node), cache embeddings to disk, score with the
+on-device top-k kernel, compute hit/ndcg/map/mrr@k (graded ndcg for the
+visdoc qrels), and aggregate a per-modality report table. A reranker engine
+can rescore each query's top-k.
 """
 
 from __future__ import annotations
@@ -17,11 +23,26 @@ from typing import Dict, List, Optional, Set
 import numpy as np
 
 from nexus_tpu.evaluation.mmeb_v2.constant import MMEB_TASKS, get_task_info
-from nexus_tpu.evaluation.mmeb_v2.metrics import compute_task_metrics
+from nexus_tpu.evaluation.mmeb_v2.metrics import compute_graded_metrics, compute_task_metrics
 from nexus_tpu.ops.topk import brute_force_topk
 from nexus_tpu.utils.logging import get_logger
 
 logger = get_logger("nexus_tpu.evaluation.mmeb")
+
+
+def item_to_normalized(item: dict) -> dict:
+    """Parser ITEM {text, image, video, instruction} -> the embedder's
+    normalized {text, images, videos} with the instruction applied."""
+    text = item.get("text") or ""
+    inst = item.get("instruction") or ""
+    if inst:
+        text = f"{inst} {text}".strip()
+    out = {"text": text, "images": [], "videos": [], "pages": []}
+    if item.get("image"):
+        out["images"] = [item["image"]]
+    if item.get("video"):
+        out["videos"] = [list(item["video"])]  # pre-sampled frame list
+    return out
 
 
 def _load_jsonl(path: str) -> List[dict]:
@@ -42,7 +63,7 @@ class MMEBEvaluator:
     def __init__(
         self,
         embedder,
-        dataset_dir: str,
+        dataset_dir: Optional[str] = None,
         output_dir: str = "./mmeb_results",
         reranker=None,
         rerank_top_k: int = 10,
@@ -50,9 +71,13 @@ class MMEBEvaluator:
         rank: int = 0,
         world_size: int = 1,
         reuse_embeddings: bool = True,
+        data_basedir: Optional[str] = None,
+        parser_kwargs: Optional[dict] = None,
     ):
         self.embedder = embedder
         self.dataset_dir = dataset_dir
+        self.data_basedir = data_basedir
+        self.parser_kwargs = dict(parser_kwargs or {})
         self.output_dir = output_dir
         self.reranker = reranker
         self.rerank_top_k = rerank_top_k
@@ -77,7 +102,81 @@ class MMEBEvaluator:
         return np.asarray(embs)
 
     def evaluate_task(self, task_name: str) -> Dict[str, float]:
+        """Dispatch: real MMEB-v2 annotation tree when data_basedir is set
+        (and the task's local dataset exists), else the jsonl fixture path."""
         get_task_info(task_name)
+        if self.data_basedir is not None:
+            from nexus_tpu.evaluation.mmeb_v2.constant import task_data_exists
+
+            if task_data_exists(self.data_basedir, task_name):
+                return self.evaluate_task_real(task_name)
+        return self.evaluate_task_jsonl(task_name)
+
+    def evaluate_task_real(self, task_name: str, **extra_kwargs) -> Dict[str, float]:
+        """Real-format task: parser registry -> dedup'd candidate pool ->
+        encode -> rank -> (graded) metrics."""
+        from nexus_tpu.evaluation.mmeb_v2.datasets import generate_cand_dataset, load_task
+
+        kwargs = {
+            "data_basedir": self.data_basedir,
+            "image_root": os.path.join(self.data_basedir, "media", task_name),
+            "video_root": os.path.join(self.data_basedir, "video", task_name),
+            "frame_root": os.path.join(self.data_basedir, "frames", task_name),
+            **self.parser_kwargs, **extra_kwargs,
+        }
+        rows, corpus = load_task(task_name, **kwargs)
+        rows = _shard(rows, self.rank, self.world_size)
+        cand_items, name_index = generate_cand_dataset(rows, corpus)
+
+        q_items = [item_to_normalized(r["query_input"]) for r in rows]
+        q_embs = self._encode_cached(task_name, "query", q_items)
+        c_embs = self._encode_cached(
+            task_name, "cand", [item_to_normalized(c) for c in cand_items]
+        )
+
+        k = min(max(self.k_values) * 10, len(cand_items))
+        _, idx = brute_force_topk(q_embs, c_embs, k=k)
+        ranked = np.asarray(idx).tolist()
+
+        graded = any("rel_scores" in r["dataset_infos"] for r in rows)
+        if self.reranker is not None:
+            ranked = self._rerank_items(rows, cand_items, ranked)
+        if graded:
+            relevance = []
+            for r in rows:
+                info = r["dataset_infos"]
+                names = info["cand_names"]
+                scores = info.get("rel_scores") or [1] * len(names)
+                relevance.append({
+                    name_index[n]: float(s) for n, s in zip(names, scores) if n in name_index
+                })
+            metrics = compute_graded_metrics(ranked, relevance, self.k_values)
+        else:
+            relevant = []
+            for r in rows:
+                label = r["dataset_infos"]["label_name"]
+                labels = label if isinstance(label, list) else [label]
+                relevant.append({name_index[n] for n in labels if n in name_index})
+            metrics = compute_task_metrics(ranked, relevant, self.k_values)
+        logger.info("%s (real format, %d queries, %d candidates): %s",
+                    task_name, len(rows), len(cand_items), metrics)
+        return metrics
+
+    def _rerank_items(self, rows: List[dict], cand_items: List[dict], ranked):
+        """Cross-encoder rescoring over parser items (text surface)."""
+        def text_of(item):
+            return (item.get("text") or "") if isinstance(item, dict) else str(item)
+
+        new_ranked = []
+        for r, order in zip(rows, ranked):
+            top = order[: self.rerank_top_k]
+            pairs = [(text_of(r["query_input"]), text_of(cand_items[c])) for c in top]
+            scores = self.reranker.compute_score(pairs, normalize=False)
+            reorder = np.argsort(-np.asarray(scores))
+            new_ranked.append([top[j] for j in reorder] + list(order[self.rerank_top_k :]))
+        return new_ranked
+
+    def evaluate_task_jsonl(self, task_name: str) -> Dict[str, float]:
         records = _load_jsonl(os.path.join(self.dataset_dir, f"{task_name}.jsonl"))
         records = _shard(records, self.rank, self.world_size)
         corpus_path = os.path.join(self.dataset_dir, f"{task_name}_corpus.jsonl")
@@ -137,10 +236,18 @@ class MMEBEvaluator:
 
     def run(self, task_names: Optional[List[str]] = None) -> Dict[str, Dict[str, float]]:
         if task_names is None:
-            task_names = [
-                t for t in MMEB_TASKS
-                if os.path.exists(os.path.join(self.dataset_dir, f"{t}.jsonl"))
-            ]
+            task_names = []
+            for t in MMEB_TASKS:
+                if self.dataset_dir and os.path.exists(
+                    os.path.join(self.dataset_dir, f"{t}.jsonl")
+                ):
+                    task_names.append(t)
+                    continue
+                if self.data_basedir is not None:
+                    from nexus_tpu.evaluation.mmeb_v2.constant import task_data_exists
+
+                    if task_data_exists(self.data_basedir, t):
+                        task_names.append(t)
         results = {}
         for task in task_names:
             results[task] = self.evaluate_task(task)
