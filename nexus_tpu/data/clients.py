@@ -82,8 +82,12 @@ class BaseClient:
 
     # -- reading ----------------------------------------------------------
 
+    @staticmethod
+    def is_parquet(path: str) -> bool:
+        return path.endswith(".parquet") or "." not in os.path.basename(path)
+
     def read_table(self, path: str, columns: Optional[List[str]] = None) -> pa.Table:
-        if path.endswith(".parquet") or "." not in os.path.basename(path):
+        if self.is_parquet(path):
             return pq.read_table(path, columns=columns)
         if path.endswith((".feather", ".arrow")):
             t = feather.read_table(path)
@@ -92,6 +96,18 @@ class BaseClient:
             t = pacsv.read_csv(path)
             return t.select(columns) if columns else t
         raise ValueError(f"unsupported file format: {path}")
+
+    def parquet_file(self, path: str) -> pq.ParquetFile:
+        """Handle for row-group-granular streaming reads."""
+        return pq.ParquetFile(path)
+
+    def row_count(self, path: str) -> int:
+        """Row count WITHOUT reading data for parquet (footer metadata only);
+        other formats fall back to a single-column read."""
+        if self.is_parquet(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        t = self.read_table(path)
+        return t.num_rows
 
 
 class HDFSClient(BaseClient):
@@ -121,6 +137,16 @@ class HDFSClient(BaseClient):
                 t = feather.read_table(f)
                 return t.select(columns) if columns else t
             raise ValueError(f"unsupported remote format: {path}")
+
+    def parquet_file(self, path: str) -> pq.ParquetFile:
+        import fsspec
+
+        return pq.ParquetFile(fsspec.open(path, "rb").open())
+
+    def row_count(self, path: str) -> int:
+        if path.endswith(".parquet"):
+            return self.parquet_file(path).metadata.num_rows
+        return self.read_table(path).num_rows
 
 
 def get_client(client_type: str, url: str) -> BaseClient:

@@ -64,24 +64,47 @@ def calc_slice_position(
     return real_start, real_end, (size % batch_size) * slice_count + split_point
 
 
+def _concat_ragged(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Concat row blocks whose padded widths may differ (variable-list
+    columns pad to each chunk's own max length)."""
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] == b.shape[1]:
+        return np.concatenate([a, b])
+    w = max(a.shape[1], b.shape[1])
+
+    def pad(v):
+        return v if v.shape[1] == w else np.pad(v, ((0, 0), (0, w - v.shape[1])))
+
+    return np.concatenate([pad(a), pad(b)])
+
+
 def _date_token(path: str) -> Optional[str]:
     m = re.search(r"\d{4}-\d{2}-\d{2}|\d{8}", os.path.basename(path))
     return m.group(0) if m else None
 
 
 def _column_to_numpy(col: pa.ChunkedArray) -> np.ndarray:
-    """Zero-copy-ish arrow -> numpy, handling fixed-size-list -> [N, L]."""
+    """Zero-copy(-where-possible) arrow -> numpy (parity: the reference's
+    `_to_tensor` buffer reinterpretation, dataset.py:28-100).
+
+    - fixed-size lists: one buffer view + reshape to [N, L];
+    - variable lists: vectorized offsets-based scatter into a padded [N, max]
+      matrix (NO to_pylist — the round-1 ragged path went through Python
+      objects, which capped the industrial data path);
+    - flat columns: direct buffer view.
+    """
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_fixed_size_list(arr.type):
-        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(len(arr), arr.type.list_size)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        pylist = arr.to_pylist()
-        maxlen = max((len(x) for x in pylist if x is not None), default=0)
-        out = np.zeros((len(pylist), maxlen), dtype=np.int64)
-        for i, x in enumerate(pylist):
-            if x:
-                out[i, : len(x)] = x
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        maxlen = int(lens.max()) if len(lens) else 0
+        out = np.zeros((len(arr), maxlen), dtype=flat.dtype if flat.size else np.int64)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        out[mask] = flat
         return out
     return arr.to_numpy(zero_copy_only=False)
 
@@ -176,6 +199,7 @@ class ShardedDataset:
         self.seed = seed
         self.shuffle_buffer_batches = shuffle_buffer_batches
         self.epoch = 0
+        self._row_counts: Dict[str, int] = {}
         self.client = get_client(data_args.type, data_args.url)
         self.data_attr = data_args.to_attr()
         self.side_tables = [
@@ -201,30 +225,10 @@ class ShardedDataset:
 
     # -- iteration --------------------------------------------------------
 
-    def _file_batches(self, path: str, carry: dict) -> Iterator[Dict[str, np.ndarray]]:
-        table = self.client.read_table(path, columns=self.columns)
-        cols = {c: _column_to_numpy(table.column(c)) for c in self.columns}
-        n = len(table)
-        if self._filters is not None:
-            by, conds = self._filters
-            mask = np.ones(n, bool)
-            for op, val in conds:
-                mask &= op(cols[by], val)
-            cols = {c: v[mask] for c, v in cols.items()}
-            n = int(mask.sum())
-
-        start, end, carry["remain"] = calc_slice_position(
-            n, self.rank, self.world_size, self.batch_size,
-            drop_redundant_bs_eq_one=not self.drop_last, pre_total_remain=carry.get("remain", 0),
-        )
-        start, end = max(start, 0), min(end, n)
-        idx = np.arange(start, end)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch * 1000 + hash(path) % 100000)
-            rng.shuffle(idx)
-
-        token = _date_token(path)
+    def _emit_batches(self, cols, idx, token, rng) -> Iterator[Dict[str, np.ndarray]]:
         bs = self.batch_size
+        if self.shuffle:
+            rng.shuffle(idx)
         for off in range(0, len(idx), bs):
             sel = idx[off : off + bs]
             if len(sel) < bs and self.drop_last:
@@ -239,8 +243,102 @@ class ShardedDataset:
                 batch["_nvalid"] = np.asarray(nvalid)
             yield batch
 
+    def _stream_parquet_batches(self, path: str, start: int, end: int, token, rng):
+        """Row-group-aware streaming scan (parity: reference dataset.py:172-226):
+        only row groups overlapping this rank's [start, end) slice are read,
+        one at a time — peak memory is O(row_group + batch), never the file.
+        A pending buffer carries rows across row-group boundaries so batch
+        boundaries don't depend on row-group layout; with shuffle on, rows
+        shuffle within each chunk and batches through the shuffle buffer."""
+        pf = self.client.parquet_file(path)
+        bs = self.batch_size
+        pending: Optional[Dict[str, np.ndarray]] = None
+        offset = 0
+        for g in range(pf.metadata.num_row_groups):
+            g_rows = pf.metadata.row_group(g).num_rows
+            g_start, g_end = offset, offset + g_rows
+            offset = g_end
+            lo, hi = max(start, g_start), min(end, g_end)
+            if lo >= hi:
+                continue
+            table = pf.read_row_group(g, columns=self.columns)
+            cols = {c: _column_to_numpy(table.column(c)) for c in self.columns}
+            if lo - g_start or hi - g_end:
+                cols = {c: v[lo - g_start : hi - g_start] for c, v in cols.items()}
+            if pending is not None:
+                cols = {c: _concat_ragged(pending[c], v) for c, v in cols.items()}
+                pending = None
+            n = len(next(iter(cols.values())))
+            full = (n // bs) * bs
+            if n - full:
+                pending = {c: v[full:] for c, v in cols.items()}
+                cols = {c: v[:full] for c, v in cols.items()}
+            if full:
+                yield from self._emit_batches(cols, np.arange(full), token, rng)
+        if pending is not None and len(next(iter(pending.values()))):
+            n = len(next(iter(pending.values())))
+            yield from self._emit_batches(pending, np.arange(n), token, rng)
+
+    def _file_batches(self, path: str, carry: dict) -> Iterator[Dict[str, np.ndarray]]:
+        token = _date_token(path)
+        rng = np.random.default_rng(self.seed + self.epoch * 1000 + hash(path) % 100000)
+        streamable = (
+            self._filters is None
+            and hasattr(self.client, "is_parquet")
+            and self.client.is_parquet(path)
+        )
+        if streamable:
+            n = self._row_counts.get(path)
+            if n is None:
+                n = self.client.row_count(path)
+            start, end, carry["remain"] = calc_slice_position(
+                n, self.rank, self.world_size, self.batch_size,
+                drop_redundant_bs_eq_one=not self.drop_last,
+                pre_total_remain=carry.get("remain", 0),
+            )
+            yield from self._stream_parquet_batches(
+                path, max(start, 0), min(end, n), token, rng
+            )
+            return
+
+        # fallback: whole-file read (filters need the data; csv/feather)
+        table = self.client.read_table(path, columns=self.columns)
+        cols = {c: _column_to_numpy(table.column(c)) for c in self.columns}
+        n = len(table)
+        if self._filters is not None:
+            by, conds = self._filters
+            mask = np.ones(n, bool)
+            for op, val in conds:
+                mask &= op(cols[by], val)
+            cols = {c: v[mask] for c, v in cols.items()}
+            n = int(mask.sum())
+        start, end, carry["remain"] = calc_slice_position(
+            n, self.rank, self.world_size, self.batch_size,
+            drop_redundant_bs_eq_one=not self.drop_last, pre_total_remain=carry.get("remain", 0),
+        )
+        start, end = max(start, 0), min(end, n)
+        yield from self._emit_batches(cols, np.arange(start, end), token, rng)
+
+    def _prefetch_row_counts(self, files: List[str]) -> Dict[str, int]:
+        """Parallel parquet-footer metadata reads for all files before
+        iteration (parity: the reference's metadata threadpool +
+        all_gather_object, dataset.py:540-554 — under SPMD every rank reads
+        the same footers, no object gather needed)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        parquet_files = [
+            f for f in files
+            if hasattr(self.client, "is_parquet") and self.client.is_parquet(f)
+        ]
+        if not parquet_files:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(8, len(parquet_files))) as ex:
+            counts = list(ex.map(self.client.row_count, parquet_files))
+        return dict(zip(parquet_files, counts))
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         files = self.args.files or self.client.list_files()
+        self._row_counts = self._prefetch_row_counts(files)
         carry: dict = {"remain": 0}
         buffer: List[dict] = []
         rng = np.random.default_rng(self.seed + self.epoch)

@@ -98,19 +98,27 @@ class BaseEmbedderInferenceEngine:
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
 
     def _i2i(self, user_ids: List) -> Dict[str, np.ndarray]:
-        """Trigger-item expansion from precomputed neighbor lists."""
+        """Trigger-item expansion from precomputed neighbor lists. The whole
+        batch's trigger keys go through ONE deduplicated mget (the
+        reference pipelines its GETs, base.py:248-268; a per-row get was the
+        round-1 advisor finding)."""
         batch = self.get_user_context_features(user_ids)
         t0 = time.perf_counter()
         d = self.data_attr
         seq_name = sorted(d.seq_features or {})[0]
         triggers = batch[seq_name][d.fiid]  # [B, L]
+        per_row = [ [int(t) for t in row[row != 0][-3:]] for row in triggers ]
+        uniq = list(dict.fromkeys(t for row in per_row for t in row))
+        blobs = self.kv.mget([self.i2i_key_template.format(t) for t in uniq])
+        neighbors = {
+            t: [int(x) for x in blob.decode().split(",") if x] if blob else []
+            for t, blob in zip(uniq, blobs)
+        }
         out_ids = []
-        for row in triggers:
+        for row in per_row:
             items: List[int] = []
-            for trig in row[row != 0][-3:]:  # last 3 real interactions
-                blob = self.kv.get(self.i2i_key_template.format(int(trig)))
-                if blob:
-                    items += [int(x) for x in blob.decode().split(",") if x]
+            for trig in row:
+                items += neighbors[trig]
             seen = list(dict.fromkeys(items))[: self.output_topk]
             seen += [0] * (self.output_topk - len(seen))
             out_ids.append(seen)

@@ -362,16 +362,32 @@ class BaseRetriever(RecModelBase):
 
     # -- item vectors / inference -----------------------------------------
 
-    def compute_item_vectors(self, variables) -> np.ndarray:
-        """Encode ALL candidate items through the item tower
-        (parity: trainer.update_item_vectors, trainer.py:29-57)."""
-        if self.item_feat_table is not None:
-            feats = self.item_feat_table
-            encode = jax.jit(
-                lambda v, b: self.net.apply(v, b, method="encode_item")
-            )
+    def compute_item_vectors(self, variables, batch_size: int = 65536) -> np.ndarray:
+        """Encode ALL candidate items through the item tower in fixed-size
+        device batches (parity: the reference batches via item_loader,
+        trainer.py:29-57) — bounded peak memory at industrial item counts;
+        corpora <= batch_size still go through in one call."""
+        if self.item_feat_table is None:
+            raise RuntimeError("no item dataset attached; call set_item_dataset first")
+        feats = self.item_feat_table
+        n = next(iter(feats.values())).shape[0]
+        encode = jax.jit(lambda v, b: self.net.apply(v, b, method="encode_item"))
+        if n <= batch_size:
             return np.asarray(encode(variables, feats))
-        raise RuntimeError("no item dataset attached; call set_item_dataset first")
+        out = []
+        pad = (-n) % batch_size  # one static shape -> one compile
+        for off in range(0, n, batch_size):
+            chunk = {
+                k: jax.lax.dynamic_slice_in_dim(v, min(off, n - batch_size), batch_size)
+                if pad and off + batch_size > n
+                else v[off : off + batch_size]
+                for k, v in feats.items()
+            }
+            vecs = np.asarray(encode(variables, chunk))
+            if off + batch_size > n:  # final overlapped window: keep the tail
+                vecs = vecs[-(n - off):]
+            out.append(vecs)
+        return np.concatenate(out, axis=0)
 
     def update_item_vectors(self, variables) -> None:
         self.item_vectors = self.compute_item_vectors(variables)
