@@ -1,0 +1,19 @@
+from nexus_tpu.evaluation.text_retrieval.data_loader import TextRetrievalEvalDataLoader
+from nexus_tpu.evaluation.text_retrieval.evaluator import TextRetrievalAbsEvaluator
+from nexus_tpu.evaluation.text_retrieval.runner import (
+    TextRetrievalEvalArguments,
+    TextRetrievalEvalRunner,
+)
+from nexus_tpu.evaluation.text_retrieval.searcher import (
+    TextRetrievalEvalDenseRetriever,
+    TextRetrievalEvalReranker,
+)
+
+__all__ = [
+    "TextRetrievalEvalDataLoader",
+    "TextRetrievalAbsEvaluator",
+    "TextRetrievalEvalArguments",
+    "TextRetrievalEvalRunner",
+    "TextRetrievalEvalDenseRetriever",
+    "TextRetrievalEvalReranker",
+]
