@@ -3,8 +3,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
-from common import train_ranker
-from model import DINRanker
+import model  # noqa: F401
+from common import infer_ranker
 
 if __name__ == "__main__":
-    train_ranker(DINRanker, HERE)
+    infer_ranker(HERE)

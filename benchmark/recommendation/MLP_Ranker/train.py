@@ -1,23 +1,9 @@
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import ensure_synthetic_dataset
-from nexus_tpu.training.reranker.recommendation import MLPRanker, RankerRunner
-
-
-def main():
-    runner = RankerRunner(
-        model_config_or_path={"embedding_dim": 16, "mlp_layers": [128, 64],
-                              "dropout": 0.1, "batch_norm": False},
-        data_config_or_path=ensure_synthetic_dataset(),
-        train_config_or_path={"num_train_epochs": 1, "per_device_train_batch_size": 1024,
-                              "output_dir": "/tmp/nexus_bench_ckpt/mlp_ranker",
-                              "metrics": ["auc", "logloss"], "learning_rate": 0.01,
-                              "logging_steps": 10},
-        model_class=MLPRanker,
-    )
-    runner.run()
-
+HERE = os.path.dirname(os.path.abspath(__file__))
+from common import train_ranker
+from nexus_tpu.training.reranker.recommendation import MLPRanker
 
 if __name__ == "__main__":
-    main()
+    train_ranker(MLPRanker, HERE)

@@ -1,23 +1,9 @@
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from common import ensure_synthetic_dataset
-from nexus_tpu.training.embedder.recommendation import MLPRetriever, RetrieverRunner
-
-
-def main():
-    runner = RetrieverRunner(
-        model_config_or_path={"embedding_dim": 16, "mlp_layers": [128, 64], "num_neg": 20,
-                              "dropout": 0.1, "batch_norm": False},
-        data_config_or_path=ensure_synthetic_dataset(),
-        train_config_or_path={"num_train_epochs": 1, "per_device_train_batch_size": 512,
-                              "output_dir": "/tmp/nexus_bench_ckpt/mlp_retriever",
-                              "metrics": ["ndcg", "recall"], "cutoffs": [10, 50, 100],
-                              "learning_rate": 0.01, "logging_steps": 10},
-        model_class=MLPRetriever,
-    )
-    runner.run()
-
+HERE = os.path.dirname(os.path.abspath(__file__))
+from common import train_retriever
+from nexus_tpu.training.embedder.recommendation import MLPRetriever
 
 if __name__ == "__main__":
-    main()
+    train_retriever(MLPRetriever, HERE)

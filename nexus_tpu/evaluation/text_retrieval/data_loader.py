@@ -1,29 +1,101 @@
 """Eval dataset loading (parity: Nexus/evaluation/text_retrieval/
 data_loader.py:34-448 — BEIR/AIR-Bench style corpora).
 
-This environment has zero egress, so the loader reads LOCAL BEIR-layout
-datasets: <dataset_dir>/<name>/{corpus.jsonl, queries.jsonl, qrels.tsv}
-(the layout the reference caches after download). HF-datasets loading is
-attempted when a local path is missing and the `datasets` cache has it.
+Resolution order per dataset:
+1. LOCAL BEIR layout: <dataset_dir>/<name>/{corpus.jsonl, queries.jsonl,
+   qrels*.tsv} (the layout the reference caches after download);
+2. remote .zip download -> extract into <dataset_dir> (the reference's
+   BEIR-distribution path, data_loader.py:34-448) — `dataset_url_template`
+   defaults to the public BEIR bucket; tested against a mocked transport
+   since this build environment has zero egress;
+3. HF `datasets` (BeIR/<name> config pairs) when the local cache has them.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
-from typing import Dict
+import zipfile
+from typing import Dict, Optional
 
 from nexus_tpu.utils.logging import get_logger
 
 logger = get_logger("nexus_tpu.evaluation.data_loader")
 
+BEIR_URL_TEMPLATE = (
+    "https://public.ukp.informatik.tu-darmstadt.de/thakur/BEIR/datasets/{name}.zip"
+)
+
 
 class TextRetrievalEvalDataLoader:
-    def __init__(self, dataset_dir: str):
+    def __init__(self, dataset_dir: str, download: bool = False,
+                 dataset_url_template: str = BEIR_URL_TEMPLATE,
+                 transport=None):
+        """``download``: fetch missing datasets from the BEIR distribution.
+        ``transport``: callable url -> bytes (defaults to urllib; injectable
+        for offline tests)."""
         self.dataset_dir = dataset_dir
+        self.download = download
+        self.url_template = dataset_url_template
+        self.transport = transport
+
+    # -- acquisition --------------------------------------------------------
+
+    def _fetch(self, url: str) -> bytes:
+        if self.transport is not None:
+            return self.transport(url)
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=600) as r:
+            return r.read()
+
+    def _download_dataset(self, dataset_name: str) -> None:
+        """Download + extract a BEIR zip into the dataset dir (the zip nests
+        a <name>/ folder with corpus/queries/qrels)."""
+        url = self.url_template.format(name=dataset_name)
+        logger.info("downloading %s from %s", dataset_name, url)
+        blob = self._fetch(url)
+        os.makedirs(self.dataset_dir, exist_ok=True)
+        with zipfile.ZipFile(io.BytesIO(blob)) as z:
+            z.extractall(self.dataset_dir)
+
+    def _try_hf_datasets(self, dataset_name: str) -> bool:
+        """Materialize the local layout from the HF `datasets` cache
+        (BeIR/<name> + BeIR/<name>-qrels), offline-only."""
+        try:
+            from datasets import load_dataset
+
+            d = os.path.join(self.dataset_dir, dataset_name)
+            os.makedirs(d, exist_ok=True)
+            corpus = load_dataset(f"BeIR/{dataset_name}", "corpus", split="corpus")
+            queries = load_dataset(f"BeIR/{dataset_name}", "queries", split="queries")
+            qrels = load_dataset(f"BeIR/{dataset_name}-qrels", split="test")
+            with open(os.path.join(d, "corpus.jsonl"), "w") as f:
+                for r in corpus:
+                    f.write(json.dumps({"_id": r["_id"], "title": r.get("title", ""),
+                                        "text": r["text"]}) + "\n")
+            with open(os.path.join(d, "queries.jsonl"), "w") as f:
+                for r in queries:
+                    f.write(json.dumps({"_id": r["_id"], "text": r["text"]}) + "\n")
+            with open(os.path.join(d, "qrels.tsv"), "w") as f:
+                f.write("query-id\tcorpus-id\tscore\n")
+                for r in qrels:
+                    f.write(f"{r['query-id']}\t{r['corpus-id']}\t{r['score']}\n")
+            return True
+        except Exception as e:  # no cache / no egress
+            logger.info("HF datasets path unavailable for %s: %s", dataset_name, e)
+            return False
 
     def _dir(self, dataset_name: str) -> str:
         d = os.path.join(self.dataset_dir, dataset_name)
+        if not os.path.isdir(d) and self.download:
+            try:
+                self._download_dataset(dataset_name)
+            except Exception as e:
+                logger.warning("download failed for %s (%s); trying HF cache",
+                               dataset_name, e)
+                self._try_hf_datasets(dataset_name)
         if not os.path.isdir(d):
             raise FileNotFoundError(f"dataset dir not found: {d}")
         return d

@@ -168,3 +168,43 @@ def test_infer_mode_parity_eval(tmp_path):
         )
         results[mode] = TextRetrievalEvalRunner(args).run()["toy"]["NoReranker"]
     assert results["normal"] == results["aot"], (results["normal"], results["aot"])
+
+
+def test_data_loader_remote_download_mocked(tmp_path):
+    """Remote BEIR-zip acquisition (reference data_loader.py:34-448) with an
+    injected transport — no egress in this environment."""
+    import io
+    import zipfile
+
+    from nexus_tpu.evaluation.text_retrieval.data_loader import (
+        TextRetrievalEvalDataLoader,
+    )
+
+    def fake_zip():
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("scifact/corpus.jsonl",
+                       json.dumps({"_id": "d1", "title": "t", "text": "hello world"}) + "\n")
+            z.writestr("scifact/queries.jsonl",
+                       json.dumps({"_id": "q1", "text": "hello"}) + "\n")
+            z.writestr("scifact/qrels/test.tsv",
+                       "query-id\tcorpus-id\tscore\nq1\td1\t1\n")
+        return buf.getvalue()
+
+    urls = []
+
+    def transport(url):
+        urls.append(url)
+        return fake_zip()
+
+    loader = TextRetrievalEvalDataLoader(str(tmp_path), download=True, transport=transport)
+    corpus = loader.load_corpus("scifact")
+    assert corpus["d1"]["text"] == "hello world"
+    assert loader.load_queries("scifact") == {"q1": "hello"}
+    assert loader.load_qrels("scifact") == {"q1": {"d1": 1}}
+    assert urls == [
+        "https://public.ukp.informatik.tu-darmstadt.de/thakur/BEIR/datasets/scifact.zip"
+    ]
+    # second load hits the extracted cache, no new fetch
+    loader.load_corpus("scifact")
+    assert len(urls) == 1

@@ -150,3 +150,58 @@ def test_multichip_sharded_encode(tmp_path):
     r2 = sharded.encode_corpus(texts)
     assert r1.shape == r2.shape == (13, 32)
     assert np.allclose(r1, r2, atol=1e-5)
+
+
+def test_ivf_int8_storage(key):
+    """int8 cell storage: 4x memory saving with near-exact recall (per-row
+    symmetric quant, scales applied after the matmul)."""
+    import jax
+
+    vecs = np.asarray(jax.random.normal(key, (3000, 32)))
+    q = vecs[:8] + 0.01
+    dense = ItemIndex.build(vecs, index_type="ivf", nlist=32, nprobe=16)
+    quant = ItemIndex.build(vecs, index_type="ivf", nlist=32, nprobe=16, storage="int8")
+    assert quant.vectors.dtype == np.int8 and quant.row_scales is not None
+    _, a = dense.search(q, k=10)
+    _, b = quant.search(q, k=10)
+    overlap = np.mean([len(set(a[i]) & set(b[i])) / 10 for i in range(8)])
+    assert overlap >= 0.9, overlap
+    assert (b[:, 0] == np.arange(8)).mean() >= 0.9
+
+    # save/load roundtrip keeps the quantized layout
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        quant.save(f"{d}/idx.npz")
+        loaded = ItemIndex.load(f"{d}/idx.npz")
+        _, c = loaded.search(q, k=10)
+        assert (b == c).all()
+
+
+def test_sharded_ivf_matches_single_device(key):
+    """8-device mesh IVF: subcells round-robin over the data axis, local
+    union-scan + one all_gather merge == the single-index result set."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from nexus_tpu.inference.index import ShardedIVFIndex
+    from nexus_tpu.parallel.mesh import get_default_mesh
+
+    vecs = np.asarray(jax.random.normal(key, (4000, 32)))
+    q = vecs[:6] + 0.01
+    base = ItemIndex.build(vecs, index_type="ivf", nlist=64, nprobe=64)
+    sharded = ShardedIVFIndex(base, get_default_mesh())
+    s_single, i_single = base.search(q, k=10)
+    s_shard, i_shard = sharded.search(q, k=10)
+    # same probe set -> same candidates; ids may tie-order differ
+    for r in range(6):
+        assert set(i_single[r]) == set(i_shard[r]), r
+    np.testing.assert_allclose(np.sort(s_single, -1), np.sort(s_shard, -1), atol=1e-4)
+
+    # int8 sharded variant
+    base_q = ItemIndex.build(vecs, index_type="ivf", nlist=64, nprobe=64, storage="int8")
+    sharded_q = ShardedIVFIndex(base_q, get_default_mesh())
+    _, i_q = sharded_q.search(q, k=10)
+    overlap = np.mean([len(set(i_shard[r]) & set(i_q[r])) / 10 for r in range(6)])
+    assert overlap >= 0.9, overlap
