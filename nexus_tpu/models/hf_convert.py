@@ -199,25 +199,40 @@ def torch_qwen2vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bo
             "bias": jnp.asarray(m[f"{prefix}.bias"], jnp.float32),
         }
 
+    def rms(m, prefix):
+        return {"weight": jnp.asarray(m[f"{prefix}.weight"], jnp.float32)}
+
+    is_25 = getattr(config, "variant", "qwen2-vl") == "qwen2.5-vl"
     vc = config.vision
     pe = vis_sd["patch_embed.proj.weight"]  # [embed, C, T, P, P]
     visual = {
         "patch_embed": {"kernel": jnp.asarray(pe.reshape(pe.shape[0], -1).T, dtype)},
-        "ln_q": ln(vis_sd, "merger.ln_q"),
+        "ln_q": (rms if is_25 else ln)(vis_sd, "merger.ln_q"),
         "merger_fc1": dense(vis_sd, "merger.mlp.0"),
         "merger_fc2": dense(vis_sd, "merger.mlp.2"),
     }
     blocks = []
     for i in range(vc.depth):
         p = f"blocks.{i}"
-        blocks.append({
-            "norm1": ln(vis_sd, f"{p}.norm1"),
-            "norm2": ln(vis_sd, f"{p}.norm2"),
-            "qkv": dense(vis_sd, f"{p}.attn.qkv"),
-            "attn_proj": dense(vis_sd, f"{p}.attn.proj"),
-            "fc1": dense(vis_sd, f"{p}.mlp.fc1"),
-            "fc2": dense(vis_sd, f"{p}.mlp.fc2"),
-        })
+        if is_25:
+            blocks.append({
+                "norm1": rms(vis_sd, f"{p}.norm1"),
+                "norm2": rms(vis_sd, f"{p}.norm2"),
+                "qkv": dense(vis_sd, f"{p}.attn.qkv"),
+                "attn_proj": dense(vis_sd, f"{p}.attn.proj"),
+                "gate_proj": dense(vis_sd, f"{p}.mlp.gate_proj"),
+                "up_proj": dense(vis_sd, f"{p}.mlp.up_proj"),
+                "down_proj": dense(vis_sd, f"{p}.mlp.down_proj"),
+            })
+        else:
+            blocks.append({
+                "norm1": ln(vis_sd, f"{p}.norm1"),
+                "norm2": ln(vis_sd, f"{p}.norm2"),
+                "qkv": dense(vis_sd, f"{p}.attn.qkv"),
+                "attn_proj": dense(vis_sd, f"{p}.attn.proj"),
+                "fc1": dense(vis_sd, f"{p}.mlp.fc1"),
+                "fc2": dense(vis_sd, f"{p}.mlp.fc2"),
+            })
     if scan_layers:
         visual["blocks"] = {"block": _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)}
     else:

@@ -73,35 +73,81 @@ class Qwen2VLVisionConfig(AbsArguments):
 
 
 @dataclass
+class Qwen25VLVisionConfig(AbsArguments):
+    """Qwen2.5-VL vision tower: RMSNorm blocks, gated-SiLU MLP, window
+    attention with a few full-attention layers."""
+
+    depth: int = 32
+    hidden_size: int = 1280  # embed dim (HF 2.5 naming)
+    intermediate_size: int = 3420
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    window_size: int = 112  # pixels; 112/2/14 = 4x4 merged units per window
+    fullatt_block_indexes: List[int] = field(default_factory=lambda: [7, 15, 23, 31])
+    out_hidden_size: int = 3584
+    hidden_act: str = "silu"
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size**2
+
+    @classmethod
+    def from_hf(cls, d) -> "Qwen25VLVisionConfig":
+        import dataclasses as _dc
+
+        d = d.to_dict() if hasattr(d, "to_dict") else dict(d)
+        names = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclass
 class Qwen2VLConfig(AbsArguments):
-    vision: Qwen2VLVisionConfig = None
+    vision: object = None  # Qwen2VLVisionConfig | Qwen25VLVisionConfig
     text: LlamaConfig = None
     mrope_section: List[int] = field(default_factory=lambda: [16, 24, 24])
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
+    variant: str = "qwen2-vl"  # qwen2-vl | qwen2.5-vl
 
     @classmethod
     def from_hf(cls, hf_config) -> "Qwen2VLConfig":
         d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
+        is_25 = "qwen2_5" in str(d.get("model_type", "")) or "qwen2_5" in str(
+            d.get("vision_config", {}).get("model_type", "")
+        )
         text = d.get("text_config", d)
         tc = LlamaConfig.from_hf(text)
         tc.attention_bias = True  # Qwen2 QKV biases
         rope_scaling = text.get("rope_scaling") or {}
+        vcfg = (Qwen25VLVisionConfig if is_25 else Qwen2VLVisionConfig).from_hf(
+            d["vision_config"]
+        )
         return cls(
-            vision=Qwen2VLVisionConfig.from_hf(d["vision_config"]),
+            vision=vcfg,
             text=tc,
             mrope_section=list(rope_scaling.get("mrope_section", [16, 24, 24])),
             image_token_id=d.get("image_token_id", 151655),
             video_token_id=d.get("video_token_id", 151656),
             vision_start_token_id=d.get("vision_start_token_id", 151652),
+            variant="qwen2.5-vl" if is_25 else "qwen2-vl",
         )
 
     @staticmethod
     def from_dict(d: dict) -> "Qwen2VLConfig":
         d = dict(d)
         if isinstance(d.get("vision"), dict):
-            d["vision"] = Qwen2VLVisionConfig.from_dict(d["vision"])
+            vcls = (Qwen25VLVisionConfig if d.get("variant") == "qwen2.5-vl"
+                    else Qwen2VLVisionConfig)
+            d["vision"] = vcls.from_dict(d["vision"])
         if isinstance(d.get("text"), dict):
             d["text"] = LlamaConfig.from_dict(d["text"])
         names = set(Qwen2VLConfig.__dataclass_fields__)
@@ -250,6 +296,152 @@ class Qwen2VLVisionTower(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Qwen2.5-VL vision tower (window attention variant)
+# ---------------------------------------------------------------------------
+
+def window_permutation(grid_thw: Tuple[int, int, int], merge: int,
+                       win_units: int) -> Tuple[np.ndarray, int, int]:
+    """Static patch-level permutation into window order (HF get_window_index
+    for one static grid, padding-free: the pinned resolution must make the
+    merged grid divisible by the window size). Returns
+    (patch_perm [P], n_windows, patches_per_window)."""
+    t, h, w = grid_thw
+    gh, gw = h // merge, w // merge
+    if gh % win_units or gw % win_units:
+        raise ValueError(
+            f"merged grid {gh}x{gw} not divisible by window {win_units} — pin "
+            f"image_size to a multiple of {win_units * merge * 14} px"
+        )
+    nwh, nww = gh // win_units, gw // win_units
+    idx = np.arange(t * gh * gw).reshape(t, nwh, win_units, nww, win_units)
+    merged_perm = idx.transpose(0, 1, 3, 2, 4).reshape(-1)  # merged-token order
+    m2 = merge * merge
+    patch_perm = (merged_perm[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+    return patch_perm, t * nwh * nww, win_units * win_units * m2
+
+
+class Qwen25VLVisionBlock(nn.Module):
+    config: Qwen25VLVisionConfig
+    n_windows: int = 1
+    win_patches: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, is_full, cos: Array, sin: Array):
+        c = self.config
+        n, p, d = x.shape
+        hd = c.head_dim
+        h = RMSNorm(1e-6, name="norm1")(x).astype(self.dtype)
+        # projections happen OUTSIDE the span choice so both lax.cond
+        # branches are pure math over the same tensors
+        qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="qkv")(h)
+        q, k, v = (t.reshape(n, p, c.num_heads, hd) for t in jnp.split(qkv, 3, axis=-1))
+        cb, sb = cos[None, :, None, :], sin[None, :, None, :]
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
+        k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
+
+        def _core(q, k, v):  # [M, L, H, hd] dense attention
+            s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+            probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+
+        def full_core(args):
+            return _core(*args).reshape(n, p, d)
+
+        def window_core(args):
+            nw, wp = self.n_windows, self.win_patches
+            qw, kw, vw = (t.reshape(n * nw, wp, c.num_heads, hd) for t in args)
+            return _core(qw, kw, vw).reshape(n, p, d)
+
+        if isinstance(is_full, jnp.ndarray):
+            ctx = jax.lax.cond(is_full, full_core, window_core, (q, k, v))
+        else:
+            ctx = full_core((q, k, v)) if is_full else window_core((q, k, v))
+        x = x + nn.Dense(d, dtype=self.dtype, name="attn_proj")(ctx)
+        h = RMSNorm(1e-6, name="norm2")(x).astype(self.dtype)
+        gate = nn.Dense(c.intermediate_size, use_bias=True, dtype=self.dtype, name="gate_proj")(h)
+        up = nn.Dense(c.intermediate_size, use_bias=True, dtype=self.dtype, name="up_proj")(h)
+        act = _ACT.get(c.hidden_act, nn.silu)
+        down = nn.Dense(d, use_bias=True, dtype=self.dtype, name="down_proj")(act(gate) * up)
+        return x + down
+
+
+class _ScannedVision25Block(nn.Module):
+    config: Qwen25VLVisionConfig
+    n_windows: int = 1
+    win_patches: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, is_full, cos, sin):
+        out = Qwen25VLVisionBlock(
+            self.config, n_windows=self.n_windows, win_patches=self.win_patches,
+            dtype=self.dtype, name="block",
+        )(x, is_full, cos, sin)
+        return out, None
+
+
+class Qwen25VLVisionTower(nn.Module):
+    """[N, P, patch_dim] (one static grid) -> [N, P/merge², out_hidden_size]
+    with static window-permuted attention (HF cu_window_seqlens parity,
+    padding-free by pinned resolution)."""
+
+    config: Qwen25VLVisionConfig
+    grid_thw: Tuple[int, int, int] = (1, 16, 16)
+    dtype: jnp.dtype = jnp.float32
+    scan_layers: bool = True
+
+    @nn.compact
+    def __call__(self, patches: Array, train: bool = False):
+        c = self.config
+        n, p, _ = patches.shape
+        win_units = c.window_size // c.spatial_merge_size // c.patch_size
+        perm, n_windows, win_patches = window_permutation(
+            self.grid_thw, c.spatial_merge_size, win_units
+        )
+        x = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="patch_embed")(
+            patches.astype(self.dtype)
+        )
+        cos_np, sin_np = vision_rotary_tables(self.grid_thw, c.head_dim,
+                                              c.spatial_merge_size, c.rope_theta)
+        # permute tokens AND their rotary rows into window order (static gather)
+        x = x[:, jnp.asarray(perm)]
+        cos = jnp.asarray(cos_np[perm])
+        sin = jnp.asarray(sin_np[perm])
+        is_full = np.zeros((c.depth,), bool)
+        is_full[[i for i in c.fullatt_block_indexes if i < c.depth]] = True
+        if self.scan_layers:
+            Scanned = nn.scan(
+                _ScannedVision25Block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.depth,
+                in_axes=(0, nn.broadcast, nn.broadcast),
+            )
+            x, _ = Scanned(c, n_windows=n_windows, win_patches=win_patches,
+                           dtype=self.dtype, name="blocks")(
+                x, jnp.asarray(is_full), cos, sin
+            )
+        else:
+            for i in range(c.depth):
+                x = Qwen25VLVisionBlock(
+                    c, n_windows=n_windows, win_patches=win_patches,
+                    dtype=self.dtype, name=f"block_{i}",
+                )(x, bool(is_full[i]), cos, sin)
+        m2 = c.spatial_merge_size**2
+        x = RMSNorm(1e-6, name="ln_q")(x).astype(self.dtype)
+        x = x.reshape(n, p // m2, m2 * c.hidden_size)
+        x = nn.Dense(m2 * c.hidden_size, dtype=self.dtype, name="merger_fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(c.out_hidden_size, dtype=self.dtype, name="merger_fc2")(x)
+        # reverse the window permutation at merged-token granularity
+        merged_perm = perm.reshape(-1, m2)[:, 0] // m2
+        inv = np.argsort(merged_perm)
+        return x[:, jnp.asarray(inv)]
+
+
+# ---------------------------------------------------------------------------
 # text trunk (Qwen2 + M-RoPE)
 # ---------------------------------------------------------------------------
 
@@ -347,7 +539,10 @@ class Qwen2VLBackbone(nn.Module):
         x = embed(input_ids)
 
         if pixel_patches is not None:
-            tower = Qwen2VLVisionTower(
+            tower_cls = (
+                Qwen25VLVisionTower if c.variant == "qwen2.5-vl" else Qwen2VLVisionTower
+            )
+            tower = tower_cls(
                 c.vision, grid_thw=self.grid_thw, dtype=self.dtype,
                 scan_layers=self.scan_layers, name="visual",
             )

@@ -301,3 +301,8 @@ def _build_qwen2_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
     from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone
 
     return Qwen2VLBackbone(config, grid_thw=tuple(grid_thw), dtype=dtype or jnp.bfloat16)
+
+
+# Qwen2.5-VL rides the same backbone with the windowed-attention tower
+# (config.variant selects it; parity-tested in tests/test_qwen2_vl.py)
+_BACKBONE_REGISTRY["qwen2.5-vl"] = _BACKBONE_REGISTRY["qwen2-vl"]

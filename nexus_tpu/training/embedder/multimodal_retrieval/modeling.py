@@ -47,7 +47,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             args.sentence_pooling_method = "last_token"
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        if backbone_type == "qwen2-vl":
+        if backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone
 
             self.net = Qwen2VLBackbone(
@@ -78,13 +78,13 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         config, variables = load_hf_qwen2vl(model_dir, dtype=dtype)
         g = image_size // config.vision.patch_size
         model = cls(config, model_args, variables=variables,
-                    backbone_type="qwen2-vl", grid_thw=(1, g, g), **kw)
+                    backbone_type=config.variant, grid_thw=(1, g, g), **kw)
         return model
 
     # -- encoding over multimodal feeds -------------------------------------
 
     def encode_feed(self, variables, feed: Dict[str, Array], train=False, rngs=None) -> Array:
-        if self.backbone_type == "qwen2-vl":
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             out = self.net.apply(
                 variables,
                 input_ids=feed["input_ids"],
@@ -118,7 +118,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             return self.variables
         c = self.vlm_config
         b, l = 2, 32
-        if self.backbone_type == "qwen2-vl":
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             t, h, w = self.grid_thw
             patches = jnp.zeros((1, t * h * w, c.vision.patch_dim))
             return self.net.init(
@@ -194,7 +194,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             cfg_dict = json.load(f)
         backbone_type = cfg_dict.pop("model_type", "nexus-vlm")
         grid_thw = tuple(cfg_dict.pop("grid_thw", (1, 16, 16)))
-        if backbone_type == "qwen2-vl":
+        if backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             from nexus_tpu.models.qwen2_vl import Qwen2VLConfig
 
             config = Qwen2VLConfig.from_dict(cfg_dict)

@@ -39,13 +39,29 @@ class MultimodalEmbedderRunner:
         self.model = model
         self.tokenizer = tokenizer
         c = model.vlm_config
-        self.processor = MultimodalProcessorAdapter(
-            tokenizer,
-            image_size=c.vision.image_size,
-            num_image_tokens=c.num_image_tokens,
-            max_length=max_length,
-            max_images=max_images,
-        )
+        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl"):
+            from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
+
+            t, h, w = model.grid_thw
+            self.processor = Qwen2VLProcessorAdapter(
+                tokenizer,
+                image_size=h * c.vision.patch_size,
+                patch_size=c.vision.patch_size,
+                temporal_patch_size=c.vision.temporal_patch_size,
+                spatial_merge_size=c.vision.spatial_merge_size,
+                max_length=max_length,
+                image_token_id=c.image_token_id,
+                video_token_id=c.video_token_id,
+                vision_start_token_id=c.vision_start_token_id,
+            )
+        else:
+            self.processor = MultimodalProcessorAdapter(
+                tokenizer,
+                image_size=c.vision.image_size,
+                num_image_tokens=c.num_image_tokens,
+                max_length=max_length,
+                max_images=max_images,
+            )
         self.dataset = MultimodalEmbedderTrainDataset(
             train_data, train_group_size=train_group_size, media_root=media_root,
             query_instruction=query_instruction, seed=training_args.seed,

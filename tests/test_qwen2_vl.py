@@ -238,6 +238,83 @@ def test_embedder_end_to_end_with_real_checkpoint(tiny_pair, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def _tiny_hf_25_config():
+    from transformers.models.qwen2_5_vl import Qwen2_5_VLConfig
+
+    return Qwen2_5_VLConfig(
+        vision_config=dict(
+            depth=3, hidden_size=32, intermediate_size=48, num_heads=2,
+            in_channels=3, patch_size=4, temporal_patch_size=2,
+            spatial_merge_size=2, window_size=16,  # 2x2 merged units/window
+            fullatt_block_indexes=[1], out_hidden_size=48, hidden_act="silu",
+        ),
+        text_config=dict(
+            vocab_size=256, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=512, rope_theta=10000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 2, 2]},
+        ),
+        image_token_id=7, video_token_id=8, vision_start_token_id=9,
+    )
+
+
+def test_qwen2_5_vl_parity(tmp_path):
+    """Qwen2.5-VL: windowed-attention vision tower (RMSNorm, gated MLP) and
+    the full backbone match HF torch hidden states."""
+    from transformers.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
+
+    from nexus_tpu.models.hf_convert import torch_qwen2vl_to_flax
+    from nexus_tpu.models.qwen2_vl import (
+        Qwen2VLBackbone,
+        Qwen2VLConfig,
+        Qwen25VLVisionTower,
+        get_mrope_positions,
+    )
+
+    torch.manual_seed(1)
+    hf = Qwen2_5_VLForConditionalGeneration(_tiny_hf_25_config()).eval()
+    config = Qwen2VLConfig.from_hf(hf.config)
+    assert config.variant == "qwen2.5-vl"
+    variables = torch_qwen2vl_to_flax(hf.state_dict(), config)
+
+    rng = np.random.default_rng(5)
+    patches = rng.standard_normal((2, 64, config.vision.patch_dim)).astype(np.float32)
+    tower = Qwen25VLVisionTower(config.vision, grid_thw=GRID)
+    ours = tower.apply({"params": variables["params"]["visual"]}, jnp.asarray(patches))
+    with torch.no_grad():
+        theirs = hf.model.visual(
+            torch.from_numpy(patches.reshape(-1, patches.shape[-1])),
+            grid_thw=torch.tensor([list(GRID)] * 2),
+        ).numpy().reshape(2, -1, 48)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-4)
+
+    # full backbone with one image + ragged text
+    n_tok = 16
+    ids = rng.integers(10, 250, (2, 30)).astype(np.int64)
+    ids[0, 2] = 9
+    ids[0, 3 : 3 + n_tok] = 7
+    mask = np.ones((2, 30), np.int64)
+    mask[1, 20:] = 0
+    ids[1, 20:] = 0
+    with torch.no_grad():
+        theirs = hf.model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            pixel_values=torch.from_numpy(patches[:1].reshape(-1, patches.shape[-1])),
+            image_grid_thw=torch.tensor([list(GRID)]),
+        ).last_hidden_state.numpy()
+    pos3 = get_mrope_positions(ids, mask, [GRID], image_token_id=7, video_token_id=8, merge=2)
+    net = Qwen2VLBackbone(config, grid_thw=GRID)
+    out = net.apply(
+        variables, jnp.asarray(ids.astype(np.int32)),
+        attention_mask=jnp.asarray(mask.astype(np.int32)),
+        pixel_patches=jnp.asarray(patches[:1]),
+        positions3=jnp.asarray(pos3),
+    )["last_hidden_state"]
+    diff = np.abs(np.asarray(out) - theirs)[mask.astype(bool)]
+    assert diff.max() < 8e-4, diff.max()
+
+
 def test_load_hf_qwen2vl_roundtrip(tiny_pair, tmp_path):
     """save_pretrained dir -> load_hf_qwen2vl -> same params as direct map."""
     hf, config, variables = tiny_pair
