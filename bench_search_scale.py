@@ -44,26 +44,21 @@ def main() -> None:
     chunk = CAP * 128  # 196,608 rows per build step
     n_chunks = N // chunk
 
-    # small per-chunk programs with buffer donation: one compiled write step
-    # reused 64x keeps the remote compiler away from a 9.6 GB scan body
+    # ONE jit call builds the whole corpus on device (lax.map over chunks):
+    # per-call writes through the relay would round-trip the 9.6 GB buffer
     @jax.jit
-    def make_chunk(key, i, centroids):
-        cells = (i * chunk + jnp.arange(chunk)) // CAP
-        rows = centroids[cells] * 12.0 + 8.0 * jax.random.normal(
-            jax.random.fold_in(key, i), (chunk, DIM)
-        )
-        return jnp.clip(jnp.round(rows), -127, 127).astype(jnp.int8)
+    def build(key, centroids):
+        def chunk_fn(i):
+            cells = (i * chunk + jnp.arange(chunk)) // CAP
+            rows = centroids[cells] * 12.0 + 8.0 * jax.random.normal(
+                jax.random.fold_in(key, i), (chunk, DIM)
+            )
+            return jnp.clip(jnp.round(rows), -127, 127).astype(jnp.int8)
 
-    from functools import partial
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def write_chunk(buf, rows, off):
-        return jax.lax.dynamic_update_slice(buf, rows, (off, 0))
+        return jax.lax.map(chunk_fn, jnp.arange(n_chunks)).reshape(N, DIM)
 
     t0 = time.perf_counter()
-    vectors = jnp.zeros((N, DIM), jnp.int8)
-    for i in range(n_chunks):
-        vectors = write_chunk(vectors, make_chunk(key, i, centroids), i * chunk)
+    vectors = build(key, centroids)
     fetch(vectors[0, :8])
     print(json.dumps({"metric": "corpus_build_s_12.58M_x768_int8_on_device",
                       "value": round(time.perf_counter() - t0, 1), "unit": "s"}),
