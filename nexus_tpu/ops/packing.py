@@ -142,6 +142,37 @@ def pack_sequences(
     )
 
 
+def pack_tokenized(
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    row_len: int,
+    row_bucket: int = 8,
+    pad_id: int = 0,
+) -> dict:
+    """Pack a right-padded tokenized batch [N, L] into fixed packed rows.
+
+    Returns numpy arrays keyed for a model batch: ``input_ids`` /
+    ``segment_ids`` / ``position_ids`` [R, row_len] plus per-sequence pool
+    indices. The row count R is the needed row count rounded UP to a multiple
+    of ``row_bucket`` so jitted consumers see a small, stable set of shapes
+    (one compile per bucket, cached thereafter).
+    """
+    lengths = attention_mask.astype(np.int32).sum(axis=1)
+    seqs = [input_ids[i, : lengths[i]] for i in range(input_ids.shape[0])]
+    packed = pack_sequences(seqs, row_len, pad_id=pad_id)
+    n_rows = -(-packed.n_rows // row_bucket) * row_bucket
+    packed = packed.pad_rows(n_rows)
+    return {
+        "input_ids": packed.input_ids,
+        "segment_ids": packed.segment_ids,
+        "position_ids": packed.position_ids,
+        "pool_rows": packed.pool_rows,
+        "pool_cols": packed.pool_cols,
+        "token_seq": packed.token_seq,
+        "lengths": packed.lengths,
+    }
+
+
 def pool_packed_cls(hidden: jnp.ndarray, pool_rows, pool_cols) -> jnp.ndarray:
     """Per-sequence CLS pooling from packed hidden states: one gather."""
     return hidden[jnp.asarray(pool_rows), jnp.asarray(pool_cols)]

@@ -145,12 +145,25 @@ class TextEmbedderCollator:
             passages, padding="max_length", truncation=True,
             max_length=self.args.passage_max_len, return_tensors="np",
         )
-        batch = {
-            "query_input_ids": q["input_ids"].astype(np.int32),
-            "query_attention_mask": q["attention_mask"].astype(np.int32),
-            "passage_input_ids": p["input_ids"].astype(np.int32),
-            "passage_attention_mask": p["attention_mask"].astype(np.int32),
-        }
+        if self.args.pack_sequences:
+            from nexus_tpu.ops.packing import pack_tokenized
+
+            batch = {}
+            for prefix, tok in (("query", q), ("passage", p)):
+                packed = pack_tokenized(
+                    tok["input_ids"].astype(np.int32),
+                    tok["attention_mask"].astype(np.int32),
+                    row_len=self.args.pack_row_len,
+                    row_bucket=self.args.pack_row_bucket,
+                )
+                batch.update({f"{prefix}_{k}": v for k, v in packed.items()})
+        else:
+            batch = {
+                "query_input_ids": q["input_ids"].astype(np.int32),
+                "query_attention_mask": q["attention_mask"].astype(np.int32),
+                "passage_input_ids": p["input_ids"].astype(np.int32),
+                "passage_attention_mask": p["attention_mask"].astype(np.int32),
+            }
         if examples[0].get("teacher_scores") is not None:
             batch["teacher_scores"] = np.asarray(
                 [e["teacher_scores"] for e in examples], np.float32

@@ -76,6 +76,56 @@ class BiTextEmbedderModel:
             reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
         return reps
 
+    def encode_packed(
+        self, variables, input_ids, segment_ids, position_ids,
+        pool_rows, pool_cols, token_seq, lengths, train=False, rngs=None,
+    ) -> Array:
+        """Encode PACKED rows (ops/packing.py): several short sequences share
+        one [row_len] row with block-diagonal segment attention + restarting
+        positions, then per-sequence pooling extracts one rep per original
+        sequence. Eliminates padding waste on ragged fine-tune batches — the
+        training-side counterpart of the packed inference path (~1.6x on
+        MS-MARCO-like length mixes, BENCH_NOTES.md)."""
+        out = self.net.apply(
+            variables, input_ids,
+            attention_mask=(segment_ids != 0).astype(jnp.int32),
+            position_ids=position_ids, segment_ids=segment_ids,
+            train=train, rngs=rngs,
+        )
+        hidden = out["last_hidden_state"].astype(jnp.float32)
+        method = self.args.sentence_pooling_method
+        if method == "cls":
+            from nexus_tpu.ops.packing import pool_packed_cls
+
+            reps = pool_packed_cls(hidden, pool_rows, pool_cols)
+        elif method == "mean":
+            from nexus_tpu.ops.packing import pool_packed_mean
+
+            reps = pool_packed_mean(hidden, token_seq, lengths, pool_rows.shape[0])
+        elif method == "last_token":
+            reps = hidden[pool_rows, pool_cols + jnp.maximum(lengths, 1) - 1]
+        else:
+            raise ValueError(f"unknown pooling method {method!r}")
+        if self.args.normalize_embeddings:
+            reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
+        return reps
+
+    def _encode_side(self, variables, batch, prefix: str, train: bool, rngs) -> Array:
+        """Dispatch one side (query/passage) to the packed or padded path by
+        which keys the collator emitted."""
+        if f"{prefix}_pool_rows" in batch:
+            return self.encode_packed(
+                variables,
+                batch[f"{prefix}_input_ids"], batch[f"{prefix}_segment_ids"],
+                batch[f"{prefix}_position_ids"], batch[f"{prefix}_pool_rows"],
+                batch[f"{prefix}_pool_cols"], batch[f"{prefix}_token_seq"],
+                batch[f"{prefix}_lengths"], train=train, rngs=rngs,
+            )
+        return self.encode(
+            variables, batch[f"{prefix}_input_ids"],
+            batch[f"{prefix}_attention_mask"], train=train, rngs=rngs,
+        )
+
     # -- losses ------------------------------------------------------------
 
     def _local_scores(self, q_reps: Array, p_reps: Array) -> Array:
@@ -130,14 +180,12 @@ class BiTextEmbedderModel:
         return self.net.init(rng, ids)
 
     def loss_fn(self, variables, batch: Dict[str, Array], rng) -> Tuple[Array, dict]:
-        rngs = {"dropout": rng}
-        q_reps = self.encode(
-            variables, batch["query_input_ids"], batch["query_attention_mask"],
-            train=True, rngs=rngs,
+        q_reps = self._encode_side(
+            variables, batch, "query", train=True, rngs={"dropout": rng}
         )
-        p_reps = self.encode(
-            variables, batch["passage_input_ids"], batch["passage_attention_mask"],
-            train=True, rngs={"dropout": jax.random.fold_in(rng, 1)},
+        p_reps = self._encode_side(
+            variables, batch, "passage", train=True,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
         )
         loss = self.compute_loss_from_reps(
             q_reps, p_reps, batch.get("teacher_scores"),

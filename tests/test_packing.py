@@ -199,3 +199,106 @@ def test_hf_convert_fused_qkv(tmp_path):
     out_a = BertEncoderModel(cfg).apply(vars_plain, ids)["last_hidden_state"]
     out_b = BertEncoderModel(cfg_fused).apply(vars_fused, ids)["last_hidden_state"]
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# packed TRAINING: loss + gradients match the padded path
+# ---------------------------------------------------------------------------
+
+
+def _ragged_contrastive_batch(rng, b, g, max_len, vocab=200):
+    """Padded batch + its packed twin over the same ragged sequences."""
+    from nexus_tpu.ops.packing import pack_tokenized
+
+    def make(n):
+        lens = rng.integers(3, max_len + 1, n)
+        ids = np.zeros((n, max_len), np.int32)
+        mask = np.zeros((n, max_len), np.int32)
+        for i, l in enumerate(lens):
+            ids[i, :l] = rng.integers(1, vocab, l)
+            mask[i, :l] = 1
+        return ids, mask
+
+    q_ids, q_mask = make(b)
+    p_ids, p_mask = make(b * g)
+    padded = {
+        "query_input_ids": q_ids, "query_attention_mask": q_mask,
+        "passage_input_ids": p_ids, "passage_attention_mask": p_mask,
+    }
+    packed = {}
+    for prefix, (ids, mask) in (("query", (q_ids, q_mask)), ("passage", (p_ids, p_mask))):
+        pk = pack_tokenized(ids, mask, row_len=max_len, row_bucket=4)
+        packed.update({f"{prefix}_{k}": v for k, v in pk.items()})
+    return padded, packed
+
+
+@pytest.mark.parametrize("pooling", ["cls", "mean", "last_token"])
+def test_packed_training_loss_and_grad_parity(pooling):
+    """loss_fn over a packed batch == loss_fn over the equivalent padded
+    batch, including gradients (block-diagonal segment attention + restarting
+    positions must be transparent to training)."""
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
+
+    cfg = BertConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, add_pooling_layer=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    margs = TextEmbedderModelArguments(
+        temperature=0.05, dtype="float32", sentence_pooling_method=pooling,
+        attention_impl="xla",
+    )
+    model = BiTextEmbedderModel(cfg, margs)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    padded, packed = _ragged_contrastive_batch(rng, b=4, g=3, max_len=24)
+
+    key = jax.random.PRNGKey(1)
+    loss_pad, _ = model.loss_fn(variables, {k: jnp.asarray(v) for k, v in padded.items()}, key)
+    loss_pk, _ = model.loss_fn(variables, {k: jnp.asarray(v) for k, v in packed.items()}, key)
+    np.testing.assert_allclose(float(loss_pad), float(loss_pk), rtol=2e-5)
+
+    g_pad = jax.grad(lambda v: model.loss_fn(v, padded, key)[0])(variables)
+    g_pk = jax.grad(lambda v: model.loss_fn(v, packed, key)[0])(variables)
+    flat_pad, _ = jax.flatten_util.ravel_pytree(g_pad)
+    flat_pk, _ = jax.flatten_util.ravel_pytree(g_pk)
+    np.testing.assert_allclose(np.asarray(flat_pad), np.asarray(flat_pk), atol=5e-5)
+
+
+def test_packed_collator_emits_packed_keys(tmp_path):
+    """TextEmbedderCollator(pack_sequences=True) produces the packed batch
+    layout the model's loss_fn dispatches on."""
+    pytest.importorskip("torch")
+    from transformers import BertTokenizerFast
+
+    d = tmp_path / "tok"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "aa", "bb", "cc"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderDataArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.dataset import TextEmbedderCollator
+
+    args = TextEmbedderDataArguments(
+        train_group_size=2, query_max_len=16, passage_max_len=16,
+        pack_sequences=True, pack_row_len=16, pack_row_bucket=2,
+    )
+    coll = TextEmbedderCollator(tok, args)
+    examples = [
+        {"query": "aa bb", "passages": ["aa", "bb cc aa"], "teacher_scores": None},
+        {"query": "cc", "passages": ["bb", "aa aa"], "teacher_scores": None},
+    ]
+    batch = coll(examples)
+    assert batch["query_pool_rows"].shape == (2,)
+    assert batch["passage_pool_rows"].shape == (4,)
+    assert batch["query_input_ids"].shape[1] == 16
+    assert batch["query_input_ids"].shape[0] % 2 == 0  # row bucket
+    # every real token accounted for
+    assert batch["passage_lengths"].sum() == (batch["passage_segment_ids"] > 0).sum()
