@@ -163,14 +163,20 @@ class MMEBEvaluator:
         return metrics
 
     def _rerank_items(self, rows: List[dict], cand_items: List[dict], ranked):
-        """Cross-encoder rescoring over parser items (text surface)."""
+        """Rescoring over parser items: a multimodal reranker (yes-logit VLM,
+        inference/reranker/multimodal.py) sees the FULL query/candidate items;
+        a text cross-encoder sees their text surface
+        (parity: eval_reranker.py rerank_topk_for_queries)."""
+        mm = getattr(self.reranker, "multimodal", False)
+
         def text_of(item):
             return (item.get("text") or "") if isinstance(item, dict) else str(item)
 
+        proj = (lambda x: x) if mm else text_of
         new_ranked = []
         for r, order in zip(rows, ranked):
             top = order[: self.rerank_top_k]
-            pairs = [(text_of(r["query_input"]), text_of(cand_items[c])) for c in top]
+            pairs = [(proj(r["query_input"]), proj(cand_items[c])) for c in top]
             scores = self.reranker.compute_score(pairs, normalize=False)
             reorder = np.argsort(-np.asarray(scores))
             new_ranked.append([top[j] for j in reorder] + list(order[self.rerank_top_k :]))
@@ -219,14 +225,17 @@ class MMEBEvaluator:
         corpus_path = os.path.join(self.dataset_dir, f"{task_name}_corpus.jsonl")
         corpus = _load_jsonl(corpus_path) if os.path.exists(corpus_path) else None
 
+        mm = getattr(self.reranker, "multimodal", False)
+
         def text_of(item):
             return item if isinstance(item, str) else (item.get("text") or "")
 
+        proj = (lambda x: x) if mm else text_of
         new_ranked = []
         for r, order in zip(records, ranked):
             top = order[: self.rerank_top_k]
             cands = [corpus[c] if corpus is not None else r["candidates"][c] for c in top]
-            pairs = [(text_of(r["query"]), text_of(c)) for c in cands]
+            pairs = [(proj(r["query"]), proj(c)) for c in cands]
             scores = self.reranker.compute_score(pairs, normalize=False)
             reorder = np.argsort(-np.asarray(scores))
             new_ranked.append([top[j] for j in reorder] + order[self.rerank_top_k :])

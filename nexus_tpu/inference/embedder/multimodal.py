@@ -46,7 +46,7 @@ class MultimodalEmbedder:
             tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
         self.tokenizer = tokenizer
         c = model.vlm_config
-        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl"):
+        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
             from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
 
             t, h, w = model.grid_thw

@@ -266,3 +266,146 @@ def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True)
             os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
         )
     return config, torch_qwen2vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+
+
+def torch_qwen3vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:
+    """Map a HF Qwen3VLModel / Qwen3VLForConditionalGeneration state_dict
+    onto Qwen3VLBackbone params: deepstack vision tower (learned pos-embed
+    table + per-tap post-shuffle mergers) and the Qwen3 text trunk split into
+    the 'layers_deep' (first len(deepstack) layers, injection scan) and
+    'layers' (remainder) stacks."""
+    import jax as _jax
+
+    sd = {k.removeprefix("model."): _t(v) for k, v in state_dict.items()}
+    vis_sd = {k.removeprefix("visual."): v for k, v in sd.items() if k.startswith("visual.")}
+    txt_sd = {
+        k.removeprefix("language_model."): v
+        for k, v in sd.items()
+        if k.startswith("language_model.")
+    }
+    if not txt_sd:
+        txt_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+
+    def dense(m, prefix):
+        d = {"kernel": jnp.asarray(m[f"{prefix}.weight"].T, dtype)}
+        if f"{prefix}.bias" in m:
+            d["bias"] = jnp.asarray(m[f"{prefix}.bias"], dtype)
+        return d
+
+    def ln(m, prefix):
+        return {
+            "scale": jnp.asarray(m[f"{prefix}.weight"], jnp.float32),
+            "bias": jnp.asarray(m[f"{prefix}.bias"], jnp.float32),
+        }
+
+    def rms(m, prefix):
+        return {"weight": jnp.asarray(m[f"{prefix}.weight"], jnp.float32)}
+
+    vc = config.vision
+    pe = vis_sd["patch_embed.proj.weight"]  # [D, C, T, P, P]
+    visual = {
+        "patch_embed": {
+            "kernel": jnp.asarray(pe.reshape(pe.shape[0], -1).T, dtype),
+            "bias": jnp.asarray(vis_sd["patch_embed.proj.bias"], dtype),
+        },
+        "pos_embed": jnp.asarray(vis_sd["pos_embed.weight"], jnp.float32),
+        "merger": {
+            "norm": ln(vis_sd, "merger.norm"),
+            "linear_fc1": dense(vis_sd, "merger.linear_fc1"),
+            "linear_fc2": dense(vis_sd, "merger.linear_fc2"),
+        },
+    }
+    for j in range(len(vc.deepstack_visual_indexes)):
+        visual[f"deepstack_merger_{j}"] = {
+            "norm": ln(vis_sd, f"deepstack_merger_list.{j}.norm"),
+            "linear_fc1": dense(vis_sd, f"deepstack_merger_list.{j}.linear_fc1"),
+            "linear_fc2": dense(vis_sd, f"deepstack_merger_list.{j}.linear_fc2"),
+        }
+    blocks = []
+    for i in range(vc.depth):
+        p = f"blocks.{i}"
+        blocks.append({
+            "norm1": ln(vis_sd, f"{p}.norm1"),
+            "norm2": ln(vis_sd, f"{p}.norm2"),
+            "qkv": dense(vis_sd, f"{p}.attn.qkv"),
+            "attn_proj": dense(vis_sd, f"{p}.attn.proj"),
+            "linear_fc1": dense(vis_sd, f"{p}.mlp.linear_fc1"),
+            "linear_fc2": dense(vis_sd, f"{p}.mlp.linear_fc2"),
+        })
+    stack = lambda ls: _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ls)  # noqa: E731
+    if scan_layers:
+        visual["blocks"] = {"block": stack(blocks)}
+    else:
+        for i, bp in enumerate(blocks):
+            visual[f"block_{i}"] = bp
+
+    tc = config.text
+    layers = []
+    for i in range(tc.num_hidden_layers):
+        p = f"layers.{i}"
+        layers.append({
+            "self_attn": {
+                "q_proj": dense(txt_sd, f"{p}.self_attn.q_proj"),
+                "k_proj": dense(txt_sd, f"{p}.self_attn.k_proj"),
+                "v_proj": dense(txt_sd, f"{p}.self_attn.v_proj"),
+                "o_proj": dense(txt_sd, f"{p}.self_attn.o_proj"),
+                "q_norm": rms(txt_sd, f"{p}.self_attn.q_norm"),
+                "k_norm": rms(txt_sd, f"{p}.self_attn.k_norm"),
+            },
+            "mlp": {
+                "gate_proj": dense(txt_sd, f"{p}.mlp.gate_proj"),
+                "up_proj": dense(txt_sd, f"{p}.mlp.up_proj"),
+                "down_proj": dense(txt_sd, f"{p}.mlp.down_proj"),
+            },
+            "input_layernorm": rms(txt_sd, f"{p}.input_layernorm"),
+            "post_attention_layernorm": rms(txt_sd, f"{p}.post_attention_layernorm"),
+        })
+    n_deep = len(vc.deepstack_visual_indexes)
+    params = {
+        "embed_tokens": {"embedding": jnp.asarray(txt_sd["embed_tokens.weight"], dtype)},
+        "norm": rms(txt_sd, "norm"),
+        "visual": visual,
+    }
+    if scan_layers:
+        if n_deep:
+            params["layers_deep"] = {"layer": stack(layers[:n_deep])}
+        params["layers"] = {"layer": stack(layers[n_deep:])}
+    else:
+        for i, lp in enumerate(layers):
+            params[f"layer_{i}"] = lp
+    return {"params": params}
+
+
+def qwen3vl_binary_score_vector(state_dict, yes_token_id: int, no_token_id: int):
+    """w_yes - w_no from the LM head — the yes/no binary scoring vector the
+    MMEB reranker applies to the last hidden state (reference:
+    Nexus/evaluation/mmeb_v2/qwen3_vl_reranker.py get_binary_linear)."""
+    key = "lm_head.weight"
+    if key not in state_dict:  # tied embeddings fall back to the embed table
+        key = next(k for k in state_dict if k.endswith("embed_tokens.weight"))
+    w = _t(state_dict[key])
+    return np.asarray(w[yes_token_id] - w[no_token_id], np.float32)
+
+
+def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True):
+    """Load a local HF Qwen3-VL checkpoint dir into (Qwen3VLConfig, variables)."""
+    from nexus_tpu.models.qwen3_vl import Qwen3VLConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    config = Qwen3VLConfig.from_hf(cfg_dict)
+
+    sd = {}
+    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            sd.update(load_file(os.path.join(model_dir, f)))
+    else:
+        import torch
+
+        sd = torch.load(
+            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
+        )
+    return config, torch_qwen3vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)

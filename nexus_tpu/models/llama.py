@@ -31,6 +31,7 @@ class LlamaConfig(AbsArguments):
     num_hidden_layers: int = 32
     num_attention_heads: int = 32
     num_key_value_heads: Optional[int] = None  # GQA; None -> MHA
+    head_dim: Optional[int] = None  # Qwen3 decouples it from hidden/heads
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0

@@ -306,3 +306,12 @@ def _build_qwen2_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
 # Qwen2.5-VL rides the same backbone with the windowed-attention tower
 # (config.variant selects it; parity-tested in tests/test_qwen2_vl.py)
 _BACKBONE_REGISTRY["qwen2.5-vl"] = _BACKBONE_REGISTRY["qwen2-vl"]
+
+
+@register_multimodal_backbone("qwen3-vl")
+def _build_qwen3_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
+    import jax.numpy as jnp
+
+    from nexus_tpu.models.qwen3_vl import Qwen3VLBackbone
+
+    return Qwen3VLBackbone(config, grid_thw=tuple(grid_thw), dtype=dtype or jnp.bfloat16)

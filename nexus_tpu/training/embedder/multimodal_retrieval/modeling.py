@@ -35,8 +35,8 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         model_args: Optional[TextEmbedderModelArguments] = None,
         variables: Optional[dict] = None,
         local_loss_weight: float = 0.0,
-        backbone_type: str = "nexus-vlm",  # nexus-vlm | qwen2-vl
-        grid_thw: Tuple[int, int, int] = (1, 16, 16),  # static patch grid (qwen2-vl)
+        backbone_type: str = "nexus-vlm",  # nexus-vlm | qwen2-vl | qwen2.5-vl | qwen3-vl
+        grid_thw: Tuple[int, int, int] = (1, 16, 16),  # static patch grid (qwen-vl family)
     ):
         self.bert_config = vlm_config  # base-class compat
         self.vlm_config = vlm_config
@@ -47,7 +47,14 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             args.sentence_pooling_method = "last_token"
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        if backbone_type in ("qwen2-vl", "qwen2.5-vl"):
+        if backbone_type == "qwen3-vl":
+            from nexus_tpu.models.qwen3_vl import Qwen3VLBackbone
+
+            self.net = Qwen3VLBackbone(
+                vlm_config, grid_thw=self.grid_thw, dtype=dtype,
+                remat=args.gradient_checkpointing,
+            )
+        elif backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone
 
             self.net = Qwen2VLBackbone(
@@ -68,14 +75,24 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         cls, model_dir: str, model_args: Optional[TextEmbedderModelArguments] = None,
         image_size: int = 224, **kw,
     ) -> "BiMultimodalEmbedderModel":
-        """Load a real HF Qwen2-VL checkpoint directory (weights converted to
-        the TPU layout; parity-tested in tests/test_qwen2_vl.py). The static
-        patch grid follows the pinned processor resolution."""
-        from nexus_tpu.models.hf_convert import load_hf_qwen2vl
+        """Load a real HF Qwen-VL-family checkpoint directory (weights
+        converted to the TPU layout; parity-tested in tests/test_qwen2_vl.py
+        and tests/test_qwen3_vl.py). The static patch grid follows the pinned
+        processor resolution."""
+        import json as _json
 
+        with open(os.path.join(model_dir, "config.json")) as f:
+            model_type = _json.load(f).get("model_type", "")
         model_args = model_args or TextEmbedderModelArguments()
         dtype = jnp.bfloat16 if model_args.dtype == "bfloat16" else jnp.float32
-        config, variables = load_hf_qwen2vl(model_dir, dtype=dtype)
+        if "qwen3" in str(model_type):
+            from nexus_tpu.models.hf_convert import load_hf_qwen3vl
+
+            config, variables = load_hf_qwen3vl(model_dir, dtype=dtype)
+        else:
+            from nexus_tpu.models.hf_convert import load_hf_qwen2vl
+
+            config, variables = load_hf_qwen2vl(model_dir, dtype=dtype)
         g = image_size // config.vision.patch_size
         model = cls(config, model_args, variables=variables,
                     backbone_type=config.variant, grid_thw=(1, g, g), **kw)
@@ -84,7 +101,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
     # -- encoding over multimodal feeds -------------------------------------
 
     def encode_feed(self, variables, feed: Dict[str, Array], train=False, rngs=None) -> Array:
-        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl"):
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
             out = self.net.apply(
                 variables,
                 input_ids=feed["input_ids"],
@@ -118,7 +135,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             return self.variables
         c = self.vlm_config
         b, l = 2, 32
-        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl"):
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
             t, h, w = self.grid_thw
             patches = jnp.zeros((1, t * h * w, c.vision.patch_dim))
             return self.net.init(
@@ -194,12 +211,16 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             cfg_dict = json.load(f)
         backbone_type = cfg_dict.pop("model_type", "nexus-vlm")
         grid_thw = tuple(cfg_dict.pop("grid_thw", (1, 16, 16)))
-        if backbone_type in ("qwen2-vl", "qwen2.5-vl"):
+        if backbone_type == "qwen3-vl":
+            from nexus_tpu.models.qwen3_vl import Qwen3VLConfig
+
+            config = Qwen3VLConfig.from_dict(cfg_dict)
+        elif backbone_type in ("qwen2-vl", "qwen2.5-vl"):
             from nexus_tpu.models.qwen2_vl import Qwen2VLConfig
 
             config = Qwen2VLConfig.from_dict(cfg_dict)
         elif "architectures" in cfg_dict or "vision_config" in cfg_dict:
-            # a raw HF Qwen2-VL checkpoint dir: convert the torch weights
+            # a raw HF Qwen-VL-family checkpoint dir: convert the torch weights
             return cls.from_hf_pretrained(model_dir, model_args)
         else:
             config = VLMConfig.from_dict(cfg_dict)
