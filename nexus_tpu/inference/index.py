@@ -59,6 +59,7 @@ class ItemIndex:
         dtype=jnp.float32,
         kmeans_train_size: int = 262144,
         storage: str = "dense",  # 'dense' | 'int8' (per-row symmetric quant)
+        centroids: Optional[np.ndarray] = None,  # skip k-means when provided
     ) -> "ItemIndex":
         vectors = jnp.asarray(vectors).astype(dtype)
         if metric == "cosine":
@@ -74,13 +75,17 @@ class ItemIndex:
             key = jax.random.PRNGKey(seed)
             n = vectors.shape[0]
             nlist = min(nlist, n)
-            # Faiss-style: train centroids on a sample, then assign everything
-            if n > kmeans_train_size:
-                sample_rows = jax.random.choice(key, n, (kmeans_train_size,), replace=False)
-                train_vecs = vectors[sample_rows].astype(jnp.float32)
+            if centroids is None:
+                # Faiss-style: train centroids on a sample, then assign everything
+                if n > kmeans_train_size:
+                    sample_rows = jax.random.choice(key, n, (kmeans_train_size,), replace=False)
+                    train_vecs = vectors[sample_rows].astype(jnp.float32)
+                else:
+                    train_vecs = vectors.astype(jnp.float32)
+                centroids, _ = kmeans(key, train_vecs, nlist, max_iter=20)
             else:
-                train_vecs = vectors.astype(jnp.float32)
-            centroids, _ = kmeans(key, train_vecs, nlist, max_iter=20)
+                centroids = jnp.asarray(centroids, jnp.float32)
+                nlist = centroids.shape[0]
             assign = np.asarray(jax.jit(_assign)(vectors, centroids))
             # Cell-contiguous layout: reorder the corpus so every cell is a
             # contiguous row range, split oversized cells into capped
@@ -108,6 +113,133 @@ class ItemIndex:
             if not idx.is_ivf:
                 raise ValueError("int8 storage requires index_type='ivf'")
             idx.vectors, idx.row_scales = _quantize_rows_int8(idx.vectors)
+        return idx
+
+    @classmethod
+    def build_streamed(
+        cls,
+        chunk_factory,  # callable -> iterator of [n_i, D] float chunks (re-iterable)
+        item_ids: Optional[np.ndarray] = None,
+        metric: str = "ip",
+        nlist: int = 4096,
+        nprobe: int = 64,
+        seed: int = 0,
+        kmeans_train_size: int = 262144,
+        storage: str = "int8",
+        centroids: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+    ) -> "ItemIndex":
+        """Constant-host-memory IVF build over a corpus streamed in chunks
+        (the scale path: a 12.5M x 768 f32 corpus is 38 GB — neither host RAM
+        nor a dense device buffer need ever hold it).
+
+        Three streaming passes: (1) reservoir-sample k-means training rows,
+        (2) assign every chunk to its cell on device, (3) quantize each chunk
+        on device and scatter it into the DONATED cell-contiguous corpus
+        buffer at its reordered positions (in-place XLA updates — the int8
+        buffer is the only corpus-sized allocation anywhere).
+        """
+        rng = np.random.default_rng(seed)
+
+        def prep(chunk):
+            c = np.asarray(chunk, np.float32)
+            if metric == "cosine":
+                c = c / np.clip(np.linalg.norm(c, axis=-1, keepdims=True), 1e-12, None)
+            return c
+
+        # pass 1: count rows + reservoir-sample training rows
+        n = 0
+        sample = None
+        n_sampled = 0
+        if centroids is None:
+            for chunk in chunk_factory():
+                chunk = prep(chunk)
+                if sample is None:
+                    sample = np.empty((kmeans_train_size, chunk.shape[1]), np.float32)
+                m = len(chunk)
+                fill = min(kmeans_train_size - n_sampled, m)
+                if fill > 0:
+                    sample[n_sampled : n_sampled + fill] = chunk[:fill]
+                    n_sampled += fill
+                if fill < m:  # vectorized reservoir acceptance for the rest
+                    gpos = n + np.arange(fill, m)
+                    take = np.nonzero(rng.random(m - fill) < kmeans_train_size / (gpos + 1))[0]
+                    slots = rng.integers(0, kmeans_train_size, len(take))
+                    sample[slots] = chunk[fill + take]
+                n += m
+            key = jax.random.PRNGKey(seed)
+            cents, _ = kmeans(key, jnp.asarray(sample[:n_sampled]), min(nlist, n_sampled),
+                              max_iter=20)
+            centroids = np.asarray(cents)
+        else:
+            centroids = np.asarray(centroids, np.float32)
+            for chunk in chunk_factory():
+                n += np.asarray(chunk).shape[0]
+        nlist = centroids.shape[0]
+        cents_dev = jnp.asarray(centroids, jnp.float32)
+
+        # pass 2: assign every chunk
+        from nexus_tpu.ops.kmeans import _assign
+
+        assign_fn = jax.jit(_assign)
+        assign = np.empty((n,), np.int32)
+        off = 0
+        for chunk in chunk_factory():
+            chunk = prep(chunk)
+            assign[off : off + len(chunk)] = np.asarray(assign_fn(jnp.asarray(chunk), cents_dev))
+            off += len(chunk)
+
+        # host layout: cell-contiguous order + capped subcells (same scheme
+        # as build(); the reorder itself never materializes on host)
+        cap = min(max(int(2 * n / nlist), 512), n)
+        order = np.argsort(assign, kind="stable")
+        inv = np.empty((n,), np.int64)
+        inv[order] = np.arange(n)
+        sorted_assign = assign[order]
+        boundaries = np.searchsorted(sorted_assign, np.arange(nlist + 1))
+        sub_centroid_rows, sub_starts, sub_counts = [], [], []
+        for cell in range(nlist):
+            lo, hi = int(boundaries[cell]), int(boundaries[cell + 1])
+            for o in range(lo, hi, cap):
+                sub_centroid_rows.append(cell)
+                sub_starts.append(o)
+                sub_counts.append(min(cap, hi - o))
+
+        # pass 3: quantize chunks on device, scatter into the donated buffer
+        quantized = storage == "int8"
+        buf = jnp.zeros((n, centroids.shape[1]), jnp.int8 if quantized else dtype)
+        scales = jnp.ones((n,), jnp.float32)
+
+        if quantized:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def write(buf, scales, chunk, target):
+                q, s = _quantize_rows_int8(chunk)
+                return buf.at[target].set(q), scales.at[target].set(s)
+        else:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def write(buf, scales, chunk, target):
+                return buf.at[target].set(chunk.astype(buf.dtype)), scales
+
+        off = 0
+        for chunk in chunk_factory():
+            chunk = prep(chunk)
+            target = jnp.asarray(inv[off : off + len(chunk)])
+            buf, scales = write(buf, scales, jnp.asarray(chunk), target)
+            off += len(chunk)
+
+        if item_ids is None:
+            item_ids = np.arange(n)
+        idx = cls(
+            vectors=buf,
+            item_ids=np.asarray(item_ids)[order],
+            metric=metric,
+            centroids=jnp.asarray(centroids[sub_centroid_rows], jnp.float32),
+            cluster_items=jnp.asarray(np.asarray(sub_starts, np.int32)),
+            cluster_counts=jnp.asarray(np.asarray(sub_counts, np.int32)),
+            nprobe=nprobe,
+            cell_cap=cap,
+            row_scales=scales if quantized else None,
+        )
         return idx
 
     # -- search ------------------------------------------------------------

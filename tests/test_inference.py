@@ -205,3 +205,63 @@ def test_sharded_ivf_matches_single_device(key):
     _, i_q = sharded_q.search(q, k=10)
     overlap = np.mean([len(set(i_shard[r]) & set(i_q[r])) / 10 for r in range(6)])
     assert overlap >= 0.9, overlap
+
+
+def test_streamed_build_matches_in_memory(key):
+    """build_streamed (constant-memory 3-pass over chunks) produces the SAME
+    index layout and search results as build() given identical centroids —
+    the at-scale build path (ROADMAP: corpora exceeding host memory)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, d = 700, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    cents = rng.standard_normal((12, d)).astype(np.float32)
+
+    base = ItemIndex.build(vecs, index_type="ivf", nlist=12, nprobe=6,
+                           storage="int8", centroids=cents)
+
+    def chunks():
+        for off in range(0, n, 128):
+            yield vecs[off : off + 128]
+
+    streamed = ItemIndex.build_streamed(chunks, nprobe=6, storage="int8",
+                                        centroids=cents)
+    np.testing.assert_array_equal(np.asarray(base.vectors), np.asarray(streamed.vectors))
+    np.testing.assert_array_equal(base.item_ids, streamed.item_ids)
+    np.testing.assert_allclose(np.asarray(base.row_scales), np.asarray(streamed.row_scales),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(base.cluster_items), np.asarray(streamed.cluster_items))
+    np.testing.assert_array_equal(np.asarray(base.cluster_counts), np.asarray(streamed.cluster_counts))
+
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    s1, i1 = base.search(q, 10)
+    s2, i2 = streamed.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_streamed_build_self_kmeans(key):
+    """Without given centroids, build_streamed trains k-means on a reservoir
+    sample and still reaches exact-search recall on clustered data."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    cents = rng.standard_normal((8, 16)).astype(np.float32) * 5
+    labels = rng.integers(0, 8, 600)
+    vecs = (cents[labels] + 0.3 * rng.standard_normal((600, 16))).astype(np.float32)
+
+    def chunks():
+        for off in range(0, 600, 100):
+            yield vecs[off : off + 100]
+
+    idx = ItemIndex.build_streamed(chunks, nlist=8, nprobe=8, storage="int8",
+                                   kmeans_train_size=256, seed=1)
+    flat = ItemIndex.build(vecs, index_type="flat")
+    q = vecs[:8] + 0.05 * rng.standard_normal((8, 16)).astype(np.float32)
+    _, ids_ivf = idx.search(q, 10)
+    _, ids_flat = flat.search(q, 10)
+    recall = np.mean([
+        len(set(ids_ivf[i]) & set(ids_flat[i])) / 10 for i in range(8)
+    ])
+    assert recall > 0.9, recall
