@@ -340,11 +340,22 @@ class RecTrainer:
         step = int(self._state.step)
         pending_losses: list = []  # device arrays; host-sync only on logging
         # boundaries (each float() costs a full host round-trip per step)
-        for epoch in range(self.args.num_train_epochs):
+        # mid-epoch resume: replay the deterministic pipeline (seed + epoch)
+        # and fast-forward past already-trained batches (file+offset cursor
+        # saved by _save_trainer_state; host-side reads only, no device steps)
+        start_epoch, skip_batches = getattr(self, "_resume_cursor", (0, 0))
+        self._resume_cursor = (0, 0)
+        for epoch in range(start_epoch, self.args.num_train_epochs):
             data_iter = train_data() if callable(train_data) else train_data
             if hasattr(data_iter, "set_epoch"):
                 data_iter.set_epoch(epoch)
+            batch_in_epoch = 0
             for batch in _prefetch(iter(data_iter)):
+                if epoch == start_epoch and batch_in_epoch < skip_batches:
+                    batch_in_epoch += 1
+                    continue
+                batch_in_epoch += 1
+                self._data_cursor = (epoch, batch_in_epoch)
                 if self.args.profile_step_start is not None and step == self.args.profile_step_start:
                     jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
                 batch.pop("_nvalid", None)
@@ -371,6 +382,8 @@ class RecTrainer:
                     cb.on_step_end(self, step)
                 if self.should_stop:
                     break
+            if not self.should_stop:  # epoch fully consumed: resume at next
+                self._data_cursor = (epoch + 1, 0)
             eval_metrics = None
             if eval_data is not None and self.args.evaluation_strategy != "no":
                 eval_metrics = self.evaluate(eval_data)
@@ -419,6 +432,8 @@ class RecTrainer:
         self._save_trainer_state(output_dir)
 
     def _save_trainer_state(self, output_dir: str) -> None:
+        import json
+
         from flax import serialization
 
         state_host = jax.tree_util.tree_map(
@@ -426,6 +441,11 @@ class RecTrainer:
         )
         with open(os.path.join(output_dir, "trainer_state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(state_host))
+        cursor = getattr(self, "_data_cursor", None)
+        if cursor is not None:
+            with open(os.path.join(output_dir, "data_cursor.json"), "w") as f:
+                json.dump({"epoch": cursor[0], "batch_in_epoch": cursor[1],
+                           "seed": self.args.seed}, f)
 
     def load_model(self, checkpoint_dir: str) -> None:
         """Restore model weights; when trainer_state.msgpack is present,
@@ -469,3 +489,21 @@ class RecTrainer:
                 opt_state=jax.device_put(restored["opt_state"], opt_sh),
             )
             logger.info("resumed trainer state at step %d", int(self._state.step))
+        cursor_path = os.path.join(checkpoint_dir, "data_cursor.json")
+        if os.path.exists(cursor_path):
+            import json
+
+            with open(cursor_path) as f:
+                cur = json.load(f)
+            if cur.get("seed", self.args.seed) != self.args.seed:
+                logger.warning(
+                    "checkpoint data cursor was written with seed %s but this run "
+                    "uses seed %s — the fast-forward will not replay the same "
+                    "batches; ignoring the cursor", cur.get("seed"), self.args.seed,
+                )
+            else:
+                self._resume_cursor = (int(cur["epoch"]), int(cur["batch_in_epoch"]))
+                logger.info(
+                    "mid-epoch resume: epoch %d, fast-forwarding %d batches",
+                    cur["epoch"], cur["batch_in_epoch"],
+                )
