@@ -213,26 +213,60 @@ class IDTransformerGroup:
     def __contains__(self, feat):
         return feat in self.transformers
 
-    def transform_batch(self, batch: dict) -> Tuple[dict, Dict[str, tuple]]:
+    def transform_batch(self, batch: dict, parallel: bool = True) -> Tuple[dict, Dict[str, tuple]]:
         """Transform every configured feature in a (possibly nested) batch.
-        Returns (new_batch, {feat: (admitted, evicted)})."""
-        events: Dict[str, tuple] = {}
+        Returns (new_batch, {feat: (admitted, evicted)}).
 
-        def walk(d):
+        With ``parallel`` (default) features shard across a thread pool —
+        the native transform releases the GIL for the whole ctypes call, so
+        distinct features' LRU updates genuinely overlap (each feature's own
+        leaves stay serialized on one thread: a transformer is not
+        thread-safe against itself)."""
+        # collect (path, array) leaves per feature
+        per_feat: Dict[str, list] = {}
+        skeleton: dict = {}
+
+        def collect(d, path):
             out = {}
             for k, v in d.items():
                 if isinstance(v, dict):
-                    out[k] = walk(v)
+                    out[k] = collect(v, path + (k,))
                 elif k in self.transformers:
-                    slots, admitted, evicted = self.transformers[k].transform(np.asarray(v))
-                    prev = events.get(k, ([], []))
-                    events[k] = (prev[0] + admitted, prev[1] + evicted)
-                    out[k] = slots.astype(np.int64)
+                    per_feat.setdefault(k, []).append((path + (k,), v))
+                    out[k] = None  # filled in below
                 else:
                     out[k] = v
             return out
 
-        return walk(batch), events
+        skeleton = collect(batch, ())
+
+        def run_feat(feat):
+            tr = self.transformers[feat]
+            admitted, evicted, results = [], [], []
+            for path, v in per_feat[feat]:
+                slots, a, e = tr.transform(np.asarray(v))
+                results.append((path, slots.astype(np.int64)))
+                admitted += a
+                evicted += e
+            return feat, results, (admitted, evicted)
+
+        if parallel and len(per_feat) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(per_feat))) as ex:
+                outputs = list(ex.map(run_feat, per_feat))
+        else:
+            outputs = [run_feat(f) for f in per_feat]
+
+        events: Dict[str, tuple] = {}
+        for feat, results, ev in outputs:
+            events[feat] = ev
+            for path, slots in results:
+                d = skeleton
+                for k in path[:-1]:
+                    d = d[k]
+                d[path[-1]] = slots
+        return skeleton, events
 
     @property
     def stats(self):

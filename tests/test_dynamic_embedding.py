@@ -240,3 +240,100 @@ def test_tde_serving_engine(tmp_path):
     )
     out = engine.batch_inference([1])
     assert out["item_ids"].shape == (1, 5)
+
+
+# ---------------------------------------------------------------------------
+# soak: collision/eviction correctness under multi-billion-scale id traffic
+# ---------------------------------------------------------------------------
+
+
+def test_soak_lru_invariants_vs_oracle():
+    """200k zipf-ish ids drawn from a 2^62 space through a small cache:
+    the native transformer must agree with the Python LRU oracle on every
+    slot assignment, admission and eviction — hash collisions in the C++
+    open-addressing table must never alias two live ids to one slot."""
+    if _load_native() is None:
+        pytest.skip("no native lib")
+    cap = 257
+    native = IDTransformer(capacity=cap, use_native=True)
+    oracle = IDTransformer(capacity=cap, use_native=False)
+    if not native.is_native:
+        pytest.skip("native build failed")
+
+    rng = np.random.default_rng(0)
+    # heavy-tailed reuse over a huge sparse space (stresses the hash table)
+    hot = rng.integers(1, 2**62, 300)
+    for step in range(100):
+        n = int(rng.integers(100, 2048))
+        cold = rng.integers(1, 2**62, n)
+        use_hot = rng.random(n) < 0.6
+        ids = np.where(use_hot, hot[rng.integers(0, len(hot), n)], cold)
+        s_n, a_n, e_n = native.transform(ids)
+        s_o, a_o, e_o = oracle.transform(ids)
+        np.testing.assert_array_equal(s_n, s_o)
+        assert a_n == a_o, f"step {step}: admissions diverge"
+        assert e_n == e_o, f"step {step}: evictions diverge"
+        # live mapping is injective and bounded
+        live = native.dump()
+        slots = [s for _, s in live]
+        assert len(slots) == len(set(slots)) <= cap - 1
+        assert all(1 <= s < cap for s in slots)
+    st_n, st_o = native.stats, oracle.stats
+    assert st_n["evictions"] == st_o["evictions"] > 1000
+    assert st_n["hits"] == st_o["hits"]
+    assert st_n["misses"] == st_o["misses"]
+    # event-sourced reconstruction equals the live table
+    assert sorted(native.dump()) == sorted(oracle.dump())
+
+
+def test_soak_spill_restore_roundtrip():
+    """Rows evicted to the PS and later readmitted must carry their exact
+    values back — simulated embedding table driven by transform events
+    (the TDEModel spill/restore contract under heavy eviction pressure)."""
+    if _load_native() is None:
+        pytest.skip("no native lib")
+    cap, dim = 64, 4
+    t = IDTransformer(capacity=cap, use_native=True)
+    table = np.zeros((cap, dim), np.float32)
+    ps: dict = {}  # id -> row (the KV parameter server)
+    truth: dict = {}  # id -> expected row value
+
+    def value_of(gid):
+        return np.full((dim,), float(gid % 99991), np.float32)
+
+    rng = np.random.default_rng(1)
+    pool = rng.integers(1, 2**40, 500)
+    for _ in range(200):
+        ids = pool[rng.integers(0, len(pool), 32)]
+        slots, admitted, evicted = t.transform(ids)
+        for gid, s in evicted:  # spill BEFORE overwriting the slot
+            ps[gid] = table[s].copy()
+        for gid, s in admitted:
+            table[s] = ps.get(gid, value_of(gid))
+            truth[gid] = table[s].copy()
+        # every live id's slot holds its true row
+        for gid, s in t.dump():
+            np.testing.assert_array_equal(table[s], truth[gid])
+    assert t.stats["evictions"] > 1000
+
+
+def test_group_parallel_matches_serial():
+    """transform_batch(parallel=True) shards features over threads and
+    produces identical slots/events to the serial path."""
+    caps = {"a": 32, "b": 16, "c": 64}
+    g1 = IDTransformerGroup(caps, use_native=False)
+    g2 = IDTransformerGroup(caps, use_native=False)
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        batch = {
+            "ctx": {"a": rng.integers(0, 1000, (8,)), "b": rng.integers(0, 500, (8, 3))},
+            "item": {"c": rng.integers(0, 2000, (8,))},
+            "label": np.ones((8,)),
+        }
+        out1, ev1 = g1.transform_batch(batch, parallel=True)
+        out2, ev2 = g2.transform_batch(batch, parallel=False)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(out1["ctx"][k], out2["ctx"][k])
+        np.testing.assert_array_equal(out1["item"]["c"], out2["item"]["c"])
+        np.testing.assert_array_equal(out1["label"], batch["label"])
+        assert ev1 == ev2
