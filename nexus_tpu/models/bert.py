@@ -175,6 +175,9 @@ class BertEncoderModel(nn.Module):
     remat: bool = False  # gradient checkpointing: recompute layer activations in backward
     remat_policy: Optional[str] = None  # None=full remat | 'dots' = save matmul
     # outputs, recompute only elementwise (cheaper backward, more memory)
+    remat_plain_layers: int = 0  # PARTIAL remat: the last k layers skip remat
+    # (their activations are saved), trading memory back for ~k/L of the
+    # recompute FLOPs; params split into 'layers' (rematted) + 'layers_plain'
 
     @nn.compact
     def __call__(
@@ -207,16 +210,21 @@ class BertEncoderModel(nn.Module):
                 layer_cls = nn.remat(_ScannedLayer, **remat_kw)
             else:
                 layer_cls = _ScannedLayer
-            Scanned = nn.scan(
-                layer_cls,
+            n_plain = min(self.remat_plain_layers, c.num_hidden_layers) if self.remat else 0
+            scan_kw = dict(
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                length=c.num_hidden_layers,
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             )
+            Scanned = nn.scan(layer_cls, length=c.num_hidden_layers - n_plain, **scan_kw)
             x, _ = Scanned(c, dtype=self.dtype, name="layers")(
                 x, None, mask_bool, train, segment_ids
             )
+            if n_plain:
+                ScanPlain = nn.scan(_ScannedLayer, length=n_plain, **scan_kw)
+                x, _ = ScanPlain(c, dtype=self.dtype, name="layers_plain")(
+                    x, None, mask_bool, train, segment_ids
+                )
         else:
             for i in range(c.num_hidden_layers):
                 x = BertLayer(c, dtype=self.dtype, name=f"layer_{i}")(
@@ -228,15 +236,20 @@ class BertEncoderModel(nn.Module):
         return {"last_hidden_state": x, "pooler_output": pooled}
 
 
-def stack_layer_params(params: dict, num_layers: int) -> dict:
+def stack_layer_params(params: dict, num_layers: int, plain_layers: int = 0) -> dict:
     """Convert per-layer params {'layer_0': t0, ...} into the scanned layout
-    {'layers': {'layer': stack([t0...tL])}} expected by scan_layers=True."""
+    {'layers': {'layer': stack([t0...])}} expected by scan_layers=True. With
+    ``plain_layers`` k the LAST k layers stack separately under
+    'layers_plain' (the partial-remat split, remat_plain_layers)."""
     import jax
 
     layers = [params[f"layer_{i}"] for i in range(num_layers)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     out = {k: v for k, v in params.items() if not k.startswith("layer_")}
-    out["layers"] = {"layer": stacked}
+    stack = lambda ls: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ls)  # noqa: E731
+    split = num_layers - plain_layers
+    out["layers"] = {"layer": stack(layers[:split])}
+    if plain_layers:
+        out["layers_plain"] = {"layer": stack(layers[split:])}
     return out
 
 

@@ -28,7 +28,7 @@ def _t(x) -> np.ndarray:
 
 def torch_bert_to_flax(
     state_dict: Dict[str, "np.ndarray"], config: BertConfig, dtype=jnp.float32,
-    scan_layers: bool = True,
+    scan_layers: bool = True, plain_layers: int = 0,
 ) -> dict:
     """Map a HF BertModel state_dict onto BertEncoderModel params.
 
@@ -89,11 +89,12 @@ def torch_bert_to_flax(
     if scan_layers:
         from nexus_tpu.models.bert import stack_layer_params
 
-        params = stack_layer_params(params, config.num_hidden_layers)
+        params = stack_layer_params(params, config.num_hidden_layers, plain_layers)
     return {"params": params}
 
 
-def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = True, scan_layers: bool = True):
+def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = True,
+                 scan_layers: bool = True, plain_layers: int = 0):
     """Load a local HF BERT checkpoint directory into (BertConfig, variables).
 
     Reads config.json + model.safetensors (preferred) or pytorch_model.bin.
@@ -115,7 +116,8 @@ def load_hf_bert(model_dir: str, dtype=jnp.float32, add_pooling_layer: bool = Tr
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
     else:
         raise FileNotFoundError(f"no model weights found under {model_dir}")
-    return config, torch_bert_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+    return config, torch_bert_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers,
+                                      plain_layers=plain_layers)
 
 
 def torch_llama_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True,

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--knowledge_distillation", action="store_true")
     ap.add_argument("--no_in_batch_neg_flag", action="store_true")
     ap.add_argument("--same_dataset_within_batch", action="store_true")
+    ap.add_argument("--pack_sequences", action="store_true",
+                    help="pack ragged batches into dense rows (block-diagonal "
+                         "segment attention; ~2.5x on real-data mixes)")
+    ap.add_argument("--pack_row_len", type=int, default=512)
     # training args
     ap.add_argument("--output_dir", default="./saves/text_embedder")
     ap.add_argument("--num_train_epochs", type=int, default=1)
@@ -65,6 +69,8 @@ def main():
             knowledge_distillation=args.knowledge_distillation,
             no_in_batch_neg_flag=args.no_in_batch_neg_flag,
             same_dataset_within_batch=args.same_dataset_within_batch,
+            pack_sequences=args.pack_sequences,
+            pack_row_len=args.pack_row_len,
         ),
         TrainingArguments.from_dict(
             dict(

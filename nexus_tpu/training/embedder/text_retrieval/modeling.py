@@ -51,6 +51,7 @@ class BiTextEmbedderModel:
         self.net = BertEncoderModel(
             bert_config, dtype=dtype, remat=self.args.gradient_checkpointing,
             remat_policy=self.args.remat_policy,
+            remat_plain_layers=getattr(self.args, "remat_plain_layers", 0),
         )
         self.variables = variables
         self.ce = CrossEntropyLoss()
@@ -266,6 +267,10 @@ class BiTextEmbedderModel:
             from nexus_tpu.models.hf_convert import load_hf_bert
 
             dtype = jnp.bfloat16 if model.args.dtype == "bfloat16" else jnp.float32
-            _, variables = load_hf_bert(model_dir, dtype=dtype, add_pooling_layer=False)
+            _, variables = load_hf_bert(
+                model_dir, dtype=dtype, add_pooling_layer=False,
+                plain_layers=(getattr(model.args, "remat_plain_layers", 0)
+                              if model.args.gradient_checkpointing else 0),
+            )
             model.variables = variables
         return model

@@ -1,4 +1,5 @@
 import jax
+from jax.flatten_util import ravel_pytree as _ravel_pytree
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -94,3 +95,55 @@ def test_bert_pallas_attention_matches_xla(key):
     valid = np.asarray(mask).astype(bool)
     dx = np.abs(np.asarray(out_x) - np.asarray(out_p))[valid]
     assert dx.max() < 1e-4, dx.max()
+
+
+def test_partial_remat_split_matches_full():
+    """remat_plain_layers=k (last k layers saved, not rematted) is a pure
+    layout/recompute change: outputs and gradients match the full-remat
+    model on converted weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFC
+    from transformers import BertModel
+
+    from nexus_tpu.models.bert import BertConfig, BertEncoderModel
+    from nexus_tpu.models.hf_convert import torch_bert_to_flax
+
+    hf = BertModel(HFC(vocab_size=120, hidden_size=32, num_hidden_layers=4,
+                       num_attention_heads=2, intermediate_size=64,
+                       max_position_embeddings=64))
+    cfg = BertConfig.from_hf(hf.config.to_dict())
+    cfg.add_pooling_layer = False
+    cfg.hidden_dropout_prob = 0.0
+    cfg.attention_probs_dropout_prob = 0.0
+    sd = hf.state_dict()
+
+    full = BertEncoderModel(cfg, remat=True)
+    part = BertEncoderModel(cfg, remat=True, remat_plain_layers=2)
+    v_full = torch_bert_to_flax(sd, cfg)
+    v_part = torch_bert_to_flax(sd, cfg, plain_layers=2)
+    assert "layers_plain" in v_part["params"]
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 120, (2, 10)), jnp.int32)
+
+    def loss(model, v):
+        return jnp.sum(model.apply(v, ids, train=True,
+                                   rngs={"dropout": jax.random.PRNGKey(0)})["last_hidden_state"] ** 2)
+
+    np.testing.assert_allclose(float(loss(full, v_full)), float(loss(part, v_part)), rtol=1e-6)
+    g_full = jax.grad(lambda v: loss(full, v))(v_full)
+    g_part = jax.grad(lambda v: loss(part, v))(v_part)
+    # compare per-layer grads: part's layers_plain holds the last 2 layers
+    gl = g_full["params"]["layers"]["layer"]
+    gp = g_part["params"]["layers"]["layer"]
+    gpp = g_part["params"]["layers_plain"]["layer"]
+    flat_a, _ = _ravel_pytree(jax.tree_util.tree_map(lambda x: x[:2], gl))
+    flat_b, _ = _ravel_pytree(gp)
+    np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b), atol=1e-5)
+    flat_c, _ = _ravel_pytree(jax.tree_util.tree_map(lambda x: x[2:], gl))
+    flat_d, _ = _ravel_pytree(gpp)
+    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_d), atol=1e-5)

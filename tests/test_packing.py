@@ -3,6 +3,7 @@
 length-sorted batching, Nexus/inference/embedder/text_retrieval/base.py)."""
 
 import jax
+from jax.flatten_util import ravel_pytree as _ravel_pytree
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -264,8 +265,8 @@ def test_packed_training_loss_and_grad_parity(pooling):
 
     g_pad = jax.grad(lambda v: model.loss_fn(v, padded, key)[0])(variables)
     g_pk = jax.grad(lambda v: model.loss_fn(v, packed, key)[0])(variables)
-    flat_pad, _ = jax.flatten_util.ravel_pytree(g_pad)
-    flat_pk, _ = jax.flatten_util.ravel_pytree(g_pk)
+    flat_pad, _ = _ravel_pytree(g_pad)
+    flat_pk, _ = _ravel_pytree(g_pk)
     np.testing.assert_allclose(np.asarray(flat_pad), np.asarray(flat_pk), atol=5e-5)
 
 

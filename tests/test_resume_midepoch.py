@@ -6,6 +6,7 @@ Reference counterpart: HF resume_from_checkpoint skips only whole epochs —
 this is strictly stronger."""
 
 import jax
+from jax.flatten_util import ravel_pytree as _ravel_pytree
 import numpy as np
 
 from nexus_tpu.data.dataset import ShardedDataset
@@ -58,8 +59,8 @@ def test_midepoch_resume_exact(tmp_path):
     final_b = t_b.train(ds_b, resume_from_checkpoint=ckpt)
     assert int(final_b.step) == total_steps, (int(final_b.step), total_steps)
     got = jax.tree_util.tree_map(np.asarray, final_b.params)
-    flat_ref, _ = jax.flatten_util.ravel_pytree(ref_params)
-    flat_got, _ = jax.flatten_util.ravel_pytree(got)
+    flat_ref, _ = _ravel_pytree(ref_params)
+    flat_got, _ = _ravel_pytree(got)
     np.testing.assert_allclose(np.asarray(flat_got), np.asarray(flat_ref), atol=1e-6)
 
 
