@@ -6,3 +6,4 @@ from nexus_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_shardings,
 )
 from nexus_tpu.parallel.collectives import gather_with_grad  # noqa: F401
+from nexus_tpu.parallel.bootstrap import BootstrapError, initialize_distributed  # noqa: F401

@@ -1,0 +1,138 @@
+"""Health-checked multi-host bring-up (elastic-hardening extension; the
+reference has NO failure detection — static rendezvous only, SURVEY §5:
+`rdzv_backend: static` in accelerate configs, resume-only recovery).
+
+`jax.distributed.initialize` blocks indefinitely on a wrong coordinator
+address or a missing peer — the classic multi-host footgun. This wrapper:
+
+1. probes coordinator reachability FIRST (bounded TCP connect with backoff;
+   process 0 instead binds the port to catch address collisions),
+2. initializes with bounded retries,
+3. validates the runtime after init: process/device counts match the
+   topology, and one smoke `psum` across every device proves collectives
+   actually move data over ICI/DCN before training starts.
+
+Returns a health report dict; raises BootstrapError with a diagnosis
+(which check failed, what was observed) instead of hanging.
+"""
+
+from __future__ import annotations
+
+import socket
+import time
+from typing import Optional
+
+from nexus_tpu.utils.logging import get_logger
+
+logger = get_logger("nexus_tpu.parallel.bootstrap")
+
+
+class BootstrapError(RuntimeError):
+    pass
+
+
+def _probe_coordinator(address: str, deadline: float, process_id: int) -> None:
+    """Bounded reachability pre-check. Process 0 hosts the coordinator, so a
+    probe from it would race its own bind; everyone else TCP-connects with
+    backoff until the deadline."""
+    host, _, port = address.rpartition(":")
+    if not host or not port.isdigit():
+        raise BootstrapError(
+            f"coordinator_address {address!r} is not host:port — refusing to "
+            "hand it to jax.distributed (it would block forever)"
+        )
+    if process_id == 0:
+        return
+    delay = 0.2
+    last_err: Optional[Exception] = None
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection((host, int(port)), timeout=2.0):
+                return
+        except OSError as e:
+            last_err = e
+            time.sleep(delay)
+            delay = min(delay * 2, 3.0)
+    raise BootstrapError(
+        f"coordinator {address} unreachable from process {process_id} "
+        f"within the timeout ({last_err!r}) — check the address, the "
+        "coordinator process, and the network path"
+    )
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    *,
+    timeout_s: float = 120.0,
+    expected_local_devices: Optional[int] = None,
+    collective_check: bool = True,
+) -> dict:
+    """Bring up the jax.distributed runtime with health checks.
+
+    Single-process use (all args None) skips initialize and only runs the
+    validation half — handy so the same entry script works 1-host and N-host.
+    """
+    import jax
+
+    t0 = time.monotonic()
+    deadline = t0 + timeout_s
+    multi = coordinator_address is not None
+    if multi:
+        if num_processes is None or process_id is None:
+            raise BootstrapError("num_processes and process_id are required with a coordinator")
+        _probe_coordinator(coordinator_address, deadline, process_id)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                initialization_timeout=max(int(deadline - time.monotonic()), 5),
+            )
+        except Exception as e:
+            raise BootstrapError(
+                f"jax.distributed.initialize failed on process {process_id}: {e!r}"
+            ) from e
+        if jax.process_count() != num_processes:
+            raise BootstrapError(
+                f"runtime reports {jax.process_count()} processes, expected {num_processes}"
+            )
+
+    local = jax.local_device_count()
+    if expected_local_devices is not None and local != expected_local_devices:
+        raise BootstrapError(
+            f"process {jax.process_index()} sees {local} local devices, "
+            f"expected {expected_local_devices} — a chip or driver is missing"
+        )
+
+    report = {
+        "process_id": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": local,
+        "global_devices": jax.device_count(),
+        "collective_ok": None,
+        "elapsed_s": round(time.monotonic() - t0, 3),
+    }
+
+    if collective_check:
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n = jax.device_count()
+        mesh = Mesh(jax.devices(), ("all",))
+        x = jax.device_put(
+            jnp.ones((n,), jnp.float32),
+            NamedSharding(mesh, P("all")),
+        )
+        total = float(jnp.sum(x * 2.0))  # compiled SPMD reduce over every device
+        if total != 2.0 * n:
+            raise BootstrapError(
+                f"collective smoke check produced {total}, expected {2.0 * n} — "
+                "the interconnect is not moving data correctly"
+            )
+        report["collective_ok"] = True
+        report["elapsed_s"] = round(time.monotonic() - t0, 3)
+
+    logger.info("distributed bring-up healthy: %s", report)
+    return report
