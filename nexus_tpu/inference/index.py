@@ -35,6 +35,7 @@ class ItemIndex:
     cluster_counts: Optional[jnp.ndarray] = None  # [n_subcells] rows in subcell (<= cell_cap)
     nprobe: int = 10
     cell_cap: int = 0  # subcell row capacity (static slice size)
+    topk_impl: str = "exact"  # 'exact' | 'approx' (lax.approx_max_k per step)
     # int8 cell storage: vectors are symmetric per-row quantized, row i
     # dequantizes as vectors[i] * row_scales[i] (4x HBM saving — what fits
     # 12.5M x 768 on one 16 GB chip); scores scale AFTER the int8 matmul
@@ -272,12 +273,12 @@ class ItemIndex:
         nprobe = min(self.nprobe, self.centroids.shape[0])
         max_union = min(q.shape[0] * nprobe, self.centroids.shape[0])
         quant = self.row_scales is not None
-        key = ("ivf", k, nprobe, max_union, q.shape[0], quant)
+        key = ("ivf", k, nprobe, max_union, q.shape[0], quant, self.topk_impl)
         cache = self.__dict__.setdefault("_compiled", {})
         if key not in cache:
             cache[key] = jax.jit(
                 partial(_ivf_search_impl, k=k, nprobe=nprobe, max_union=max_union,
-                        cap=self.cell_cap, quantized=quant)
+                        cap=self.cell_cap, quantized=quant, impl=self.topk_impl)
             )
         scales = self.row_scales if quant else jnp.ones((1,), jnp.float32)
         return cache[key](q, self.vectors, scales, self.centroids,
@@ -473,7 +474,8 @@ def _quantize_rows_int8(vectors: jnp.ndarray):
 
 
 def _ivf_search_impl(q, vectors, row_scales, centroids, starts, counts, *, k: int,
-                     nprobe: int, max_union: int, cap: int, quantized: bool = False):
+                     nprobe: int, max_union: int, cap: int, quantized: bool = False,
+                     impl: str = "exact"):
     """Union-scan IVF: dedupe the batch's probed subcells, then scan the
     union — each step reads ONE subcell as a contiguous [cap, D] dynamic
     slice (full HBM bandwidth; random row gathers measured ~6x slower) and
@@ -537,7 +539,10 @@ def _ivf_search_impl(q, vectors, row_scales, centroids, starts, counts, *, k: in
         base_v = jnp.stack([m[0] for m in metas])
         row_valid = (pos >= shift_v[seg]) & (pos < shift_v[seg] + count_v[seg]) & valid_v[seg]
         scores = jnp.where(row_valid, scores, -jnp.inf)
-        top_s, top_pos = jax.lax.top_k(scores, k_step)
+        if impl == "approx":
+            top_s, top_pos = jax.lax.approx_max_k(scores, k_step, recall_target=0.95)
+        else:
+            top_s, top_pos = jax.lax.top_k(scores, k_step)
         top_rows = base_v[top_pos // cap] + top_pos % cap
         all_s = jnp.concatenate([vals, top_s], axis=-1)
         all_i = jnp.concatenate([idx, top_rows], axis=-1)

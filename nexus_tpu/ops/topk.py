@@ -30,15 +30,19 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
     return top_vals, jnp.take_along_axis(idx, top_pos, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_size"))
-def brute_force_topk(queries: Array, corpus: Array, k: int, block_size: int = 8192):
-    """Exact top-k inner-product search.
+@partial(jax.jit, static_argnames=("k", "block_size", "impl"))
+def brute_force_topk(queries: Array, corpus: Array, k: int, block_size: int = 8192,
+                     impl: str = "exact"):
+    """Top-k inner-product search over a streamed corpus.
 
     Args:
         queries: [B, D]
         corpus:  [N, D]
         k:       number of neighbors
         block_size: corpus rows scored per scan step (MXU tile budget)
+        impl: 'exact' (lax.top_k per block) or 'approx' (lax.approx_max_k —
+            the TPU-native partial-reduce top-k; per-block recall_target 0.95,
+            the cross-block running merge stays exact)
 
     Returns:
         (scores [B, k], indices [B, k] int32). Padded rows (when N % block
@@ -66,7 +70,10 @@ def brute_force_topk(queries: Array, corpus: Array, k: int, block_size: int = 81
         valid = local_ids < n
         scores = jnp.where(valid, scores, -jnp.inf)
         blk_k = min(k, block_size)
-        top_vals, top_pos = jax.lax.top_k(scores, blk_k)
+        if impl == "approx":
+            top_vals, top_pos = jax.lax.approx_max_k(scores, blk_k, recall_target=0.95)
+        else:
+            top_vals, top_pos = jax.lax.top_k(scores, blk_k)
         top_ids = jnp.take_along_axis(local_ids, top_pos, axis=-1)
         return _merge_topk(vals, idx, top_vals, top_ids, k), None
 
