@@ -35,10 +35,12 @@ def run(attention_impl: str, remat: str) -> float:
         max_position_embeddings=512, add_pooling_layer=False,
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
     )
+    plain = int(remat[5:]) if remat.startswith("plain") else 0
     margs = TextEmbedderModelArguments(
         temperature=0.02, dtype="bfloat16",
         gradient_checkpointing=remat != "none",
         remat_policy=None if remat != "dots" else "dots",
+        remat_plain_layers=plain,  # 'plainK': last K layers skip remat
         attention_impl=attention_impl,
     )
     model = BiTextEmbedderModel(config, margs)
