@@ -411,3 +411,103 @@ def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True)
             os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
         )
     return config, torch_qwen3vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+
+
+def torch_llava_next_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:
+    """Map a HF LlavaNextForConditionalGeneration state_dict onto
+    LlavaNextBackbone params (CLIP tower + projector + image_newline + Llama
+    trunk). Only the first `config.feature_depth` vision layers convert —
+    LLaVA extracts hidden_states[vision_feature_layer], so deeper layers
+    never run (one less layer of FLOPs than HF, which computes then discards
+    the final layer)."""
+    import jax as _jax
+
+    sd = {k.removeprefix("model."): _t(v) for k, v in state_dict.items()}
+    vt = "vision_tower.vision_model"
+
+    def dense(prefix):
+        d = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T, dtype)}
+        if f"{prefix}.bias" in sd:
+            d["bias"] = jnp.asarray(sd[f"{prefix}.bias"], dtype)
+        return d
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32),
+        }
+
+    tower = {
+        # torch Conv2d [D, C, k, k] -> flax [k, k, C, D]
+        "patch_embedding": {
+            "kernel": jnp.asarray(
+                sd[f"{vt}.embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0), dtype
+            )
+        },
+        "class_embedding": jnp.asarray(sd[f"{vt}.embeddings.class_embedding"], jnp.float32),
+        "position_embedding": jnp.asarray(
+            sd[f"{vt}.embeddings.position_embedding.weight"], jnp.float32
+        ),
+        "pre_layrnorm": ln(f"{vt}.pre_layrnorm"),
+    }
+    layers = []
+    for i in range(config.feature_depth):
+        p = f"{vt}.encoder.layers.{i}"
+        layers.append({
+            "layer_norm1": ln(f"{p}.layer_norm1"),
+            "self_attn": {
+                "q_proj": dense(f"{p}.self_attn.q_proj"),
+                "k_proj": dense(f"{p}.self_attn.k_proj"),
+                "v_proj": dense(f"{p}.self_attn.v_proj"),
+                "out_proj": dense(f"{p}.self_attn.out_proj"),
+            },
+            "layer_norm2": ln(f"{p}.layer_norm2"),
+            "fc1": dense(f"{p}.mlp.fc1"),
+            "fc2": dense(f"{p}.mlp.fc2"),
+        })
+    if scan_layers:
+        tower["layers"] = {"layer": _jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)}
+    else:
+        for i, lp in enumerate(layers):
+            tower[f"layer_{i}"] = lp
+
+    lm_sd = {
+        k.removeprefix("language_model."): v
+        for k, v in sd.items()
+        if k.startswith("language_model.")
+    }
+    lm = torch_llama_to_flax(lm_sd, config.text, dtype=dtype, scan_layers=scan_layers)
+    lm["params"].pop("lm_head", None)  # embedder use — no LM head
+
+    params = {
+        "vision_tower": tower,
+        "projector_linear_1": dense("multi_modal_projector.linear_1"),
+        "projector_linear_2": dense("multi_modal_projector.linear_2"),
+        "image_newline": jnp.asarray(sd["image_newline"], jnp.float32),
+        "language_model": lm["params"],
+    }
+    return {"params": params}
+
+
+def load_hf_llava_next(model_dir: str, dtype=jnp.float32, scan_layers: bool = True):
+    """Load a local HF LLaVA-Next checkpoint dir into (LlavaNextConfig, variables)."""
+    from nexus_tpu.models.llava_next import LlavaNextConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    config = LlavaNextConfig.from_hf(cfg_dict)
+
+    sd = {}
+    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            sd.update(load_file(os.path.join(model_dir, f)))
+    else:
+        import torch
+
+        sd = torch.load(
+            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
+        )
+    return config, torch_llava_next_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)

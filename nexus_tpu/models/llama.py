@@ -176,7 +176,12 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
                  positions: Optional[Array] = None, train: bool = False,
-                 inputs_embeds: Optional[Array] = None):
+                 inputs_embeds: Optional[Array] = None,
+                 override_mask: Optional[Array] = None, override_embeds: Optional[Array] = None):
+        """``override_mask [B, L]`` + ``override_embeds [B, L, D]`` replace the
+        token embeddings at masked positions AFTER the embed lookup — the VLM
+        image-feature merge (placeholder tokens take vision features) without
+        giving up the shared embed table."""
         c = self.config
         if attention_mask is None:
             if input_ids is None:
@@ -187,6 +192,8 @@ class LlamaModel(nn.Module):
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="embed_tokens")
         x = inputs_embeds.astype(self.dtype) if inputs_embeds is not None else embed(input_ids)
+        if override_mask is not None:
+            x = jnp.where(override_mask[..., None], override_embeds.astype(x.dtype), x)
         if self.scan_layers:
             layer_cls = nn.remat(_ScannedLlamaLayer) if self.remat else _ScannedLlamaLayer
             Scanned = nn.scan(

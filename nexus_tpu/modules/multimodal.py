@@ -308,6 +308,15 @@ def _build_qwen2_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
 _BACKBONE_REGISTRY["qwen2.5-vl"] = _BACKBONE_REGISTRY["qwen2-vl"]
 
 
+@register_multimodal_backbone("llava-next")
+def _build_llava_next(config=None, dtype=None, **kw):
+    import jax.numpy as jnp
+
+    from nexus_tpu.models.llava_next import LlavaNextBackbone, LlavaNextConfig
+
+    return LlavaNextBackbone(config or LlavaNextConfig(), dtype=dtype or jnp.bfloat16)
+
+
 @register_multimodal_backbone("qwen3-vl")
 def _build_qwen3_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
     import jax.numpy as jnp
