@@ -325,6 +325,8 @@ def build_pack_gather(
     input_ids: np.ndarray,  # [B, L]
     image_sizes: Sequence[Tuple[int, int]],  # (h, w) per image, batch order
     config: LlavaNextConfig,
+    n_tiles_total: Optional[int] = None,  # padded tile count when the batch
+    # pads pixel_values to a static bucket (newline row sits after ALL tiles)
 ) -> np.ndarray:
     """[B, L] int32 gather plan: each image-placeholder position maps to a row
     of the flattened [N_tiles*P + 1] projected-feature table (last row =
@@ -358,7 +360,9 @@ def build_pack_gather(
         plans.append(plan)
         tile_off += nph * npw + 1
 
-    newline_row = tile_off * P  # table's final row
+    if n_tiles_total is not None and n_tiles_total < tile_off:
+        raise ValueError(f"n_tiles_total={n_tiles_total} < {tile_off} real tiles")
+    newline_row = (n_tiles_total if n_tiles_total is not None else tile_off) * P
     flat_plan = np.concatenate(plans) if plans else np.zeros((0,), np.int64)
     flat_plan = np.where(flat_plan < 0, newline_row, flat_plan)
 

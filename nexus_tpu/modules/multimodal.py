@@ -262,6 +262,104 @@ class Qwen2VLProcessorAdapter:
         return feed
 
 
+class LlavaNextProcessorAdapter:
+    """Static-shape AnyRes batching for the LLaVA-Next backbone (parity role:
+    MultimodalProcessorAdapter's llava-next path, multimodal.py:1144+).
+
+    Per image: best-fit resolution from image_grid_pinpoints, aspect-
+    preserving resize + centered pad, divide into tile_px tiles, plus the
+    squash-resized base tile FIRST (HF image-processor tile order). The
+    batch's tiles pad to ``max_tiles`` so the device program is one static
+    [max_tiles, H, W, C] tower forward regardless of the AnyRes mix; the
+    gather plan never references pad tiles.
+
+    Output feed: input_ids / attention_mask / pack_gather [B, L],
+    pixel_values [max_tiles, H, W, C].
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        config,  # LlavaNextConfig
+        max_length: int = 1024,
+        max_tiles: int = 10,
+        num_video_frames: int = 4,
+    ):
+        self.tokenizer = tokenizer
+        self.config = config
+        self.max_length = max_length
+        self.max_tiles = max_tiles
+        self.num_video_frames = num_video_frames
+
+    def _anyres_tiles(self, img) -> "tuple[list[np.ndarray], tuple[int, int]]":
+        from PIL import Image
+
+        from nexus_tpu.models.llava_next import select_best_resolution
+
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(img.astype(np.uint8))
+        elif not isinstance(img, Image.Image):
+            img = Image.open(str(img))
+        img = img.convert("RGB")
+        ow, oh = img.size
+        tile_px = self.config.vision.image_size
+        bh, bw = select_best_resolution((oh, ow), self.config.image_grid_pinpoints)
+        scale = min(bw / ow, bh / oh)
+        nw, nh = int(ow * scale), int(oh * scale)
+        resized = np.zeros((bh, bw, 3), np.float32)
+        patch = np.asarray(img.resize((nw, nh), Image.BICUBIC), np.float32) / 255.0
+        y0, x0 = (bh - nh) // 2, (bw - nw) // 2
+        resized[y0 : y0 + nh, x0 : x0 + nw] = patch
+        resized = (resized - IMAGE_MEAN) / IMAGE_STD
+        tiles = [load_image(img, tile_px)]  # base tile first (HF order)
+        for r in range(0, bh, tile_px):
+            for c in range(0, bw, tile_px):
+                tiles.append(resized[r : r + tile_px, c : c + tile_px])
+        return tiles, (oh, ow)
+
+    def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        from nexus_tpu.models.llava_next import build_pack_gather, image_feature_lens
+
+        c = self.config
+        b = len(items)
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids = np.full((b, self.max_length), pad_id, np.int32)
+        mask = np.zeros((b, self.max_length), np.int32)
+        all_tiles: List[np.ndarray] = []
+        sizes: List[tuple] = []
+        for i, item in enumerate(items):
+            media = list(item.get("images", [])) + list(item.get("pages", []))
+            row: List[int] = []
+            for p in media:
+                tiles, size = self._anyres_tiles(p)
+                n_tok = image_feature_lens([size], c)[0]
+                if (len(all_tiles) + len(tiles) > self.max_tiles
+                        or len(row) + n_tok > self.max_length):
+                    break
+                all_tiles.extend(tiles)
+                sizes.append(size)
+                row.extend([c.image_token_id] * n_tok)
+            text_ids = self.tokenizer(
+                item.get("text", ""), truncation=True,
+                max_length=self.max_length - len(row), add_special_tokens=True,
+            )["input_ids"]
+            row.extend(text_ids)
+            row = row[: self.max_length]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        tile_px = c.vision.image_size
+        pixels = np.zeros((self.max_tiles, tile_px, tile_px, 3), np.float32)
+        for j, t in enumerate(all_tiles):
+            pixels[j] = t
+        gather = build_pack_gather(ids, sizes, c, n_tiles_total=self.max_tiles)
+        return {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "pixel_values": pixels,
+            "pack_gather": gather,
+        }
+
+
 _BACKBONE_REGISTRY: dict = {}
 
 

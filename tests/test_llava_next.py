@@ -166,3 +166,38 @@ def test_registry_builds():
     cfg = LlavaNextConfig.from_hf(_tiny_hf_config())
     mdl = load_multimodal_backbone("llava-next", config=cfg)
     assert mdl.config.image_token_id == IMG_TOK
+
+
+def test_processor_adapter_end_to_end(tiny_pair):
+    """Raw images -> AnyRes tiles + plan -> backbone forward (static shapes)."""
+    _, config, variables = tiny_pair
+    from nexus_tpu.models.llava_next import LlavaNextBackbone, image_feature_lens
+    from nexus_tpu.modules.multimodal import LlavaNextProcessorAdapter
+
+    class _Tok:
+        pad_token_id = 0
+
+        def __call__(self, text, **kw):
+            toks = [min(3 + ord(ch) % 100, 127) for ch in text]
+            toks = [t if t != IMG_TOK else IMG_TOK + 1 for t in toks]  # avoid the placeholder id
+            return {"input_ids": toks[: kw.get("max_length", 64)]}
+
+    rng = np.random.default_rng(0)
+    img_tall = (rng.random((24, 16, 3)) * 255).astype(np.uint8)
+    img_wide = (rng.random((16, 28, 3)) * 255).astype(np.uint8)
+    adapter = LlavaNextProcessorAdapter(_Tok(), config, max_length=64, max_tiles=8)
+    feed = adapter([
+        {"text": "a tall thing", "images": [img_tall]},
+        {"text": "wide", "images": [img_wide]},
+    ])
+    assert feed["pixel_values"].shape == (8, 16, 16, 3)
+    lens = image_feature_lens([(24, 16), (16, 28)], config)
+    assert int((feed["input_ids"] == config.image_token_id).sum()) == sum(lens)
+
+    backbone = LlavaNextBackbone(config)
+    out = backbone.apply(
+        variables, jnp.asarray(feed["input_ids"]), jnp.asarray(feed["attention_mask"]),
+        jnp.asarray(feed["pixel_values"]), jnp.asarray(feed["pack_gather"]),
+    )["last_hidden_state"]
+    assert out.shape == (2, 64, config.text.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
