@@ -38,8 +38,10 @@ def main():
         }),
         train_group_size=3, media_root=os.path.join(HERE, "data"), max_length=48,
     )
-    runner.run()
+    state = runner.run()
+    model.variables = state.variables
     print("smoke training done -> /tmp/nexus_mm_smoke")
+    return model, tokenizer
 
 
 if __name__ == "__main__":

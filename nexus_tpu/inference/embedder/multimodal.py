@@ -32,6 +32,7 @@ class MultimodalEmbedder:
         media_root: Optional[str] = None,
         query_instruction: Optional[str] = None,
         corpus_instruction: Optional[str] = None,
+        use_chat_template: bool = False,
     ):
         from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
             BiMultimodalEmbedderModel,
@@ -60,6 +61,8 @@ class MultimodalEmbedder:
                 image_token_id=c.image_token_id,
                 video_token_id=c.video_token_id,
                 vision_start_token_id=c.vision_start_token_id,
+                vision_end_token_id=getattr(c, "vision_end_token_id", 151653),
+                use_chat_template=use_chat_template,
             )
         else:
             self.processor = MultimodalProcessorAdapter(

@@ -170,7 +170,8 @@ def torch_llama_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool
     return {"params": params}
 
 
-def torch_qwen2vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:
+def torch_qwen2vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True,
+                          lora: bool = False) -> dict:
     """Map a HF Qwen2VLModel / Qwen2VLForConditionalGeneration state_dict
     onto Qwen2VLBackbone params (vision tower + merger + Qwen2 text trunk).
 
@@ -241,12 +242,14 @@ def torch_qwen2vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bo
         for i, bp in enumerate(blocks):
             visual[f"block_{i}"] = bp
 
-    text = torch_llama_to_flax(txt_sd, config.text, dtype=dtype, scan_layers=scan_layers)["params"]
+    text = torch_llama_to_flax(txt_sd, config.text, dtype=dtype, scan_layers=scan_layers,
+                               lora=lora)["params"]
     text.pop("lm_head", None)  # embedder use: no LM head
     return {"params": {**text, "visual": visual}}
 
 
-def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True):
+def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True,
+                    lora: bool = False):
     """Load a local HF Qwen2-VL checkpoint dir into (Qwen2VLConfig, variables)."""
     from nexus_tpu.models.qwen2_vl import Qwen2VLConfig
 
@@ -267,10 +270,12 @@ def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True)
         sd = torch.load(
             os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
         )
-    return config, torch_qwen2vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+    return config, torch_qwen2vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers,
+                                         lora=lora)
 
 
-def torch_qwen3vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:
+def torch_qwen3vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True,
+                          lora: bool = False) -> dict:
     """Map a HF Qwen3VLModel / Qwen3VLForConditionalGeneration state_dict
     onto Qwen3VLBackbone params: deepstack vision tower (learned pos-embed
     table + per-tap post-shuffle mergers) and the Qwen3 text trunk split into
@@ -342,15 +347,16 @@ def torch_qwen3vl_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bo
             visual[f"block_{i}"] = bp
 
     tc = config.text
+    wrap = (lambda d: {"base": d}) if lora else (lambda d: d)
     layers = []
     for i in range(tc.num_hidden_layers):
         p = f"layers.{i}"
         layers.append({
             "self_attn": {
-                "q_proj": dense(txt_sd, f"{p}.self_attn.q_proj"),
-                "k_proj": dense(txt_sd, f"{p}.self_attn.k_proj"),
-                "v_proj": dense(txt_sd, f"{p}.self_attn.v_proj"),
-                "o_proj": dense(txt_sd, f"{p}.self_attn.o_proj"),
+                "q_proj": wrap(dense(txt_sd, f"{p}.self_attn.q_proj")),
+                "k_proj": wrap(dense(txt_sd, f"{p}.self_attn.k_proj")),
+                "v_proj": wrap(dense(txt_sd, f"{p}.self_attn.v_proj")),
+                "o_proj": wrap(dense(txt_sd, f"{p}.self_attn.o_proj")),
                 "q_norm": rms(txt_sd, f"{p}.self_attn.q_norm"),
                 "k_norm": rms(txt_sd, f"{p}.self_attn.k_norm"),
             },
@@ -389,7 +395,8 @@ def qwen3vl_binary_score_vector(state_dict, yes_token_id: int, no_token_id: int)
     return np.asarray(w[yes_token_id] - w[no_token_id], np.float32)
 
 
-def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True):
+def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True,
+                    lora: bool = False):
     """Load a local HF Qwen3-VL checkpoint dir into (Qwen3VLConfig, variables)."""
     from nexus_tpu.models.qwen3_vl import Qwen3VLConfig
 
@@ -410,7 +417,8 @@ def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True)
         sd = torch.load(
             os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
         )
-    return config, torch_qwen3vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)
+    return config, torch_qwen3vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers,
+                                         lora=lora)
 
 
 def torch_llava_next_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool = True) -> dict:

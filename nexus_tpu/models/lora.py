@@ -79,6 +79,55 @@ def merge_lora_params(params: dict, alpha: float = 16.0) -> dict:
     return walk(params)
 
 
+def lora_dense(config, features: int, name: str, use_bias: bool, dtype) -> nn.Module:
+    """Dense factory shared by the Llama / Qwen-VL text trunks: returns a
+    LoRADense when ``config.lora_rank > 0`` (adapter training), else a plain
+    Dense. ``config`` is any object with lora_rank / lora_alpha attributes
+    (LlamaConfig)."""
+    rank = getattr(config, "lora_rank", 0)
+    if rank > 0:
+        return LoRADense(features, use_bias=use_bias, dtype=dtype,
+                         lora_rank=rank, lora_alpha=config.lora_alpha, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def graft_lora_init(converted_params: dict, init_params: dict) -> dict:
+    """Overlay converted base weights onto a fresh init that contains
+    lora_A/lora_B leaves: every leaf present in ``converted_params`` wins,
+    leaves only in ``init_params`` (the adapters) keep their init values."""
+    def graft(conv, ini):
+        if isinstance(ini, dict):
+            out = {}
+            for k, v in ini.items():
+                if isinstance(conv, dict) and k in conv:
+                    out[k] = graft(conv[k], v)
+                else:
+                    out[k] = v  # lora_A/lora_B from init
+            return out
+        return conv if conv is not None else ini
+
+    return graft(converted_params, init_params)
+
+
+def apply_adapter_params(params: dict, adapters: dict) -> dict:
+    """Pure overlay of a saved adapter sub-tree (lora_A/lora_B leaves) onto a
+    full parameter tree; returns a new tree."""
+    def walk(p, tree):
+        if not isinstance(p, dict):
+            return p
+        out = {}
+        for k, v in p.items():
+            if k in ("lora_A", "lora_B") and isinstance(tree, dict) and k in tree:
+                out[k] = jnp.asarray(tree[k])
+            elif isinstance(tree, dict) and k in tree:
+                out[k] = walk(v, tree[k])
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, adapters)
+
+
 def extract_lora_params(params: dict) -> dict:
     """The adapter-only sub-tree (for saving adapters separately)."""
     def walk(tree):

@@ -116,6 +116,7 @@ class Qwen2VLConfig(AbsArguments):
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
     variant: str = "qwen2-vl"  # qwen2-vl | qwen2.5-vl
 
     @classmethod
@@ -138,6 +139,7 @@ class Qwen2VLConfig(AbsArguments):
             image_token_id=d.get("image_token_id", 151655),
             video_token_id=d.get("video_token_id", 151656),
             vision_start_token_id=d.get("vision_start_token_id", 151652),
+            vision_end_token_id=d.get("vision_end_token_id", 151653),
             variant="qwen2.5-vl" if is_25 else "qwen2-vl",
         )
 
@@ -451,14 +453,16 @@ class Qwen2VLTextAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attention_mask, cos, sin):
+        from nexus_tpu.models.lora import lora_dense
+
         c = self.config
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         hd = c.hidden_size // n_q
         b, l, _ = x.shape
-        q = nn.Dense(n_q * hd, use_bias=True, dtype=self.dtype, name="q_proj")(x).reshape(b, l, n_q, hd)
-        k = nn.Dense(n_kv * hd, use_bias=True, dtype=self.dtype, name="k_proj")(x).reshape(b, l, n_kv, hd)
-        v = nn.Dense(n_kv * hd, use_bias=True, dtype=self.dtype, name="v_proj")(x).reshape(b, l, n_kv, hd)
+        q = lora_dense(c, n_q * hd, "q_proj", True, self.dtype)(x).reshape(b, l, n_q, hd)
+        k = lora_dense(c, n_kv * hd, "k_proj", True, self.dtype)(x).reshape(b, l, n_kv, hd)
+        v = lora_dense(c, n_kv * hd, "v_proj", True, self.dtype)(x).reshape(b, l, n_kv, hd)
         cb, sb = cos[:, :, None, :], sin[:, :, None, :]
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
@@ -473,7 +477,7 @@ class Qwen2VLTextAttention(nn.Module):
         s = jnp.where(keep, s, -1e30)
         probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, n_q * hd)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(ctx)
+        return lora_dense(c, c.hidden_size, "o_proj", False, self.dtype)(ctx)
 
 
 class Qwen2VLTextLayer(nn.Module):

@@ -203,6 +203,9 @@ class Qwen2VLProcessorAdapter:
         image_token_id: int = 151655,
         video_token_id: int = 151656,
         vision_start_token_id: int = 151652,
+        vision_end_token_id: int = 151653,
+        use_chat_template: bool = False,
+        system_prompt: str = "You are a helpful assistant.",
     ):
         assert image_size % (patch_size * spatial_merge_size) == 0
         self.tokenizer = tokenizer
@@ -215,9 +218,25 @@ class Qwen2VLProcessorAdapter:
         self.image_token_id = image_token_id
         self.video_token_id = video_token_id
         self.vision_start_token_id = vision_start_token_id
+        self.vision_end_token_id = vision_end_token_id
+        self.use_chat_template = use_chat_template
         g = image_size // patch_size
         self.grid_thw = (1, g, g)
         self.tokens_per_image = (g // spatial_merge_size) ** 2
+        # Qwen conversation layout (parity: the reference's chat-template
+        # processor path, Nexus/modules/multimodal.py:1144+). Tokenized ONCE
+        # here; per-item assembly stays token-level (no string munging on the
+        # hot path). The trailing assistant turn makes last-token pooling
+        # pool at the generation position, as the reference's template does.
+        if use_chat_template:
+            enc = lambda s: list(tokenizer(s, add_special_tokens=False)["input_ids"])
+            self.chat_prefix_ids = enc(
+                f"<|im_start|>system\n{system_prompt}<|im_end|>\n<|im_start|>user\n"
+            )
+            self.chat_suffix_ids = enc("<|im_end|>\n<|im_start|>assistant\n")
+        else:
+            self.chat_prefix_ids = []
+            self.chat_suffix_ids = []
 
     def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
         from nexus_tpu.models.qwen2_vl import get_mrope_positions
@@ -234,9 +253,11 @@ class Qwen2VLProcessorAdapter:
                 images += load_video_frames(v, self.image_size, self.num_video_frames)
             for p in item.get("pages", []):
                 images.append(load_image(p, self.image_size))
-            row: List[int] = []
+            row: List[int] = list(self.chat_prefix_ids)
+            tail = len(self.chat_suffix_ids)
+            per_image = 1 + self.tokens_per_image + (1 if self.use_chat_template else 0)
             for im in images:
-                if len(row) + 1 + self.tokens_per_image > self.max_length:
+                if len(row) + per_image + tail > self.max_length:
                     break
                 all_patches.append(qwen2vl_image_to_patches(
                     im[None], self.patch_size, self.temporal_patch_size, self.merge
@@ -244,11 +265,15 @@ class Qwen2VLProcessorAdapter:
                 grids.append(self.grid_thw)
                 row.append(self.vision_start_token_id)
                 row.extend([self.image_token_id] * self.tokens_per_image)
+                if self.use_chat_template:
+                    row.append(self.vision_end_token_id)
             text_ids = self.tokenizer(
                 item.get("text", ""), truncation=True,
-                max_length=self.max_length - len(row), add_special_tokens=True,
+                max_length=max(self.max_length - len(row) - tail, 0),
+                add_special_tokens=not self.use_chat_template,
             )["input_ids"]
             row.extend(text_ids)
+            row.extend(self.chat_suffix_ids)
             row = row[: self.max_length]
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1

@@ -73,30 +73,79 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
     @classmethod
     def from_hf_pretrained(
         cls, model_dir: str, model_args: Optional[TextEmbedderModelArguments] = None,
-        image_size: int = 224, **kw,
+        image_size: int = 224, lora_rank: int = 0, lora_alpha: float = 16.0, **kw,
     ) -> "BiMultimodalEmbedderModel":
         """Load a real HF Qwen-VL-family checkpoint directory (weights
         converted to the TPU layout; parity-tested in tests/test_qwen2_vl.py
         and tests/test_qwen3_vl.py). The static patch grid follows the pinned
-        processor resolution."""
+        processor resolution. With ``lora_rank > 0`` the text trunk's
+        attention projections get trainable LoRA adapters over frozen base
+        weights (parity: the reference's use_lora VLM wrap,
+        Nexus/training/embedder/multimodal_retrieval/modeling.py:92-150)."""
         import json as _json
 
         with open(os.path.join(model_dir, "config.json")) as f:
             model_type = _json.load(f).get("model_type", "")
         model_args = model_args or TextEmbedderModelArguments()
         dtype = jnp.bfloat16 if model_args.dtype == "bfloat16" else jnp.float32
+        use_lora = lora_rank > 0
         if "qwen3" in str(model_type):
             from nexus_tpu.models.hf_convert import load_hf_qwen3vl
 
-            config, variables = load_hf_qwen3vl(model_dir, dtype=dtype)
+            config, variables = load_hf_qwen3vl(model_dir, dtype=dtype, lora=use_lora)
         else:
             from nexus_tpu.models.hf_convert import load_hf_qwen2vl
 
-            config, variables = load_hf_qwen2vl(model_dir, dtype=dtype)
+            config, variables = load_hf_qwen2vl(model_dir, dtype=dtype, lora=use_lora)
+        config.text.lora_rank = lora_rank
+        config.text.lora_alpha = lora_alpha
         g = image_size // config.vision.patch_size
-        model = cls(config, model_args, variables=variables,
+        model = cls(config, model_args, variables=None,
                     backbone_type=config.variant, grid_thw=(1, g, g), **kw)
+        if use_lora:
+            from nexus_tpu.models.lora import graft_lora_init
+
+            init = model.init_variables(jax.random.PRNGKey(0))
+            variables = {"params": graft_lora_init(variables["params"], init["params"])}
+        model.variables = variables
         return model
+
+    # -- LoRA adapter training ----------------------------------------------
+
+    @property
+    def uses_lora(self) -> bool:
+        text = getattr(self.vlm_config, "text", None)
+        return getattr(text, "lora_rank", 0) > 0
+
+    def trainable_filter(self):
+        """optax mask: adapters-only training when LoRA is enabled."""
+        if not self.uses_lora or self.variables is None:
+            return None
+        from nexus_tpu.models.lora import lora_param_filter
+
+        return {"params": lora_param_filter(self.variables["params"])}
+
+    def save_merged_model(self, output_dir: str, variables) -> None:
+        """Fold LoRA into the base text-trunk weights and save a plain model
+        (parity: decoder_only save_merged_model applied to the VLM)."""
+        from flax import serialization
+
+        from nexus_tpu.models.lora import merge_lora_params
+
+        merged = {"params": merge_lora_params(
+            variables["params"], self.vlm_config.text.lora_alpha
+        )}
+        os.makedirs(output_dir, exist_ok=True)
+        cfg = json.loads(json.dumps(self.vlm_config.to_dict(), default=str))
+        cfg.get("text", {}).update(lora_rank=0)
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({**cfg, "model_type": self.backbone_type,
+                       "grid_thw": list(self.grid_thw)}, f, indent=2)
+        with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
+            json.dump({**self.args.to_dict(), "multimodal": True}, f, indent=2)
+        with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+            host = jax.tree_util.tree_map(lambda x: np.asarray(x), merged)
+            f.write(serialization.to_bytes(host))
 
     # -- encoding over multimodal feeds -------------------------------------
 
@@ -192,12 +241,32 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             )
         with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
             json.dump({**self.args.to_dict(), "multimodal": True}, f, indent=2)
-        with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
-            host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
-            f.write(serialization.to_bytes(host))
+        if self.uses_lora:
+            from nexus_tpu.models.lora import extract_lora_params
+
+            adapters = extract_lora_params(variables["params"])
+            with open(os.path.join(output_dir, "adapter_model.msgpack"), "wb") as f:
+                host = jax.tree_util.tree_map(lambda x: np.asarray(x), adapters)
+                f.write(serialization.to_bytes(host))
+        else:
+            with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
+                host = jax.tree_util.tree_map(lambda x: np.asarray(x), variables)
+                f.write(serialization.to_bytes(host))
 
     def load_variables(self, checkpoint_dir: str, current=None) -> dict:
-        """Trainer resume protocol: restore from an HF-layout save dir."""
+        """Trainer resume protocol: restore from an HF-layout save dir. LoRA
+        runs restore adapter_model.msgpack over the current base weights."""
+        from flax import serialization
+
+        adapter_path = os.path.join(checkpoint_dir, "adapter_model.msgpack")
+        if os.path.exists(adapter_path):
+            if current is None:
+                raise ValueError("adapter-only checkpoint needs current base variables")
+            from nexus_tpu.models.lora import apply_adapter_params
+
+            with open(adapter_path, "rb") as f:
+                adapters = serialization.msgpack_restore(f.read())
+            return {**current, "params": apply_adapter_params(current["params"], adapters)}
         from nexus_tpu.training.checkpoint import restore_flax_msgpack
 
         target = current or jax.eval_shape(lambda: self.init_variables(jax.random.PRNGKey(0)))

@@ -32,6 +32,7 @@ class MultimodalEmbedderRunner:
         max_length: int = 128,
         max_images: int = 1,
         query_instruction: Optional[str] = None,
+        use_chat_template: bool = False,
         mesh=None,
     ):
         self.training_args = training_args
@@ -39,7 +40,7 @@ class MultimodalEmbedderRunner:
         self.model = model
         self.tokenizer = tokenizer
         c = model.vlm_config
-        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl"):
+        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
             from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
 
             t, h, w = model.grid_thw
@@ -53,6 +54,8 @@ class MultimodalEmbedderRunner:
                 image_token_id=c.image_token_id,
                 video_token_id=c.video_token_id,
                 vision_start_token_id=c.vision_start_token_id,
+                vision_end_token_id=getattr(c, "vision_end_token_id", 151653),
+                use_chat_template=use_chat_template,
             )
         else:
             self.processor = MultimodalProcessorAdapter(

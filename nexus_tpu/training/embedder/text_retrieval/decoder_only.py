@@ -130,26 +130,11 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
         if os.path.exists(adapter_path):
             if current is None:
                 raise ValueError("adapter-only checkpoint needs current base variables")
+            from nexus_tpu.models.lora import apply_adapter_params
+
             with open(adapter_path, "rb") as f:
                 adapters = serialization.msgpack_restore(f.read())
-
-            def apply_adapters(params, tree):
-                for k, v in tree.items():
-                    if k in ("lora_A", "lora_B"):
-                        params[k] = jnp.asarray(v)
-                    elif isinstance(v, dict) and k in params:
-                        apply_adapters(params[k], v)
-
-            from collections.abc import Mapping
-
-            def copy_tree(t):
-                if isinstance(t, Mapping):
-                    return {k: copy_tree(v) for k, v in t.items()}
-                return t
-
-            p = copy_tree(current["params"])
-            apply_adapters(p, adapters)
-            return {**current, "params": p}
+            return {**current, "params": apply_adapter_params(current["params"], adapters)}
         raise FileNotFoundError(
             f"no flax_model.msgpack or adapter_model.msgpack in {checkpoint_dir}"
         )
@@ -199,36 +184,21 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
             converted = torch_llama_to_flax(sd, config, dtype=dtype, lora=lora_rank > 0)
             if lora_rank > 0:
                 # graft fresh adapters over the converted base weights
+                from nexus_tpu.models.lora import graft_lora_init
+
                 init = model.net.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
-
-                def graft(conv, ini):
-                    if isinstance(ini, dict):
-                        out = {}
-                        for k, v in ini.items():
-                            if isinstance(conv, dict) and k in conv:
-                                out[k] = graft(conv[k], v)
-                            else:
-                                out[k] = v  # lora_A/lora_B from init
-                        return out
-                    return conv if conv is not None else ini
-
-                converted = {"params": graft(converted["params"], init["params"])}
+                converted = {"params": graft_lora_init(converted["params"], init["params"])}
             model.variables = converted
 
         # resume from latest adapter checkpoint if present
         adapter = os.path.join(model_dir, "adapter_model.msgpack")
         if os.path.exists(adapter) and model.variables is not None:
+            from nexus_tpu.models.lora import apply_adapter_params
+
             with open(adapter, "rb") as f:
                 adapters = serialization.msgpack_restore(f.read())
-
-            def apply_adapters(params, tree):
-                for k, v in tree.items():
-                    if k in ("lora_A", "lora_B"):
-                        params[k] = jnp.asarray(v)
-                    elif isinstance(v, dict) and k in params:
-                        apply_adapters(params[k], v)
-
-            p = jax.tree_util.tree_map(lambda x: x, model.variables["params"])
-            apply_adapters(p, adapters)
-            model.variables = {**model.variables, "params": p}
+            model.variables = {
+                **model.variables,
+                "params": apply_adapter_params(model.variables["params"], adapters),
+            }
         return model
