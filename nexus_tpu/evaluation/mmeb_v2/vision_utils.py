@@ -1,9 +1,10 @@
 """Vision/video utilities for the MMEB-v2 harness (parity:
 Nexus/evaluation/mmeb_v2/utils/vision_utils/{vision_utils,video_transforms}.py).
 
-Frame extraction from raw video files is gated on cv2/decord availability
-(absent in this environment); pre-extracted frame directories — the format
-the reference itself caches into frame_root — are fully supported.
+Frame extraction from raw video containers runs through OpenCV (the decord
+replacement — verified against cv2-encoded mp4 in tests/test_mmeb_real.py);
+pre-extracted frame directories — the format the reference itself caches
+into frame_root — are supported as well.
 """
 
 from __future__ import annotations
@@ -83,10 +84,9 @@ def get_total_frames(video_path: str) -> int:
 
 def save_frames(video_path: str, frame_dir: str, max_frames_saved: int,
                 file_name_prefix: str = "") -> None:
-    """Extract up to max_frames_saved frames from a raw video into frame_dir.
-    No-ops when frames already exist; raises when no video decoder is
-    installed (this environment ships neither cv2 nor decord — use
-    pre-extracted frame dirs)."""
+    """Extract up to max_frames_saved frames from a raw video into frame_dir
+    via OpenCV. No-ops when frames already exist; raises when no decoder can
+    open the container."""
     if os.path.isdir(frame_dir) and any(
         f.lower().endswith(IMAGE_EXTENSIONS) for f in os.listdir(frame_dir)
     ):

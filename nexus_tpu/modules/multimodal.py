@@ -69,20 +69,47 @@ def load_image(path_or_image, image_size: int) -> np.ndarray:
 
 
 def load_video_frames(path, image_size: int, num_frames: int = 4) -> List[np.ndarray]:
-    """Videos as frame dirs / frame lists (decord-free)."""
+    """Videos as frame dirs / frame lists, or raw containers decoded via
+    OpenCV (the decord replacement; parity: the reference's video-frame
+    loading in Nexus/modules/multimodal.py + qwen-vl-utils)."""
     if isinstance(path, (list, tuple)):
         frames = list(path)
     elif os.path.isdir(str(path)):
         frames = [os.path.join(path, f) for f in sorted(os.listdir(path))
                   if f.lower().endswith((".jpg", ".jpeg", ".png"))]
+    elif os.path.isfile(str(path)):
+        return _decode_video_frames(str(path), image_size, num_frames)
     else:
-        raise ValueError(
-            f"video {path!r}: only pre-extracted frame dirs/lists are supported in this build"
-        )
+        raise ValueError(f"video {path!r}: not a frame dir, frame list, or video file")
     if not frames:
         return []
     idx = np.linspace(0, len(frames) - 1, min(num_frames, len(frames))).astype(int)
     return [load_image(frames[i], image_size) for i in idx]
+
+
+def _decode_video_frames(path: str, image_size: int, num_frames: int) -> List[np.ndarray]:
+    """Uniformly sample + CLIP-normalize frames straight out of a container."""
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            f"video {path!r}: raw container decode needs OpenCV; "
+            "pre-extract frames into a directory instead"
+        ) from e
+    cap = cv2.VideoCapture(path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        cap.release()
+        raise ValueError(f"video {path!r}: could not decode (0 frames reported)")
+    out = []
+    for fi in np.linspace(0, total - 1, min(num_frames, total)).astype(int):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(fi))
+        ok, frame = cap.read()
+        if not ok:
+            break
+        out.append(load_image(frame[:, :, ::-1], image_size))  # BGR -> RGB
+    cap.release()
+    return out
 
 
 class MultimodalProcessorAdapter:

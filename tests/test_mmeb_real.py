@@ -196,3 +196,52 @@ def test_lora_overlay(tmp_path):
     assert float(np.asarray(out["params"]["layer"]["dense"]).mean()) == 1.0
     # base untouched
     assert float(variables["params"]["layer"]["lora_A"].mean()) == 0.0
+
+
+def _write_mp4(path, n_frames=12, size=(64, 48)):
+    cv2 = pytest.importorskip("cv2")
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8.0, size)
+    assert w.isOpened()
+    for i in range(n_frames):
+        frame = np.zeros((size[1], size[0], 3), np.uint8)
+        frame[:, :, 2] = i * 20  # red ramp (BGR)
+        w.write(frame)
+    w.release()
+
+
+def test_video_container_decode_save_frames(tmp_path):
+    """Raw mp4 -> frame cache via OpenCV (the decord replacement; parity:
+    reference save_frames, utils/vision_utils/vision_utils.py)."""
+    from nexus_tpu.evaluation.mmeb_v2.vision_utils import (
+        get_total_frames, process_video_frames, save_frames,
+    )
+
+    vid = tmp_path / "clip.mp4"
+    _write_mp4(vid)
+    assert get_total_frames(str(vid)) == 12
+    frame_dir = tmp_path / "frames"
+    save_frames(str(vid), str(frame_dir), max_frames_saved=6)
+    saved = sorted(os.listdir(frame_dir))
+    assert len(saved) == 6 and saved[0].endswith(".jpeg")
+    picked = process_video_frames(str(frame_dir), 3)
+    assert len(picked) == 3
+    # idempotent: a second call must not re-extract
+    save_frames(str(vid), str(frame_dir), max_frames_saved=6)
+    assert sorted(os.listdir(frame_dir)) == saved
+
+
+def test_video_container_decode_adapter_path(tmp_path):
+    """Raw mp4 consumed directly by the processor toolkit's frame loader
+    (training/inference path): uniform temporal sampling + CLIP normalize."""
+    from nexus_tpu.modules.multimodal import IMAGE_MEAN, IMAGE_STD, load_video_frames
+
+    vid = tmp_path / "clip.mp4"
+    _write_mp4(vid)
+    frames = load_video_frames(str(vid), image_size=16, num_frames=4)
+    assert len(frames) == 4
+    assert all(f.shape == (16, 16, 3) for f in frames)
+    # the red ramp must increase across sampled frames (BGR->RGB handled)
+    red = [float((f * IMAGE_STD + IMAGE_MEAN)[..., 0].mean()) for f in frames]
+    assert red == sorted(red) and red[-1] > red[0] + 0.2
+    green = [float((f * IMAGE_STD + IMAGE_MEAN)[..., 1].mean()) for f in frames]
+    assert max(green) < 0.2
