@@ -58,27 +58,53 @@ class BaseEmbedderInferenceEngine:
 
     # -- feature hydration --------------------------------------------------
 
-    def get_user_context_features(self, user_ids: List) -> Dict[str, np.ndarray]:
-        t0 = time.perf_counter()
-        rows = self.feature_cache.fetch(self.user_key_template, user_ids)
-        batch: Dict[str, np.ndarray] = {}
+    def _feature_schema(self):
+        """[(wire key, width)] + assembly plan, built once. Sequence features
+        may be stored under '{seq}.{f}' or bare '{f}' — both keys decode into
+        separate columns and merge by per-row presence."""
+        if getattr(self, "_schema_cache", None) is not None:
+            return self._schema_cache
         d = self.data_attr
+        schema, plan = [], []
         for feat in d.context_features:
-            batch[feat] = np.asarray([int(r.get(feat, 0)) for r in rows], np.int64)
-        # nested behavior sequences: stored as flat lists per seq feature
+            schema.append((feat, 1))
+            plan.append(("ctx", feat, feat, None))
         for seq_name, feats in (d.seq_features or {}).items():
             L = d.seq_lengths[seq_name]
-            sub = {}
             for f in feats:
-                mat = np.zeros((len(rows), L), np.int64)
-                for i, r in enumerate(rows):
-                    vals = r.get(f"{seq_name}.{f}") or r.get(f) or []
-                    if isinstance(vals, (int, float)):
-                        vals = [vals]
-                    vals = [int(v) for v in vals][:L]
-                    mat[i, : len(vals)] = vals
-                sub[f] = mat
-            batch[seq_name] = sub
+                primary, alias = f"{seq_name}.{f}", f
+                schema.append((primary, L))
+                if any(n == alias for n, _ in schema):
+                    alias = None  # name taken (e.g. by a context feature)
+                else:
+                    schema.append((alias, L))
+                plan.append(("seq", seq_name, f, (primary, alias)))
+        from nexus_tpu.inference.feature_store import StructBatchDecoder
+
+        self._schema_cache = (StructBatchDecoder(schema), plan)
+        return self._schema_cache
+
+    def get_user_context_features(self, user_ids: List) -> Dict[str, np.ndarray]:
+        """One mget round-trip -> native batch Struct decode -> fixed-shape
+        [B]/[B, L] int64 columns (hot path: the reference spends its serving
+        time here, base.py:448-507 get_features timers)."""
+        t0 = time.perf_counter()
+        keys = [self.user_key_template.format(u) for u in user_ids]
+        blobs = self.kv.mget(keys)
+        decoder, plan = self._feature_schema()
+        cols, lens = decoder.decode_batch(blobs)
+        batch: Dict[str, np.ndarray] = {}
+        for kind, a, b, names in plan:
+            if kind == "ctx":
+                batch[b] = cols[b]
+            else:
+                seq_name, f = a, b
+                primary, alias = names
+                col = cols[primary]
+                if alias is not None:
+                    use_alias = (lens[primary] == 0)[:, None]
+                    col = np.where(use_alias, cols[alias], col)
+                batch.setdefault(seq_name, {})[f] = col
         self.timers["feature"] += time.perf_counter() - t0
         return batch
 

@@ -19,10 +19,127 @@ feature path stays off the TPU critical path.
 
 from __future__ import annotations
 
+import ctypes
 import fnmatch
-from typing import Dict, Iterable, List, Optional
+import os
+import subprocess
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libfeature_codec.so")
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    """Build (once, g++) + load the native Struct batch decoder; None when no
+    compiler is available (callers fall back to the Python path)."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    src = os.path.join(_CSRC, "feature_codec.cpp")
+    try:
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.fc_schema_create.restype = ctypes.c_void_p
+        lib.fc_schema_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+        lib.fc_schema_destroy.argtypes = [ctypes.c_void_p]
+        lib.fc_decode_batch.restype = ctypes.c_int32
+        lib.fc_decode_batch.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+class StructBatchDecoder:
+    """Batch-decode serialized google.protobuf.Struct feature rows straight
+    into fixed-shape int64 columns via the native codec
+    (nexus_tpu/csrc/feature_codec.cpp — the reference's C++ protobuf-codegen
+    role in its serving hot path, base.py:448-507). Falls back to the Python
+    proto path when no compiler exists.
+
+    schema: [(field_name, width)] — width 1 yields a [B] column, width L a
+    zero-padded [B, L] column. Returns (columns, lengths) dicts.
+    """
+
+    def __init__(self, schema: Sequence[Tuple[str, int]]):
+        self.schema = [(str(n), int(w)) for n, w in schema]
+        self._lib = _load_native()
+        self._handle = None
+        if self._lib is not None:
+            names = (ctypes.c_char_p * len(self.schema))(
+                *[n.encode() for n, _ in self.schema]
+            )
+            widths = np.asarray([w for _, w in self.schema], np.int32)
+            self._handle = self._lib.fc_schema_create(names, widths, len(self.schema))
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and getattr(self, "_lib", None):
+            self._lib.fc_schema_destroy(self._handle)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def decode_batch(self, blobs: List[Optional[bytes]]):
+        n = len(blobs)
+        cols = {name: np.zeros((n, w) if w > 1 else (n,), np.int64)
+                for name, w in self.schema}
+        lens = {name: np.zeros((n,), np.int32) for name, _ in self.schema}
+        if not n:
+            return cols, lens
+        if self.native:
+            safe = [b or b"" for b in blobs]
+            offsets = np.zeros((n + 1,), np.int64)
+            offsets[1:] = np.cumsum([len(b) for b in safe])
+            data = np.frombuffer(b"".join(safe), np.uint8) if offsets[-1] else np.zeros(
+                (1,), np.uint8
+            )
+            out_ptrs = (ctypes.c_void_p * len(self.schema))(
+                *[c.ctypes.data_as(ctypes.c_void_p).value for c in cols.values()]
+            )
+            all_lens = np.zeros((len(self.schema), n), np.int32)
+            self._lib.fc_decode_batch(
+                self._handle, np.ascontiguousarray(data), offsets, n, out_ptrs, all_lens
+            )
+            for i, (name, _) in enumerate(self.schema):
+                lens[name] = all_lens[i]
+            return cols, lens
+        # Python fallback: per-row proto decode
+        codec = FeatureCodec()
+        for i, blob in enumerate(blobs):
+            row = codec.decode(blob) if blob else {}
+            for name, w in self.schema:
+                v = row.get(name)
+                if v is None:
+                    continue
+                vals = ([int(x) for x in v[:w]] if isinstance(v, (list, tuple))
+                        else [int(v)])
+                if w > 1:
+                    cols[name][i, : len(vals)] = vals
+                elif vals:
+                    cols[name][i] = vals[0]
+                lens[name][i] = len(vals)
+        return cols, lens
 
 
 class KVStore:

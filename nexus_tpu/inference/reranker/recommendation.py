@@ -35,18 +35,25 @@ class BaseRerankerInferenceEngine:
         from nexus_tpu.inference.embedder.recommendation import BaseEmbedderInferenceEngine
 
         self._hydrate_user = BaseEmbedderInferenceEngine.get_user_context_features.__get__(self)
+        self._feature_schema = BaseEmbedderInferenceEngine._feature_schema.__get__(self)
 
     def get_candidates_features(self, candidate_ids: np.ndarray) -> Dict[str, np.ndarray]:
-        """[B, N] candidate ids -> {item_feat: [B, N]} from the KV store."""
+        """[B, N] candidate ids -> {item_feat: [B, N]}: one mget + native
+        batch Struct decode (parity: the reference's per-candidate Redis
+        hydration, reranker base.py:189-227; B*N rows make the native path
+        matter even more than the user side)."""
         t0 = time.perf_counter()
         b, n = candidate_ids.shape
         flat = candidate_ids.reshape(-1)
-        rows = self.feature_cache.fetch(self.item_key_template, flat.tolist())
-        out = {}
-        for feat in self.data_attr.item_features:
-            out[feat] = np.asarray(
-                [int(r.get(feat, 0)) for r in rows], np.int64
-            ).reshape(b, n)
+        blobs = self.kv.mget([self.item_key_template.format(v) for v in flat.tolist()])
+        if getattr(self, "_item_decoder", None) is None:
+            from nexus_tpu.inference.feature_store import StructBatchDecoder
+
+            self._item_decoder = StructBatchDecoder(
+                [(feat, 1) for feat in self.data_attr.item_features]
+            )
+        cols, _ = self._item_decoder.decode_batch(blobs)
+        out = {feat: cols[feat].reshape(b, n) for feat in self.data_attr.item_features}
         self.timers["feature"] += time.perf_counter() - t0
         return out
 

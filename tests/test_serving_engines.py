@@ -110,3 +110,42 @@ def test_two_stage_cascade(stack):
     # ranked items are a subset of retrieved candidates per user
     for i in range(len(users)):
         assert set(ranked["item_ids"][i]).issubset(set(retrieved["item_ids"][i]))
+
+
+def test_native_struct_batch_decoder_parity():
+    """Native C++ Struct wire decode == Python proto decode, incl. the
+    None-blob and truncation paths (csrc/feature_codec.cpp — the serving
+    hot path's protobuf-codegen role, ref base.py:448-507)."""
+    import numpy as np
+
+    from nexus_tpu.inference.feature_store import FeatureCodec, StructBatchDecoder
+
+    codec = FeatureCodec()
+    rng = np.random.default_rng(3)
+    rows = [
+        {"uid": i, "age": int(rng.integers(1, 9)),
+         "seq.item": rng.integers(1, 10**9, 12), "ts": 1700000000 + i}
+        for i in range(32)
+    ]
+    blobs = [codec.encode(r) for r in rows]
+    blobs[5] = None  # cache miss
+    schema = [("uid", 1), ("age", 1), ("seq.item", 8), ("ts", 1), ("absent", 4)]
+
+    native = StructBatchDecoder(schema)
+    cols, lens = native.decode_batch(blobs)
+
+    # reference: force the Python fallback through the same surface
+    py = StructBatchDecoder(schema)
+    py._handle = None
+    pcols, plens = py.decode_batch(blobs)
+
+    if native.native:  # compiler present: native vs python must agree exactly
+        for name, _ in schema:
+            np.testing.assert_array_equal(cols[name], pcols[name], err_msg=name)
+            np.testing.assert_array_equal(lens[name], plens[name], err_msg=name)
+    for c, l in ((cols, lens), (pcols, plens)):
+        assert c["uid"][5] == 0 and l["seq.item"][5] == 0  # miss -> zeros
+        assert c["seq.item"].shape == (32, 8)  # 12-long lists truncate to 8
+        assert (l["seq.item"][np.arange(32) != 5] == 8).all()
+        assert (c["absent"] == 0).all() and (l["absent"] == 0).all()
+        assert c["uid"][7] == 7 and c["ts"][0] == 1700000000
