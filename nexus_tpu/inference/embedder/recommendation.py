@@ -110,11 +110,13 @@ class BaseEmbedderInferenceEngine:
 
     # -- retrieval ----------------------------------------------------------
 
-    def batch_inference(self, user_ids: List) -> Dict[str, np.ndarray]:
-        """Returns {'user_id', 'item_ids' [B, K], 'scores' [B, K]}."""
+    def batch_inference(self, user_ids: List, context: Optional[Dict] = None) -> Dict[str, np.ndarray]:
+        """Returns {'user_id', 'item_ids' [B, K], 'scores' [B, K]}. Pass a
+        precomputed ``context`` (the get_user_context_features dict) to skip
+        hydration — the cascade service reuses one hydration across stages."""
         if self.retrieve_mode == "i2i":
             return self._i2i(user_ids)
-        batch = self.get_user_context_features(user_ids)
+        batch = context if context is not None else self.get_user_context_features(user_ids)
         t0 = time.perf_counter()
         q = np.asarray(self._encode(batch))
         self.timers["model"] += time.perf_counter() - t0

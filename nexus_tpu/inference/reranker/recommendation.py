@@ -7,7 +7,7 @@ return top-k item ids.
 from __future__ import annotations
 
 import time
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -58,11 +58,15 @@ class BaseRerankerInferenceEngine:
         return out
 
     def batch_inference(
-        self, user_ids: List, candidates: Dict[str, np.ndarray] | np.ndarray
+        self, user_ids: List, candidates: Dict[str, np.ndarray] | np.ndarray,
+        context: Optional[Dict] = None,
     ) -> Dict[str, np.ndarray]:
         """Rank candidates per user. `candidates` is either {feat: [B, N]}
-        or a [B, N] id matrix hydrated from the KV store."""
-        context = self._hydrate_user(user_ids)
+        or a [B, N] id matrix hydrated from the KV store. A precomputed
+        ``context`` dict skips the second user-feature round-trip when the
+        retriever stage already hydrated the same users."""
+        if context is None:
+            context = self._hydrate_user(user_ids)
         if not isinstance(candidates, dict):
             candidates = self.get_candidates_features(np.asarray(candidates))
         t0 = time.perf_counter()

@@ -103,15 +103,43 @@ class InferenceService(_ServiceBase):
         self.retriever = retriever_engine
         self.ranker = ranker_engine
 
+    @staticmethod
+    def _context_covers(ctx: Dict, data_attr) -> bool:
+        """True when a hydrated context dict satisfies another model's
+        feature schema (same recflow config across cascade stages)."""
+        if any(f not in ctx for f in data_attr.context_features):
+            return False
+        for s, feats in (data_attr.seq_features or {}).items():
+            sub = ctx.get(s)
+            if not isinstance(sub, dict) or any(f not in sub for f in feats):
+                return False
+            if any(sub[f].shape[1] != data_attr.seq_lengths[s] for f in feats):
+                return False
+        return True
+
     def recommend(self, payload: Dict) -> Dict:
         user_ids: List = payload["user_ids"]
-        retrieved = self.retriever.batch_inference(user_ids)
+        # hydrate user/context features ONCE for the whole cascade (the
+        # reference's ranker stage re-reads the same user keys from Redis,
+        # reranker base.py:121; here both stages share one mget+decode when
+        # their feature schemas agree)
+        context = None
+        if self.ranker is not None and self.retriever.retrieve_mode != "i2i":
+            context = self.retriever.get_user_context_features(user_ids)
+        retrieved = self.retriever.batch_inference(user_ids, context=context)
         result = {
             "user_ids": user_ids,
             "retrieved": retrieved["item_ids"].tolist(),
         }
         if self.ranker is not None:
-            ranked = self.ranker.batch_inference(user_ids, retrieved["item_ids"])
+            ranker_ctx = (
+                context
+                if context is not None and self._context_covers(context, self.ranker.data_attr)
+                else None
+            )
+            ranked = self.ranker.batch_inference(
+                user_ids, retrieved["item_ids"], context=ranker_ctx
+            )
             result["ranked"] = ranked["item_ids"].tolist()
         result["timers"] = {
             "retriever": dict(self.retriever.timers),

@@ -149,3 +149,36 @@ def test_native_struct_batch_decoder_parity():
         assert (l["seq.item"][np.arange(32) != 5] == 8).all()
         assert (c["absent"] == 0).all() and (l["absent"] == 0).all()
         assert c["uid"][7] == 7 and c["ts"][0] == 1700000000
+
+
+def test_cascade_reuses_one_hydration(stack):
+    """The service hydrates user context ONCE per request when both cascade
+    stages share the feature schema (one mget for users; the ranker adds only
+    the candidate-item mget)."""
+    from nexus_tpu.serve.service import InferenceService
+
+    kv = stack["kv"]
+    calls = {"user_mgets": 0}
+    orig_mget = kv.mget
+
+    def counting_mget(keys):
+        if any(str(k).startswith("user:") for k in keys):
+            calls["user_mgets"] += 1
+        return orig_mget(keys)
+
+    kv.mget = counting_mget
+    try:
+        retr = BaseEmbedderInferenceEngine(
+            {"model_ckpt_path": stack["ret_dir"], "output_topk": 8},
+            kv_store=kv, item_index=stack["index"],
+        )
+        ranker = BaseRerankerInferenceEngine(
+            {"model_ckpt_path": stack["rank_dir"], "output_topk": 4}, kv_store=kv
+        )
+        service = InferenceService(retr, ranker)
+        users = _known_user_ids(kv, 3)
+        out = service.recommend({"user_ids": users})
+        assert len(out["ranked"]) == len(users)
+        assert calls["user_mgets"] == 1, f"expected 1 user mget, saw {calls['user_mgets']}"
+    finally:
+        kv.mget = orig_mget
