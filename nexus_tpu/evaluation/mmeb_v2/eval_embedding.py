@@ -91,7 +91,10 @@ class MMEBEvaluator:
     def _emb_cache(self, task: str, kind: str) -> str:
         d = os.path.join(self.output_dir, "embeddings")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{task}_{kind}.npy")
+        # per-rank files: each rank encodes its own query shard (and that
+        # shard's candidate set), so caches must not collide across ranks
+        suffix = f"_rank{self.rank}" if self.world_size > 1 else ""
+        return os.path.join(d, f"{task}_{kind}{suffix}.npy")
 
     def _encode_cached(self, task: str, kind: str, items: List) -> np.ndarray:
         path = self._emb_cache(task, kind)
@@ -158,6 +161,7 @@ class MMEBEvaluator:
                 labels = label if isinstance(label, list) else [label]
                 relevant.append({name_index[n] for n in labels if n in name_index})
             metrics = compute_task_metrics(ranked, relevant, self.k_values)
+        metrics["_n"] = len(rows)  # shard query count (cross-rank merge weight)
         logger.info("%s (real format, %d queries, %d candidates): %s",
                     task_name, len(rows), len(cand_items), metrics)
         return metrics
@@ -260,8 +264,49 @@ class MMEBEvaluator:
         results = {}
         for task in task_names:
             results[task] = self.evaluate_task(task)
+        if self.world_size > 1:
+            return self._merge_ranks(results)
         self.report(results)
         return results
+
+    def _merge_ranks(self, results: Dict[str, Dict[str, float]], timeout_s: float = 600.0):
+        """Cross-rank result merge without a comm backend (parity: the
+        reference's dist.gather + rank-0 report, eval_embedding.py
+        gather_results): every rank writes its shard metrics (+ query counts)
+        to output_dir; rank 0 waits for all files and reports query-weighted
+        means. Works for multi-process CPU and multi-host TPU alike."""
+        import time as _time
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        mine = os.path.join(self.output_dir, f"rank{self.rank}_results.json")
+        with open(mine, "w") as f:
+            json.dump(results, f)
+        if self.rank != 0:
+            return results
+        paths = [os.path.join(self.output_dir, f"rank{r}_results.json")
+                 for r in range(self.world_size)]
+        deadline = _time.time() + timeout_s
+        while any(not os.path.exists(p) for p in paths):
+            if _time.time() > deadline:
+                missing = [p for p in paths if not os.path.exists(p)]
+                raise TimeoutError(f"rank results never arrived: {missing}")
+            _time.sleep(0.2)
+        shards = []
+        for p in paths:
+            with open(p) as f:
+                shards.append(json.load(f))
+        merged: Dict[str, Dict[str, float]] = {}
+        for task in results:
+            per = [s[task] for s in shards if task in s]
+            total = sum(int(r.get("_n", 1)) for r in per)
+            names = {m for r in per for m in r if not m.startswith("_")}
+            merged[task] = {
+                m: round(sum(r.get(m, 0.0) * r.get("_n", 1) for r in per) / max(total, 1), 5)
+                for m in names
+            }
+            merged[task]["_n"] = total
+        self.report(merged)
+        return merged
 
     def report(self, results: Dict[str, Dict[str, float]]) -> str:
         """Aggregate per-modality means + per-task table
@@ -270,7 +315,7 @@ class MMEBEvaluator:
         with open(os.path.join(self.output_dir, "mmeb_results.json"), "w") as f:
             json.dump(results, f, indent=2)
         lines = ["# MMEB-v2 results", ""]
-        metric_names = sorted({m for r in results.values() for m in r})
+        metric_names = sorted({m for r in results.values() for m in r if not m.startswith("_")})
         lines.append("| task | modality | " + " | ".join(metric_names) + " |")
         lines.append("|---" * (len(metric_names) + 2) + "|")
         by_modality: Dict[str, list] = {}

@@ -245,3 +245,31 @@ def test_video_container_decode_adapter_path(tmp_path):
     assert red == sorted(red) and red[-1] > red[0] + 0.2
     green = [float((f * IMAGE_STD + IMAGE_MEAN)[..., 1].mean()) for f in frames]
     assert max(green) < 0.2
+
+
+def test_rank_sharded_eval_merges_to_single_rank_result(basedir, tmp_path):
+    """Two ranks over disjoint query shards merge (query-weighted, via the
+    rank-0 file gather — parity: the reference's dist.gather + report) to
+    exactly the single-rank metrics (4 queries, world 2, no padding)."""
+    from nexus_tpu.evaluation.mmeb_v2.eval_embedding import MMEBEvaluator
+
+    kwargs = dict(
+        data_basedir=basedir,
+        parser_kwargs={"image_root": os.path.join(basedir, "media", "HatefulMemes")},
+    )
+    single = MMEBEvaluator(_FakeEmbedder(), output_dir=str(tmp_path / "w1"), **kwargs)
+    base = single.run(["HatefulMemes"])["HatefulMemes"]
+
+    out2 = str(tmp_path / "w2")
+    r1 = MMEBEvaluator(_FakeEmbedder(), output_dir=out2, rank=1, world_size=2, **kwargs)
+    part = r1.run(["HatefulMemes"])["HatefulMemes"]
+    assert part["_n"] == 2  # half the queries
+    r0 = MMEBEvaluator(_FakeEmbedder(), output_dir=out2, rank=0, world_size=2, **kwargs)
+    merged = r0.run(["HatefulMemes"])["HatefulMemes"]
+
+    assert merged["_n"] == 4
+    for m, v in base.items():
+        if not m.startswith("_"):
+            assert abs(merged[m] - v) < 1e-6, (m, merged[m], v)
+    # rank 0 wrote the merged report
+    assert os.path.exists(os.path.join(out2, "mmeb_results.md"))
