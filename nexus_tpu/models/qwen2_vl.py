@@ -221,6 +221,8 @@ _ACT = {
 class Qwen2VLVisionBlock(nn.Module):
     config: Qwen2VLVisionConfig
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1  # temporal frames per block: attention stays WITHIN each
+    # frame's h*w patches (HF cu_seqlens = repeat(h*w, t) semantics)
 
     @nn.compact
     def __call__(self, x: Array, cos: Array, sin: Array):
@@ -236,6 +238,10 @@ class Qwen2VLVisionBlock(nn.Module):
         q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
         k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
         s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+        if self.grid_t > 1:  # static per-frame block-diagonal mask
+            seg = np.arange(p) // (p // self.grid_t)
+            keep = jnp.asarray(seg[:, None] == seg[None, :])
+            s = jnp.where(keep[None, None], s, -1e30)
         probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, p, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_proj")(ctx)
@@ -249,10 +255,13 @@ class Qwen2VLVisionBlock(nn.Module):
 class _ScannedVisionBlock(nn.Module):
     config: Qwen2VLVisionConfig
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1
 
     @nn.compact
     def __call__(self, x, _, cos, sin):
-        return Qwen2VLVisionBlock(self.config, dtype=self.dtype, name="block")(x, cos, sin), None
+        return Qwen2VLVisionBlock(
+            self.config, dtype=self.dtype, grid_t=self.grid_t, name="block"
+        )(x, cos, sin), None
 
 
 class Qwen2VLVisionTower(nn.Module):
@@ -282,10 +291,12 @@ class Qwen2VLVisionTower(nn.Module):
                 length=c.depth,
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             )
-            x, _ = Scanned(c, dtype=self.dtype, name="blocks")(x, None, cos, sin)
+            x, _ = Scanned(c, dtype=self.dtype, grid_t=self.grid_thw[0],
+                           name="blocks")(x, None, cos, sin)
         else:
             for i in range(c.depth):
-                x = Qwen2VLVisionBlock(c, dtype=self.dtype, name=f"block_{i}")(x, cos, sin)
+                x = Qwen2VLVisionBlock(c, dtype=self.dtype, grid_t=self.grid_thw[0],
+                                       name=f"block_{i}")(x, cos, sin)
         # PatchMerger: merge-order layout makes each 2x2 spatial group
         # CONSECUTIVE, so the merge is one reshape
         m2 = c.spatial_merge_size**2
@@ -327,6 +338,8 @@ class Qwen25VLVisionBlock(nn.Module):
     n_windows: int = 1
     win_patches: int = 1
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1  # full-attention layers stay within each temporal frame
+    # (HF cu_seqlens = repeat(h*w, t)); windows never span frames by layout
 
     @nn.compact
     def __call__(self, x: Array, is_full, cos: Array, sin: Array):
@@ -349,7 +362,14 @@ class Qwen25VLVisionBlock(nn.Module):
             return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
         def full_core(args):
-            return _core(*args).reshape(n, p, d)
+            q, k, v = args
+            s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+            if self.grid_t > 1:  # static per-frame block-diagonal mask
+                seg = np.arange(p) // (p // self.grid_t)
+                keep = jnp.asarray(seg[:, None] == seg[None, :])
+                s = jnp.where(keep[None, None], s, -1e30)
+            probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            return jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, p, d)
 
         def window_core(args):
             nw, wp = self.n_windows, self.win_patches
@@ -374,12 +394,13 @@ class _ScannedVision25Block(nn.Module):
     n_windows: int = 1
     win_patches: int = 1
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1
 
     @nn.compact
     def __call__(self, x, is_full, cos, sin):
         out = Qwen25VLVisionBlock(
             self.config, n_windows=self.n_windows, win_patches=self.win_patches,
-            dtype=self.dtype, name="block",
+            dtype=self.dtype, grid_t=self.grid_t, name="block",
         )(x, is_full, cos, sin)
         return out, None
 
@@ -422,14 +443,15 @@ class Qwen25VLVisionTower(nn.Module):
                 in_axes=(0, nn.broadcast, nn.broadcast),
             )
             x, _ = Scanned(c, n_windows=n_windows, win_patches=win_patches,
-                           dtype=self.dtype, name="blocks")(
+                           dtype=self.dtype, grid_t=self.grid_thw[0],
+                           name="blocks")(
                 x, jnp.asarray(is_full), cos, sin
             )
         else:
             for i in range(c.depth):
                 x = Qwen25VLVisionBlock(
                     c, n_windows=n_windows, win_patches=win_patches,
-                    dtype=self.dtype, name=f"block_{i}",
+                    dtype=self.dtype, grid_t=self.grid_thw[0], name=f"block_{i}",
                 )(x, bool(is_full[i]), cos, sin)
         m2 = c.spatial_merge_size**2
         x = RMSNorm(1e-6, name="ln_q")(x).astype(self.dtype)

@@ -213,8 +213,15 @@ class Qwen2VLProcessorAdapter:
     same static (1, g, g) patch grid (the TPU answer to HF's dynamic
     smart_resize). Layout per sample: [vision_start][image tokens][text].
 
+    With ``grid_t > 1`` the adapter runs in VIDEO mode: every vision entry is
+    ONE temporal block of grid_t*tps frames — videos sample that many frames
+    (true temporal patching + temporal M-RoPE, HF pixel_values_videos
+    parity), images replicate their frame. The backbone must be built with
+    the matching grid_thw=(grid_t, g, g); image mode and video mode cannot
+    mix in one static program, mirroring how the model pins one patch grid.
+
     Output feed: input_ids / attention_mask [B, L], positions3 [3, B, L]
-    (M-RoPE ids), pixel_patches [N_images_total, P, patch_dim] in batch
+    (M-RoPE ids), pixel_patches [N_blocks_total, P, patch_dim] in batch
     order (absent for text-only batches).
     """
 
@@ -233,6 +240,7 @@ class Qwen2VLProcessorAdapter:
         vision_end_token_id: int = 151653,
         use_chat_template: bool = False,
         system_prompt: str = "You are a helpful assistant.",
+        grid_t: int = 1,
     ):
         assert image_size % (patch_size * spatial_merge_size) == 0
         self.tokenizer = tokenizer
@@ -248,8 +256,10 @@ class Qwen2VLProcessorAdapter:
         self.vision_end_token_id = vision_end_token_id
         self.use_chat_template = use_chat_template
         g = image_size // patch_size
-        self.grid_thw = (1, g, g)
-        self.tokens_per_image = (g // spatial_merge_size) ** 2
+        self.grid_t = int(grid_t)
+        self.grid_thw = (self.grid_t, g, g)
+        self.frames_per_block = self.grid_t * temporal_patch_size
+        self.tokens_per_image = self.grid_t * (g // spatial_merge_size) ** 2
         # Qwen conversation layout (parity: the reference's chat-template
         # processor path, Nexus/modules/multimodal.py:1144+). Tokenized ONCE
         # here; per-item assembly stays token-level (no string munging on the
@@ -275,23 +285,41 @@ class Qwen2VLProcessorAdapter:
         all_patches: List[np.ndarray] = []
         grids: List[tuple] = []
         for i, item in enumerate(items):
-            images = [load_image(p, self.image_size) for p in item.get("images", [])]
-            for v in item.get("videos", []):
-                images += load_video_frames(v, self.image_size, self.num_video_frames)
-            for p in item.get("pages", []):
-                images.append(load_image(p, self.image_size))
+            blocks: List[tuple] = []  # ([T, H, W, C] frames, placeholder id)
+            if self.grid_t == 1:
+                images = [load_image(p, self.image_size) for p in item.get("images", [])]
+                for v in item.get("videos", []):
+                    images += load_video_frames(v, self.image_size, self.num_video_frames)
+                for p in item.get("pages", []):
+                    images.append(load_image(p, self.image_size))
+                blocks = [(im[None], self.image_token_id) for im in images]
+            else:  # video mode: one temporal block per vision entry
+                fpb = self.frames_per_block
+                for p in list(item.get("images", [])) + list(item.get("pages", [])):
+                    im = load_image(p, self.image_size)
+                    blocks.append((np.repeat(im[None], fpb, axis=0), self.image_token_id))
+                for v in item.get("videos", []):
+                    frames = load_video_frames(v, self.image_size, fpb)
+                    if not frames:
+                        continue
+                    arr = np.stack(frames)
+                    if arr.shape[0] < fpb:  # short clip: repeat the last frame
+                        arr = np.concatenate(
+                            [arr, np.repeat(arr[-1:], fpb - arr.shape[0], axis=0)]
+                        )
+                    blocks.append((arr, self.video_token_id))
             row: List[int] = list(self.chat_prefix_ids)
             tail = len(self.chat_suffix_ids)
             per_image = 1 + self.tokens_per_image + (1 if self.use_chat_template else 0)
-            for im in images:
+            for frames, placeholder in blocks:
                 if len(row) + per_image + tail > self.max_length:
                     break
                 all_patches.append(qwen2vl_image_to_patches(
-                    im[None], self.patch_size, self.temporal_patch_size, self.merge
+                    frames, self.patch_size, self.temporal_patch_size, self.merge
                 ))
                 grids.append(self.grid_thw)
                 row.append(self.vision_start_token_id)
-                row.extend([self.image_token_id] * self.tokens_per_image)
+                row.extend([placeholder] * self.tokens_per_image)
                 if self.use_chat_template:
                     row.append(self.vision_end_token_id)
             text_ids = self.tokenizer(

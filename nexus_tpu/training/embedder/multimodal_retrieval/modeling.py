@@ -73,7 +73,8 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
     @classmethod
     def from_hf_pretrained(
         cls, model_dir: str, model_args: Optional[TextEmbedderModelArguments] = None,
-        image_size: int = 224, lora_rank: int = 0, lora_alpha: float = 16.0, **kw,
+        image_size: int = 224, lora_rank: int = 0, lora_alpha: float = 16.0,
+        video_frames: int = 0, **kw,
     ) -> "BiMultimodalEmbedderModel":
         """Load a real HF Qwen-VL-family checkpoint directory (weights
         converted to the TPU layout; parity-tested in tests/test_qwen2_vl.py
@@ -100,8 +101,11 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         config.text.lora_rank = lora_rank
         config.text.lora_alpha = lora_alpha
         g = image_size // config.vision.patch_size
+        # video mode: pin a (T, g, g) temporal patch grid — every vision
+        # entry becomes one video block of T*temporal_patch_size frames
+        grid_t = max(video_frames // config.vision.temporal_patch_size, 1)
         model = cls(config, model_args, variables=None,
-                    backbone_type=config.variant, grid_thw=(1, g, g), **kw)
+                    backbone_type=config.variant, grid_thw=(grid_t, g, g), **kw)
         if use_lora:
             from nexus_tpu.models.lora import graft_lora_init
 

@@ -56,6 +56,7 @@ class MultimodalEmbedderRunner:
                 vision_start_token_id=c.vision_start_token_id,
                 vision_end_token_id=getattr(c, "vision_end_token_id", 151653),
                 use_chat_template=use_chat_template,
+                grid_t=t,
             )
         else:
             self.processor = MultimodalProcessorAdapter(

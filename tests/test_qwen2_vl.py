@@ -329,3 +329,112 @@ def test_load_hf_qwen2vl_roundtrip(tiny_pair, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_video_temporal_block_parity(tiny_pair):
+    """A (2, 8, 8) temporal video block (4 frames, tps 2) through the tower +
+    trunk matches HF's pixel_values_videos / video_grid_thw path — true
+    temporal patching + temporal M-RoPE, not frames-as-images."""
+    hf, config, variables = tiny_pair
+    rng = np.random.default_rng(5)
+    vgrid = (2, 8, 8)
+    n_tok = vgrid[0] * (vgrid[1] // 2) * (vgrid[2] // 2)  # 32 merged tokens
+    b, l = 1, 48
+    ids = rng.integers(10, 250, (b, l)).astype(np.int64)
+    ids[0, 2] = 9  # vision_start
+    ids[0, 3 : 3 + n_tok] = 8  # video tokens
+    mask = np.ones((b, l), np.int64)
+    patches = rng.standard_normal(
+        (1, vgrid[0] * vgrid[1] * vgrid[2], config.vision.patch_dim)
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = hf.model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            pixel_values_videos=torch.from_numpy(patches.reshape(-1, patches.shape[-1])),
+            video_grid_thw=torch.tensor([list(vgrid)]),
+        ).last_hidden_state.numpy()
+
+    from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone, get_mrope_positions
+
+    pos3 = get_mrope_positions(
+        ids, mask, [vgrid], image_token_id=7, video_token_id=8, merge=2
+    )
+    hf_pos, _ = hf.model.get_rope_index(
+        torch.from_numpy(ids), None, torch.tensor([list(vgrid)]), torch.from_numpy(mask)
+    )
+    np.testing.assert_array_equal(pos3, hf_pos.numpy())
+
+    net = Qwen2VLBackbone(config, grid_thw=vgrid)
+    ours = net.apply(
+        variables, jnp.asarray(ids.astype(np.int32)),
+        attention_mask=jnp.asarray(mask.astype(np.int32)),
+        pixel_patches=jnp.asarray(patches),
+        positions3=jnp.asarray(pos3),
+    )["last_hidden_state"]
+    diff = np.abs(np.asarray(ours) - theirs)
+    assert diff.max() < 5e-4, diff.max()
+
+
+def test_video_mode_adapter_layout():
+    """Video-mode adapter (grid_t=2): one temporal block per video with
+    video_token_id placeholders; images replicate frames into a block."""
+    from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
+
+    class Tok:
+        pad_token_id = 0
+
+        def __call__(self, t, **kw):
+            return {"input_ids": [10 + ord(c) % 100 for c in t][: kw.get("max_length", 64)]}
+
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    ad = Qwen2VLProcessorAdapter(
+        Tok(), image_size=16, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, max_length=96, image_token_id=7,
+        video_token_id=8, vision_start_token_id=9, grid_t=2,
+    )
+    assert ad.tokens_per_image == 2 * 4  # t * (g/merge)^2
+    feed = ad([
+        {"text": "clip", "videos": [frames], "images": [], "pages": []},
+        {"text": "img", "images": [img], "videos": [], "pages": []},
+    ])
+    # one block each, P = t*h*w patches
+    assert feed["pixel_patches"].shape == (2, 2 * 4 * 4, 4 * 4 * 2 * 3)
+    assert int((feed["input_ids"][0] == 8).sum()) == 8  # video placeholders
+    assert int((feed["input_ids"][1] == 7).sum()) == 8  # image placeholders
+    # temporal M-RoPE: the video block's t-component must advance
+    t_comp = feed["positions3"][0, 0]
+    vid_pos = np.where(feed["input_ids"][0] == 8)[0]
+    assert len(set(t_comp[vid_pos].tolist())) == 2  # two temporal steps
+
+
+def test_qwen2_5_vl_video_tower_parity():
+    """Qwen2.5-VL tower with a (2, 8, 8) temporal grid matches HF's video
+    path: windows stay within frames by layout, full-attention layers get the
+    per-frame block-diagonal mask."""
+    from transformers.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
+
+    from nexus_tpu.models.hf_convert import torch_qwen2vl_to_flax
+    from nexus_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen25VLVisionTower
+
+    torch.manual_seed(2)
+    hf = Qwen2_5_VLForConditionalGeneration(_tiny_hf_25_config()).eval()
+    config = Qwen2VLConfig.from_hf(hf.config)
+    variables = torch_qwen2vl_to_flax(hf.state_dict(), config)
+
+    vgrid = (2, 8, 8)
+    rng = np.random.default_rng(6)
+    patches = rng.standard_normal(
+        (1, vgrid[0] * vgrid[1] * vgrid[2], config.vision.patch_dim)
+    ).astype(np.float32)
+    tower = Qwen25VLVisionTower(config.vision, grid_thw=vgrid)
+    ours = tower.apply({"params": variables["params"]["visual"]}, jnp.asarray(patches))
+    with torch.no_grad():
+        theirs = hf.model.visual(
+            torch.from_numpy(patches.reshape(-1, patches.shape[-1])),
+            grid_thw=torch.tensor([list(vgrid)]),
+        ).numpy().reshape(1, -1, 48)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-4)
