@@ -14,10 +14,12 @@
 //   ListValue   { repeated Value values = 1; }              tag 0x0A
 //
 // Numbers are doubles on the wire (Struct semantics); categorical ids decode
-// exactly up to 2^53, cast to int64 with llround. Unknown keys and non-number
-// values are skipped. Lists longer than the column width are truncated,
-// shorter ones leave the caller's zero-fill in place (the engines' padding
-// convention).
+// exactly up to 2^53, cast to int64 by TRUNCATION toward zero — identical to
+// the Python fallback's int() and the pre-native engines' int(row[feat]).
+// bool_value decodes to 0/1 (also matching the fallback). Unknown keys and
+// other value kinds are skipped. Lists longer than the column width are
+// truncated, shorter ones leave the caller's zero-fill in place (the
+// engines' padding convention).
 //
 // Build: g++ -O3 -shared -fPIC -o libfeature_codec.so feature_codec.cpp
 
@@ -72,8 +74,8 @@ struct Cursor {
   }
 };
 
-// Parse a Value submessage; when it is a number, store into out[0..width)
-// at position *count (for lists) — returns true when a number was written.
+// Parse a Value submessage holding a number or bool — returns true and
+// writes the numeric value when one was found.
 inline bool parse_number_value(Cursor c, double* out_number) {
   while (c.ok && c.p < c.end) {
     uint64_t tag = c.varint();
@@ -82,6 +84,10 @@ inline bool parse_number_value(Cursor c, double* out_number) {
     uint32_t wt = static_cast<uint32_t>(tag & 7);
     if (field == 2 && wt == 1) {  // number_value
       *out_number = c.fixed64_double();
+      return c.ok;
+    }
+    if (field == 4 && wt == 0) {  // bool_value
+      *out_number = c.varint() ? 1.0 : 0.0;
       return c.ok;
     }
     c.skip(wt);
@@ -102,7 +108,8 @@ inline int32_t parse_list_values(Cursor c, int64_t* out, int32_t width) {
       if (!c.ok || static_cast<uint64_t>(c.end - c.p) < len) break;
       Cursor val{c.p, c.p + len};
       double d;
-      if (n < width && parse_number_value(val, &d)) out[n++] = llround(d);
+      if (n < width && parse_number_value(val, &d))
+        out[n++] = static_cast<int64_t>(d);  // trunc: int() parity
       c.p += len;
     } else {
       c.skip(wt);
@@ -191,7 +198,11 @@ int32_t fc_decode_batch(void* schema_handle,
         uint32_t vf = static_cast<uint32_t>(vtag >> 3);
         uint32_t vw = static_cast<uint32_t>(vtag & 7);
         if (vf == 2 && vw == 1) {  // number_value
-          out_row[0] = llround(v.fixed64_double());
+          out_row[0] = static_cast<int64_t>(v.fixed64_double());  // trunc
+          lens[static_cast<int64_t>(f) * n_rows + row] = 1;
+          break;
+        } else if (vf == 4 && vw == 0) {  // bool_value -> 0/1 (int() parity)
+          out_row[0] = static_cast<int64_t>(v.varint() != 0);
           lens[static_cast<int64_t>(f) * n_rows + row] = 1;
           break;
         } else if (vf == 6 && vw == 2) {  // list_value

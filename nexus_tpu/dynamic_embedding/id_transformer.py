@@ -40,10 +40,14 @@ def _load_native():
     src = os.path.join(_CSRC, "id_transformer.cpp")
     try:
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
+            # per-pid temp + atomic rename: concurrent processes must never
+            # CDLL a partially-linked library
+            tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.idt_create.restype = ctypes.c_void_p
         lib.idt_create.argtypes = [ctypes.c_int64]

@@ -261,6 +261,14 @@ class MMEBEvaluator:
 
                     if task_data_exists(self.data_basedir, t):
                         task_names.append(t)
+        if self.world_size > 1:
+            # clear THIS rank's stale result file from any previous run in
+            # the same output_dir before the (long) evaluation starts, so
+            # the rank-0 gather below never merges a previous run's shards
+            os.makedirs(self.output_dir, exist_ok=True)
+            stale = os.path.join(self.output_dir, f"rank{self.rank}_results.json")
+            if os.path.exists(stale):
+                os.remove(stale)
         results = {}
         for task in task_names:
             results[task] = self.evaluate_task(task)
@@ -279,8 +287,11 @@ class MMEBEvaluator:
 
         os.makedirs(self.output_dir, exist_ok=True)
         mine = os.path.join(self.output_dir, f"rank{self.rank}_results.json")
-        with open(mine, "w") as f:
+        tmp = f"{mine}.tmp"  # atomic publish: peers must never read a
+        # partially-written JSON
+        with open(tmp, "w") as f:
             json.dump(results, f)
+        os.replace(tmp, mine)
         if self.rank != 0:
             return results
         paths = [os.path.join(self.output_dir, f"rank{r}_results.json")

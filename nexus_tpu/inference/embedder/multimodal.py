@@ -64,6 +64,13 @@ class MultimodalEmbedder:
                 vision_end_token_id=getattr(c, "vision_end_token_id", 151653),
                 use_chat_template=use_chat_template,
                 grid_t=t,
+                # Qwen2.5-VL spaces video temporal M-RoPE by
+                # tokens_per_second * second_per_grid_t (tps / fps, fps=2.0
+                # HF processor default); Qwen2-VL uses plain arange(t)
+                temporal_scale=(
+                    getattr(c.vision, "tokens_per_second", 0)
+                    * c.vision.temporal_patch_size / 2.0
+                ) or 1.0,
             )
         else:
             self.processor = MultimodalProcessorAdapter(

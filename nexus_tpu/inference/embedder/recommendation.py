@@ -66,18 +66,27 @@ class BaseEmbedderInferenceEngine:
             return self._schema_cache
         d = self.data_attr
         schema, plan = [], []
+        widths = {}  # name -> column width already in the schema
         for feat in d.context_features:
             schema.append((feat, 1))
+            widths[feat] = 1
             plan.append(("ctx", feat, feat, None))
         for seq_name, feats in (d.seq_features or {}).items():
             L = d.seq_lengths[seq_name]
             for f in feats:
                 primary, alias = f"{seq_name}.{f}", f
-                schema.append((primary, L))
-                if any(n == alias for n, _ in schema):
-                    alias = None  # name taken (e.g. by a context feature)
-                else:
-                    schema.append((alias, L))
+                # two seqs may share a bare feature name: both reuse the
+                # alias column as long as widths agree; a width conflict
+                # (e.g. a context feature of the same name) drops that
+                # lookup name for this seq feature rather than mis-shaping
+                for name in (primary, alias):
+                    if name not in widths:
+                        schema.append((name, L))
+                        widths[name] = L
+                if widths[primary] != L:
+                    primary = None
+                if widths[alias] != L:
+                    alias = None
                 plan.append(("seq", seq_name, f, (primary, alias)))
         from nexus_tpu.inference.feature_store import StructBatchDecoder
 
@@ -100,10 +109,14 @@ class BaseEmbedderInferenceEngine:
             else:
                 seq_name, f = a, b
                 primary, alias = names
-                col = cols[primary]
-                if alias is not None:
+                if primary is not None and alias is not None:
                     use_alias = (lens[primary] == 0)[:, None]
-                    col = np.where(use_alias, cols[alias], col)
+                    col = np.where(use_alias, cols[alias], cols[primary])
+                elif primary is not None or alias is not None:
+                    col = cols[primary if primary is not None else alias]
+                else:  # both names shadowed by incompatible columns
+                    L = self.data_attr.seq_lengths[seq_name]
+                    col = np.zeros((len(user_ids), L), np.int64)
                 batch.setdefault(seq_name, {})[f] = col
         self.timers["feature"] += time.perf_counter() - t0
         return batch

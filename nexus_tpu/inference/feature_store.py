@@ -43,10 +43,14 @@ def _load_native():
     src = os.path.join(_CSRC, "feature_codec.cpp")
     try:
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
+            # per-pid temp + atomic rename: concurrent processes (multi-host
+            # bring-up) must never CDLL a partially-linked library
+            tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fc_schema_create.restype = ctypes.c_void_p
         lib.fc_schema_create.argtypes = [
@@ -83,6 +87,11 @@ class StructBatchDecoder:
 
     def __init__(self, schema: Sequence[Tuple[str, int]]):
         self.schema = [(str(n), int(w)) for n, w in schema]
+        names = [n for n, _ in self.schema]
+        if len(set(names)) != len(names):  # dup names would collapse the
+            # cols dict and leave NULL output pointers for the native call
+            dups = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"duplicate schema field names: {dups}")
         self._lib = _load_native()
         self._handle = None
         if self._lib is not None:

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from nexus_tpu.config import AbsArguments
-from nexus_tpu.models.lora import LoRADense
 
 Array = jnp.ndarray
 
@@ -79,11 +78,9 @@ class LlamaAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     def _dense(self, features, name, use_bias):
-        c = self.config
-        if c.lora_rank > 0:
-            return LoRADense(features, use_bias=use_bias, dtype=self.dtype,
-                             lora_rank=c.lora_rank, lora_alpha=c.lora_alpha, name=name)
-        return nn.Dense(features, use_bias=use_bias, dtype=self.dtype, name=name)
+        from nexus_tpu.models.lora import lora_dense
+
+        return lora_dense(self.config, features, name, use_bias, self.dtype)
 
     @nn.compact
     def __call__(self, x: Array, attention_mask: Array, positions: Array):

@@ -90,6 +90,7 @@ class Qwen25VLVisionConfig(AbsArguments):
     out_hidden_size: int = 3584
     hidden_act: str = "silu"
     rope_theta: float = 10000.0
+    tokens_per_second: int = 4  # video temporal M-RoPE spacing (HF 2.5)
 
     @property
     def head_dim(self) -> int:
@@ -356,20 +357,19 @@ class Qwen25VLVisionBlock(nn.Module):
         q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
         k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
 
-        def _core(q, k, v):  # [M, L, H, hd] dense attention
+        def _core(q, k, v, keep=None):  # [M, L, H, hd] dense attention
             s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+            if keep is not None:
+                s = jnp.where(keep[None, None], s, -1e30)
             probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
             return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
         def full_core(args):
-            q, k, v = args
-            s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+            keep = None
             if self.grid_t > 1:  # static per-frame block-diagonal mask
                 seg = np.arange(p) // (p // self.grid_t)
                 keep = jnp.asarray(seg[:, None] == seg[None, :])
-                s = jnp.where(keep[None, None], s, -1e30)
-            probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
-            return jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, p, d)
+            return _core(*args, keep=keep).reshape(n, p, d)
 
         def window_core(args):
             nw, wp = self.n_windows, self.win_patches
@@ -615,10 +615,16 @@ def get_mrope_positions(
     image_token_id: int,
     video_token_id: int,
     merge: int = 2,
+    temporal_scale: float = 1.0,
 ) -> np.ndarray:
     """[3, B, L] position ids: text runs are sequential (all components
     equal), each vision run gets its (t, h/merge, w/merge) grid coordinates
-    offset past the preceding text (HF Qwen2VLModel.get_rope_index)."""
+    offset past the preceding text (HF Qwen2VLModel.get_rope_index).
+
+    ``temporal_scale`` is Qwen2.5-VL's video time spacing —
+    tokens_per_second * second_per_grid_t (HF Qwen2_5_VLModel.get_rope_index
+    time_tensor): temporal components step by that amount per temporal grid
+    unit. 1.0 reproduces Qwen2-VL's plain arange(t)."""
     b, l = input_ids.shape
     if attention_mask is None:
         attention_mask = np.ones_like(input_ids)
@@ -637,11 +643,12 @@ def get_mrope_positions(
                 pos_max = pos_max + text_len
                 t, h, w = grid_thw_per_image[img_idx]
                 gh, gw = h // merge, w // merge
-                t_i = np.repeat(np.arange(t), gh * gw)
+                t_steps = (np.arange(t) * temporal_scale).astype(np.int64)
+                t_i = np.repeat(t_steps, gh * gw)
                 h_i = np.tile(np.repeat(np.arange(gh), gw), t)
                 w_i = np.tile(np.arange(gw), t * gh)
                 chunks.append(np.stack([t_i, h_i, w_i]) + pos_max)
-                pos_max = pos_max + max(t, gh, gw)
+                pos_max = pos_max + max(int(t_steps[-1]) + 1, gh, gw)
                 img_idx += 1
                 j += t * gh * gw
                 st = j

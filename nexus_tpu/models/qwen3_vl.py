@@ -170,6 +170,8 @@ def pos_embed_interp_tables(
 class Qwen3VLVisionBlock(nn.Module):
     config: Qwen3VLVisionConfig
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1  # attention stays within each temporal frame's h*w
+    # patches (HF cu_seqlens = repeat_interleave(h*w, t) semantics)
 
     @nn.compact
     def __call__(self, x: Array, cos: Array, sin: Array):
@@ -184,6 +186,10 @@ class Qwen3VLVisionBlock(nn.Module):
         q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
         k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
         s = jnp.einsum("nqhd,nkhd->nhqk", q, k).astype(jnp.float32) / np.sqrt(hd)
+        if self.grid_t > 1:  # static per-frame block-diagonal mask
+            seg = np.arange(p) // (p // self.grid_t)
+            keep = jnp.asarray(seg[:, None] == seg[None, :])
+            s = jnp.where(keep[None, None], s, -1e30)
         probs = jax.nn.softmax(s, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, p, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_proj")(ctx)
@@ -197,10 +203,12 @@ class Qwen3VLVisionBlock(nn.Module):
 class _ScannedVision3Block(nn.Module):
     config: Qwen3VLVisionConfig
     dtype: jnp.dtype = jnp.float32
+    grid_t: int = 1
 
     @nn.compact
     def __call__(self, x, _, cos, sin):
-        out = Qwen3VLVisionBlock(self.config, dtype=self.dtype, name="block")(x, cos, sin)
+        out = Qwen3VLVisionBlock(self.config, dtype=self.dtype, grid_t=self.grid_t,
+                                 name="block")(x, cos, sin)
         # carry AND emit: ys collects every layer's hidden states so the
         # deepstack taps can be gathered after the scan
         return out, out
@@ -273,12 +281,14 @@ class Qwen3VLVisionTower(nn.Module):
                 length=c.depth,
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             )
-            x, ys = Scanned(c, dtype=self.dtype, name="blocks")(x, None, cos, sin)
+            x, ys = Scanned(c, dtype=self.dtype, grid_t=self.grid_thw[0],
+                            name="blocks")(x, None, cos, sin)
             taps = [ys[i] for i in c.deepstack_visual_indexes]
         else:
             taps = []
             for i in range(c.depth):
-                x = Qwen3VLVisionBlock(c, dtype=self.dtype, name=f"block_{i}")(x, cos, sin)
+                x = Qwen3VLVisionBlock(c, dtype=self.dtype, grid_t=self.grid_thw[0],
+                                       name=f"block_{i}")(x, cos, sin)
                 if i in c.deepstack_visual_indexes:
                     taps.append(x)
         merged = _PatchMerger(c, postshuffle_norm=False, dtype=self.dtype, name="merger")(x)

@@ -7,9 +7,9 @@ to max_length with `num_image_tokens` placeholder positions reserved per
 image slot, pixels stacked to [B, max_images, H, W, C] (zero-padded when a
 sample has fewer images). No chat-template string munging on the hot path.
 
-Media handling is dependency-light: PIL for images; videos are directories
-or lists of pre-extracted frame images (the decord path is gated out in this
-environment).
+Media handling is dependency-light: PIL for images; videos are raw
+containers decoded via OpenCV (the decord replacement), or directories /
+lists of pre-extracted frame images.
 """
 
 from __future__ import annotations
@@ -241,6 +241,7 @@ class Qwen2VLProcessorAdapter:
         use_chat_template: bool = False,
         system_prompt: str = "You are a helpful assistant.",
         grid_t: int = 1,
+        temporal_scale: float = 1.0,  # Qwen2.5-VL: tokens_per_second * sec/grid
     ):
         assert image_size % (patch_size * spatial_merge_size) == 0
         self.tokenizer = tokenizer
@@ -255,6 +256,7 @@ class Qwen2VLProcessorAdapter:
         self.vision_start_token_id = vision_start_token_id
         self.vision_end_token_id = vision_end_token_id
         self.use_chat_template = use_chat_template
+        self.temporal_scale = float(temporal_scale)
         g = image_size // patch_size
         self.grid_t = int(grid_t)
         self.grid_thw = (self.grid_t, g, g)
@@ -335,6 +337,7 @@ class Qwen2VLProcessorAdapter:
         positions3 = get_mrope_positions(
             ids, mask, grids, image_token_id=self.image_token_id,
             video_token_id=self.video_token_id, merge=self.merge,
+            temporal_scale=self.temporal_scale,
         )
         feed = {"input_ids": ids, "attention_mask": mask, "positions3": positions3}
         if all_patches:

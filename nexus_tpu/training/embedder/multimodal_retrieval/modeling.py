@@ -104,6 +104,14 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         # video mode: pin a (T, g, g) temporal patch grid — every vision
         # entry becomes one video block of T*temporal_patch_size frames
         grid_t = max(video_frames // config.vision.temporal_patch_size, 1)
+        if grid_t > 1 and config.variant == "qwen3-vl":
+            raise ValueError(
+                "qwen3-vl represents videos as timestamp-interleaved per-frame "
+                "blocks (HF get_rope_index splits video_grid_thw into t=1 "
+                "entries), which this build does not emit yet — use video "
+                "frames as images (the MMEB video tasks' frame path), or a "
+                "qwen2-vl / qwen2.5-vl backbone for temporal blocks"
+            )
         model = cls(config, model_args, variables=None,
                     backbone_type=config.variant, grid_thw=(grid_t, g, g), **kw)
         if use_lora:

@@ -438,3 +438,37 @@ def test_qwen2_5_vl_video_tower_parity():
             grid_thw=torch.tensor([list(vgrid)]),
         ).numpy().reshape(1, -1, 48)
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-4)
+
+
+def test_qwen2_5_vl_video_temporal_positions_parity():
+    """Qwen2.5-VL spaces VIDEO temporal M-RoPE components by
+    tokens_per_second * second_per_grid_t (HF get_rope_index time_tensor);
+    get_mrope_positions(temporal_scale=...) must reproduce it exactly."""
+    from transformers.models.qwen2_5_vl import Qwen2_5_VLForConditionalGeneration
+
+    from nexus_tpu.models.qwen2_vl import Qwen2VLConfig, get_mrope_positions
+
+    torch.manual_seed(3)
+    hf = Qwen2_5_VLForConditionalGeneration(_tiny_hf_25_config()).eval()
+    config = Qwen2VLConfig.from_hf(hf.config)
+    tps_video = hf.config.vision_config.tokens_per_second
+    assert config.vision.tokens_per_second == tps_video
+
+    vgrid = (3, 8, 8)
+    n_tok = vgrid[0] * 16
+    rng = np.random.default_rng(7)
+    ids = rng.integers(10, 250, (1, 64)).astype(np.int64)
+    ids[0, 2] = 9
+    ids[0, 3 : 3 + n_tok] = 8
+    mask = np.ones((1, 64), np.int64)
+    second_per_grid_t = 1.0  # HF processor: temporal_patch_size / fps = 2/2
+
+    hf_pos, _ = hf.model.get_rope_index(
+        torch.from_numpy(ids), None, torch.tensor([list(vgrid)]),
+        torch.tensor([second_per_grid_t]), torch.from_numpy(mask),
+    )
+    ours = get_mrope_positions(
+        ids, mask, [vgrid], image_token_id=7, video_token_id=8, merge=2,
+        temporal_scale=second_per_grid_t * tps_video,
+    )
+    np.testing.assert_array_equal(ours, hf_pos.numpy())
