@@ -68,26 +68,32 @@ def load_image(path_or_image, image_size: int) -> np.ndarray:
     return (arr - IMAGE_MEAN) / IMAGE_STD
 
 
-def load_video_frames(path, image_size: int, num_frames: int = 4) -> List[np.ndarray]:
+def load_video_frames(path, image_size: int, num_frames: int = 4,
+                      return_meta: bool = False):
     """Videos as frame dirs / frame lists, or raw containers decoded via
     OpenCV (the decord replacement; parity: the reference's video-frame
-    loading in Nexus/modules/multimodal.py + qwen-vl-utils)."""
+    loading in Nexus/modules/multimodal.py + qwen-vl-utils).
+
+    With ``return_meta`` also returns (sampled original frame indices, fps)
+    — fps from the container when decodable, else the HF fallback 24.0."""
     if isinstance(path, (list, tuple)):
         frames = list(path)
     elif os.path.isdir(str(path)):
         frames = [os.path.join(path, f) for f in sorted(os.listdir(path))
                   if f.lower().endswith((".jpg", ".jpeg", ".png"))]
     elif os.path.isfile(str(path)):
-        return _decode_video_frames(str(path), image_size, num_frames)
+        return _decode_video_frames(str(path), image_size, num_frames, return_meta)
     else:
         raise ValueError(f"video {path!r}: not a frame dir, frame list, or video file")
     if not frames:
-        return []
+        return ([], [], 24.0) if return_meta else []
     idx = np.linspace(0, len(frames) - 1, min(num_frames, len(frames))).astype(int)
-    return [load_image(frames[i], image_size) for i in idx]
+    loaded = [load_image(frames[i], image_size) for i in idx]
+    return (loaded, idx.tolist(), 24.0) if return_meta else loaded
 
 
-def _decode_video_frames(path: str, image_size: int, num_frames: int) -> List[np.ndarray]:
+def _decode_video_frames(path: str, image_size: int, num_frames: int,
+                         return_meta: bool = False):
     """Uniformly sample + CLIP-normalize frames straight out of a container."""
     try:
         import cv2
@@ -101,15 +107,17 @@ def _decode_video_frames(path: str, image_size: int, num_frames: int) -> List[np
     if total <= 0:
         cap.release()
         raise ValueError(f"video {path!r}: could not decode (0 frames reported)")
-    out = []
+    fps = float(cap.get(cv2.CAP_PROP_FPS)) or 24.0
+    out, indices = [], []
     for fi in np.linspace(0, total - 1, min(num_frames, total)).astype(int):
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(fi))
         ok, frame = cap.read()
         if not ok:
             break
         out.append(load_image(frame[:, :, ::-1], image_size))  # BGR -> RGB
+        indices.append(int(fi))
     cap.release()
-    return out
+    return (out, indices, fps) if return_meta else out
 
 
 class MultimodalProcessorAdapter:
@@ -242,6 +250,9 @@ class Qwen2VLProcessorAdapter:
         system_prompt: str = "You are a helpful assistant.",
         grid_t: int = 1,
         temporal_scale: float = 1.0,  # Qwen2.5-VL: tokens_per_second * sec/grid
+        video_timestamps: bool = False,  # Qwen3-VL: '<t.t seconds>' text +
+        # one (1, g, g) block per temporal patch group (HF Qwen3VLProcessor
+        # video_placeholder layout — get_rope_index splits videos to t=1)
     ):
         assert image_size % (patch_size * spatial_merge_size) == 0
         self.tokenizer = tokenizer
@@ -257,6 +268,10 @@ class Qwen2VLProcessorAdapter:
         self.vision_end_token_id = vision_end_token_id
         self.use_chat_template = use_chat_template
         self.temporal_scale = float(temporal_scale)
+        self.video_timestamps = video_timestamps
+        if video_timestamps and grid_t != 1:
+            raise ValueError("timestamp-interleaved videos use per-block (1, g, g) "
+                             "grids; grid_t must stay 1")
         g = image_size // patch_size
         self.grid_t = int(grid_t)
         self.grid_thw = (self.grid_t, g, g)
@@ -277,6 +292,31 @@ class Qwen2VLProcessorAdapter:
             self.chat_prefix_ids = []
             self.chat_suffix_ids = []
 
+    def _timestamp_video_blocks(self, video) -> List[tuple]:
+        """Qwen3-VL video layout (HF Qwen3VLProcessor video_placeholder):
+        sample num_video_frames raw frames, group them into temporal patch
+        pairs — each pair is ONE (1, g, g) block — and prefix every block
+        with its '<t.t seconds>' timestamp text (mean of the pair's frame
+        times, HF _calculate_timestamps)."""
+        tps = self.temporal_patch_size
+        n = -(-self.num_video_frames // tps) * tps  # round up to tps multiple
+        frames, indices, fps = load_video_frames(
+            video, self.image_size, n, return_meta=True
+        )
+        if not frames:
+            return []
+        while len(frames) % tps:
+            frames.append(frames[-1])
+            indices.append(indices[-1])
+        out = []
+        for b in range(0, len(frames), tps):
+            ts = (indices[b] / fps + indices[b + tps - 1] / fps) / 2
+            prefix = list(self.tokenizer(
+                f"<{ts:.1f} seconds>", add_special_tokens=False
+            )["input_ids"])
+            out.append((np.stack(frames[b : b + tps]), self.video_token_id, prefix))
+        return out
+
     def __call__(self, items: List[dict]) -> Dict[str, np.ndarray]:
         from nexus_tpu.models.qwen2_vl import get_mrope_positions
 
@@ -287,19 +327,27 @@ class Qwen2VLProcessorAdapter:
         all_patches: List[np.ndarray] = []
         grids: List[tuple] = []
         for i, item in enumerate(items):
-            blocks: List[tuple] = []  # ([T, H, W, C] frames, placeholder id)
-            if self.grid_t == 1:
+            # ([T, H, W, C] frames, placeholder id, prefix token ids)
+            blocks: List[tuple] = []
+            if self.video_timestamps:
+                images = [load_image(p, self.image_size) for p in item.get("images", [])]
+                for p in item.get("pages", []):
+                    images.append(load_image(p, self.image_size))
+                blocks = [(im[None], self.image_token_id, []) for im in images]
+                for v in item.get("videos", []):
+                    blocks += self._timestamp_video_blocks(v)
+            elif self.grid_t == 1:
                 images = [load_image(p, self.image_size) for p in item.get("images", [])]
                 for v in item.get("videos", []):
                     images += load_video_frames(v, self.image_size, self.num_video_frames)
                 for p in item.get("pages", []):
                     images.append(load_image(p, self.image_size))
-                blocks = [(im[None], self.image_token_id) for im in images]
+                blocks = [(im[None], self.image_token_id, []) for im in images]
             else:  # video mode: one temporal block per vision entry
                 fpb = self.frames_per_block
                 for p in list(item.get("images", [])) + list(item.get("pages", [])):
                     im = load_image(p, self.image_size)
-                    blocks.append((np.repeat(im[None], fpb, axis=0), self.image_token_id))
+                    blocks.append((np.repeat(im[None], fpb, axis=0), self.image_token_id, []))
                 for v in item.get("videos", []):
                     frames = load_video_frames(v, self.image_size, fpb)
                     if not frames:
@@ -309,20 +357,23 @@ class Qwen2VLProcessorAdapter:
                         arr = np.concatenate(
                             [arr, np.repeat(arr[-1:], fpb - arr.shape[0], axis=0)]
                         )
-                    blocks.append((arr, self.video_token_id))
+                    blocks.append((arr, self.video_token_id, []))
             row: List[int] = list(self.chat_prefix_ids)
             tail = len(self.chat_suffix_ids)
-            per_image = 1 + self.tokens_per_image + (1 if self.use_chat_template else 0)
-            for frames, placeholder in blocks:
-                if len(row) + per_image + tail > self.max_length:
+            for frames, placeholder, prefix_ids in blocks:
+                is_video_ts = self.video_timestamps and placeholder == self.video_token_id
+                need = (len(prefix_ids) + 1 + self.tokens_per_image
+                        + (1 if self.use_chat_template or is_video_ts else 0))
+                if len(row) + need + tail > self.max_length:
                     break
                 all_patches.append(qwen2vl_image_to_patches(
                     frames, self.patch_size, self.temporal_patch_size, self.merge
                 ))
                 grids.append(self.grid_thw)
+                row.extend(prefix_ids)
                 row.append(self.vision_start_token_id)
                 row.extend([placeholder] * self.tokens_per_image)
-                if self.use_chat_template:
+                if self.use_chat_template or is_video_ts:
                     row.append(self.vision_end_token_id)
             text_ids = self.tokenizer(
                 item.get("text", ""), truncation=True,

@@ -106,11 +106,10 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         grid_t = max(video_frames // config.vision.temporal_patch_size, 1)
         if grid_t > 1 and config.variant == "qwen3-vl":
             raise ValueError(
-                "qwen3-vl represents videos as timestamp-interleaved per-frame "
-                "blocks (HF get_rope_index splits video_grid_thw into t=1 "
-                "entries), which this build does not emit yet — use video "
-                "frames as images (the MMEB video tasks' frame path), or a "
-                "qwen2-vl / qwen2.5-vl backbone for temporal blocks"
+                "qwen3-vl represents videos as timestamp-interleaved (1, g, g) "
+                "blocks, not one (T, g, g) grid — leave video_frames=0: the "
+                "processor adapter emits the timestamp layout automatically "
+                "for qwen3-vl (video_timestamps mode)"
             )
         model = cls(config, model_args, variables=None,
                     backbone_type=config.variant, grid_thw=(grid_t, g, g), **kw)

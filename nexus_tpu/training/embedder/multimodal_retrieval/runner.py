@@ -57,6 +57,9 @@ class MultimodalEmbedderRunner:
                 vision_end_token_id=getattr(c, "vision_end_token_id", 151653),
                 use_chat_template=use_chat_template,
                 grid_t=t,
+                # qwen3-vl videos: '<t.t seconds>' text before each (1,g,g)
+                # temporal-pair block (HF Qwen3VLProcessor layout)
+                video_timestamps=getattr(model, "backbone_type", "") == "qwen3-vl",
                 # Qwen2.5-VL spaces video temporal M-RoPE by
                 # tokens_per_second * second_per_grid_t (tps / fps, fps=2.0
                 # HF processor default); Qwen2-VL uses plain arange(t)

@@ -337,3 +337,53 @@ def test_mmeb_rerank_with_multimodal_reranker(tiny_pair, tmp_path):
     assert metrics and all(np.isfinite(v) for v in metrics.values())
     # the harness handed over FULL items (dicts), not text strings
     assert seen_pairs and isinstance(seen_pairs[0][0], dict)
+
+
+def test_timestamp_video_layout_and_forward(tiny_pair):
+    """Qwen3-VL video layout: '<t.t seconds>' text precedes each
+    (1, g, g) temporal-pair block with video placeholders + vision_end
+    (HF Qwen3VLProcessor video_placeholder parity), and the feed runs
+    through the backbone."""
+    _, config, variables = tiny_pair
+    from nexus_tpu.models.qwen3_vl import Qwen3VLBackbone
+    from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
+
+    class Tok:
+        pad_token_id = 0
+
+        def __call__(self, t, **kw):
+            return {"input_ids": [10 + ord(c) % 100 for c in t][: kw.get("max_length", 64)]}
+
+    tok = Tok()
+    ad = Qwen2VLProcessorAdapter(
+        tok, image_size=16, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, max_length=128, image_token_id=7,
+        video_token_id=8, vision_start_token_id=9, vision_end_token_id=6,
+        num_video_frames=4, video_timestamps=True,
+    )
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    feed = ad([{"text": "clip", "videos": [frames], "images": [], "pages": []}])
+
+    ids = feed["input_ids"][0]
+    # 4 frames / tps 2 -> 2 blocks of (1, 4, 4) grids, 4 merged tokens each
+    assert feed["pixel_patches"].shape == (2, 16, 96)
+    assert int((ids == 8).sum()) == 8
+    # layout per block: [timestamp text]+[vs]+[video]*4+[ve]
+    vs_pos = np.where(ids == 9)[0]
+    assert len(vs_pos) == 2
+    for p in vs_pos:
+        assert (ids[p + 1 : p + 5] == 8).all() and ids[p + 5] == 6
+    # timestamp text before the first block: frame-dir fps fallback 24 ->
+    # mean(0/24, 1/24) ~ 0.0 -> "<0.0 seconds>"
+    expected_prefix = tok("<0.0 seconds>")["input_ids"]
+    assert list(ids[: len(expected_prefix)]) == expected_prefix
+
+    net = Qwen3VLBackbone(config, grid_thw=(1, 4, 4))
+    out = net.apply(
+        variables, jnp.asarray(feed["input_ids"]),
+        attention_mask=jnp.asarray(feed["attention_mask"]),
+        pixel_patches=jnp.asarray(feed["pixel_patches"]),
+        positions3=jnp.asarray(feed["positions3"]),
+    )["last_hidden_state"]
+    assert np.isfinite(np.asarray(out)).all()
