@@ -1,0 +1,122 @@
+"""Serving-cascade benchmark on the real chip: retrieve (u2i) -> rank over a
+populated feature store, with the per-stage timer breakdown the reference
+instruments (get_features / model / faiss timers,
+Nexus/inference/embedder/recommendation/base.py:131-197).
+
+Exercises the production path end-to-end: one mget per request batch ->
+native C++ Struct batch decode -> jit encode on the chip -> IVF search ->
+candidate-feature hydration -> ranker top-k. Trains throwaway tiny models
+for a few steps first (weights don't matter; shapes do).
+
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+USERS = 50_000
+BATCHES = {32: 20, 256: 10}
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.data.dataset import ItemDataset
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.inference.embedder.recommendation import BaseEmbedderInferenceEngine
+    from nexus_tpu.inference.feature_store import FeatureCodec, MemoryKVStore
+    from nexus_tpu.inference.index import ItemIndex
+    from nexus_tpu.inference.reranker.recommendation import BaseRerankerInferenceEngine
+    from nexus_tpu.serve.service import InferenceService
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever, RetrieverRunner
+    from nexus_tpu.training.reranker.recommendation import MLPRanker, RankerRunner
+
+    root = tempfile.mkdtemp(prefix="nx_bench_serve_")
+    cfg = generate_synthetic_recflow(root, n_days=2, rows_per_day=2048, seq_len=10)
+    targs = dict(num_train_epochs=1, per_device_train_batch_size=64, max_steps=4,
+                 learning_rate=0.01, logging_steps=100, evaluation_strategy="no")
+    mcfg = {"embedding_dim": 64, "mlp_layers": [128], "num_neg": 4,
+            "dropout": 0.0, "batch_norm": False}
+    ret_dir = os.path.join(root, "retriever")
+    RetrieverRunner(mcfg, cfg, TrainingArguments.from_dict(dict(targs, output_dir=ret_dir)),
+                    model_class=MLPRetriever).run()
+    rank_dir = os.path.join(root, "ranker")
+    RankerRunner({"embedding_dim": 64, "mlp_layers": [128], "dropout": 0.0,
+                  "batch_norm": False},
+                 cfg, TrainingArguments.from_dict(dict(targs, output_dir=rank_dir)),
+                 model_class=MLPRanker).run()
+
+    # feature store: USERS synthetic users + every item
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    attr = train_cfg.to_attr()
+    kv = MemoryKVStore()
+    codec = FeatureCodec()
+    rng = np.random.default_rng(0)
+    card = lambda f: max(int(getattr(attr.stats, f, 100) or 100), 2)
+    t0 = time.perf_counter()
+    for uid in range(USERS):
+        row = {f: int(rng.integers(0, card(f))) for f in attr.context_features}
+        row["user_id"] = uid
+        for s, feats in (attr.seq_features or {}).items():
+            L = attr.seq_lengths[s]
+            for f in feats:
+                row[f"{s}.{f}"] = rng.integers(0, card(f), L)
+        kv.set(f"user:{uid}", codec.encode(row))
+    print(json.dumps({"metric": "feature_store_populate_s", "value":
+                      round(time.perf_counter() - t0, 1), "users": USERS}), flush=True)
+
+    items = ItemDataset(train_cfg)
+    table = items.item_feature_table()
+    for iid in range(items.num_items):
+        kv.set(f"item:{iid}", codec.encode({f: int(table[f][iid]) for f in table}))
+
+    iv = np.load(os.path.join(ret_dir, "item_vectors.npy"))
+    index = ItemIndex.build(iv, index_type="flat")
+
+    retr = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": ret_dir, "output_topk": 50}, kv_store=kv, item_index=index)
+    ranker = BaseRerankerInferenceEngine(
+        {"model_ckpt_path": rank_dir, "output_topk": 10}, kv_store=kv)
+    service = InferenceService(retr, ranker)
+
+    for bs, iters in BATCHES.items():
+        users = rng.integers(0, USERS, bs).tolist()
+        service.recommend({"user_ids": users})  # compile + warm
+        for e in (retr, ranker):
+            e.timers = {k: 0.0 for k in e.timers}
+        lat = []
+        for _ in range(iters):
+            users = rng.integers(0, USERS, bs).tolist()
+            t0 = time.perf_counter()
+            out = service.recommend({"user_ids": users})
+            lat.append((time.perf_counter() - t0) * 1000)
+        assert len(out["ranked"]) == bs
+        p50 = float(np.percentile(lat, 50))
+        n = len(lat)
+        print(json.dumps({
+            "metric": f"cascade_p50_ms_batch{bs}",
+            "value": round(p50, 2), "unit": "ms",
+            "per_user_ms": round(p50 / bs, 3),
+            "stage_ms_per_request": {
+                "retriever_feature": round(retr.timers["feature"] / n * 1e3, 2),
+                "retriever_model": round(retr.timers["model"] / n * 1e3, 2),
+                "retriever_search": round(retr.timers["search"] / n * 1e3, 2),
+                "ranker_feature": round(ranker.timers["feature"] / n * 1e3, 2),
+                "ranker_model": round(ranker.timers["model"] / n * 1e3, 2),
+            },
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

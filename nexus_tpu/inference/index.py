@@ -254,18 +254,31 @@ class ItemIndex:
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [B, k], item_ids [B, k])."""
         q = self._prep_queries(queries)
-        if self.metric == "l2":
-            # exact L2 via the IP kernel on augmented vectors:
-            # argmin ||q-v||² == argmax (q·v - ||v||²/2)
-            sq = jnp.sum(self.vectors**2, axis=-1, keepdims=True) / 2.0
-            aug_vec = jnp.concatenate([self.vectors, -sq], axis=-1)
-            aug_q = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
-            scores, rows = brute_force_topk(aug_q, aug_vec, k=k)
-        elif self.is_ivf:
+        if self.is_ivf and self.metric != "l2":
             scores, rows = self._ivf_search(q, k)
         else:
-            scores, rows = brute_force_topk(q, self.vectors, k=k)
+            scores, rows = self._flat_search(q, k)
         return np.asarray(scores), self.item_ids[np.asarray(rows)]
+
+    def _flat_search(self, q: jnp.ndarray, k: int):
+        """Cached jit-compiled exact scan — ONE device dispatch per call
+        (eager ops each pay full device-call latency in serving)."""
+        key = ("flat", k, q.shape[0], self.metric)
+        cache = self.__dict__.setdefault("_compiled", {})
+        if key not in cache:
+            if self.metric == "l2":
+                # exact L2 via the IP kernel on augmented vectors:
+                # argmin ||q-v||² == argmax (q·v - ||v||²/2)
+                def run(q, vectors):
+                    sq = jnp.sum(vectors**2, axis=-1, keepdims=True) / 2.0
+                    aug_vec = jnp.concatenate([vectors, -sq], axis=-1)
+                    aug_q = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
+                    return brute_force_topk(aug_q, aug_vec, k=k)
+            else:
+                def run(q, vectors):
+                    return brute_force_topk(q, vectors, k=k)
+            cache[key] = jax.jit(run)
+        return cache[key](q, self.vectors)
 
     def _ivf_search(self, q: jnp.ndarray, k: int):
         """Jit-compiled IVF search (arrays passed as arguments — closing the
