@@ -130,13 +130,39 @@ class BaseEmbedderInferenceEngine:
         if self.retrieve_mode == "i2i":
             return self._i2i(user_ids)
         batch = context if context is not None else self.get_user_context_features(user_ids)
+        bs = len(user_ids)
         t0 = time.perf_counter()
-        q = np.asarray(self._encode(batch))
+        scores, rows = self._fused_u2i(bs)(batch)
+        scores = np.asarray(scores)  # host fetch = the dispatch boundary
+        item_ids = self.item_index.item_ids[np.asarray(rows)]
+        # encode+search run as ONE compiled program (one device dispatch);
+        # the reference's separate model/faiss timers collapse into 'model'
         self.timers["model"] += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        scores, item_ids = self.item_index.search(q, self.output_topk)
-        self.timers["search"] += time.perf_counter() - t0
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
+
+    def _fused_u2i(self, batch_size: int):
+        """One jit program per batch size: query-tower encode -> metric prep
+        -> index scan (index arrays as arguments, never jit constants)."""
+        cache = self.__dict__.setdefault("_fused", {})
+        key = (batch_size, self.output_topk)
+        if key in cache:
+            return cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        idx = self.item_index
+        search_fn, operands = idx.search_ops(self.output_topk, batch_size)
+        cosine = idx.metric == "cosine"
+
+        @jax.jit
+        def run(variables, batch, *ops):
+            q = self.model.encode_query(variables, batch).astype(jnp.float32)
+            if cosine:
+                q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
+            return search_fn(q, *ops)
+
+        cache[key] = lambda batch: run(self.variables, batch, *operands)
+        return cache[key]
 
     def _i2i(self, user_ids: List) -> Dict[str, np.ndarray]:
         """Trigger-item expansion from precomputed neighbor lists. The whole

@@ -260,6 +260,32 @@ class ItemIndex:
             scores, rows = self._flat_search(q, k)
         return np.asarray(scores), self.item_ids[np.asarray(rows)]
 
+    def search_ops(self, k: int, batch_size: int):
+        """(pure_fn, operands) for composing the search INTO a caller's jit
+        program (e.g. fused encode+search serving — one device dispatch).
+        ``pure_fn(q, *operands) -> (scores, rows)``; operands are the index
+        arrays passed as ARGUMENTS (closing them into a jit program as
+        constants stalls compilation). q must already be metric-prepped
+        (cosine-normalized) f32."""
+        if self.is_ivf and self.metric != "l2":
+            nprobe = min(self.nprobe, self.centroids.shape[0])
+            max_union = min(batch_size * nprobe, self.centroids.shape[0])
+            quant = self.row_scales is not None
+            fn = partial(_ivf_search_impl, k=k, nprobe=nprobe, max_union=max_union,
+                         cap=self.cell_cap, quantized=quant, impl=self.topk_impl)
+            scales = self.row_scales if quant else jnp.ones((1,), jnp.float32)
+            return fn, (self.vectors, scales, self.centroids,
+                        self.cluster_items, self.cluster_counts)
+        if self.metric == "l2":
+            def l2_fn(q, vectors):
+                sq = jnp.sum(vectors**2, axis=-1, keepdims=True) / 2.0
+                aug_vec = jnp.concatenate([vectors, -sq], axis=-1)
+                aug_q = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
+                return brute_force_topk(aug_q, aug_vec, k=k)
+
+            return l2_fn, (self.vectors,)
+        return partial(brute_force_topk, k=k), (self.vectors,)
+
     def _flat_search(self, q: jnp.ndarray, k: int):
         """Cached jit-compiled exact scan — ONE device dispatch per call
         (eager ops each pay full device-call latency in serving)."""

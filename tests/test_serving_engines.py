@@ -82,7 +82,8 @@ def test_u2i_retrieval_engine(stack):
     out = eng.batch_inference(users)
     assert out["item_ids"].shape == (len(users), 5)
     assert np.isfinite(out["scores"]).all()
-    assert eng.timers["model"] > 0 and eng.timers["search"] > 0
+    # encode+search run fused as one program: combined time lands in 'model'
+    assert eng.timers["model"] > 0 and eng.timers["feature"] > 0
 
 
 def test_i2i_retrieval_engine(stack):
