@@ -183,3 +183,20 @@ def test_cascade_reuses_one_hydration(stack):
         assert calls["user_mgets"] == 1, f"expected 1 user mget, saw {calls['user_mgets']}"
     finally:
         kv.mget = orig_mget
+
+
+def test_fused_u2i_matches_separate_paths(stack):
+    """The fused encode+search program must return exactly what separate
+    encode_query + ItemIndex.search produce."""
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    users = _known_user_ids(stack["kv"], 4)
+    out = eng.batch_inference(users)
+
+    batch = eng.get_user_context_features(users)
+    q = np.asarray(eng._encode(batch))
+    scores, item_ids = stack["index"].search(q, 5)
+    np.testing.assert_array_equal(out["item_ids"], item_ids)
+    np.testing.assert_allclose(out["scores"], scores, atol=1e-5)
