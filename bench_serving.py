@@ -4,7 +4,7 @@ instruments (get_features / model / faiss timers,
 Nexus/inference/embedder/recommendation/base.py:131-197).
 
 Exercises the production path end-to-end: one mget per request batch ->
-native C++ Struct batch decode -> jit encode on the chip -> IVF search ->
+native C++ Struct batch decode -> one fused encode+flat-search program ->
 candidate-feature hydration -> ranker top-k. Trains throwaway tiny models
 for a few steps first (weights don't matter; shapes do).
 

@@ -131,6 +131,16 @@ class BaseEmbedderInferenceEngine:
             return self._i2i(user_ids)
         batch = context if context is not None else self.get_user_context_features(user_ids)
         bs = len(user_ids)
+        if not hasattr(self.item_index, "search_ops"):
+            # duck-typed index (e.g. ShardedIVFIndex): separate encode +
+            # index.search — the index runs its own compiled program
+            t0 = time.perf_counter()
+            q = np.asarray(self._encode(batch))
+            self.timers["model"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scores, item_ids = self.item_index.search(q, self.output_topk)
+            self.timers["search"] += time.perf_counter() - t0
+            return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
         t0 = time.perf_counter()
         scores, rows = self._fused_u2i(bs)(batch)
         scores = np.asarray(scores)  # host fetch = the dispatch boundary
@@ -142,9 +152,12 @@ class BaseEmbedderInferenceEngine:
 
     def _fused_u2i(self, batch_size: int):
         """One jit program per batch size: query-tower encode -> metric prep
-        -> index scan (index arrays as arguments, never jit constants)."""
+        -> index scan (index arrays as arguments, never jit constants).
+        Keyed on the index object identity so an index swap (corpus refresh)
+        rebuilds the operand capture instead of serving the stale arrays."""
         cache = self.__dict__.setdefault("_fused", {})
-        key = (batch_size, self.output_topk)
+        key = (batch_size, self.output_topk, id(self.item_index),
+               getattr(self.item_index, "topk_impl", "exact"))
         if key in cache:
             return cache[key]
         import jax

@@ -277,34 +277,28 @@ class ItemIndex:
             return fn, (self.vectors, scales, self.centroids,
                         self.cluster_items, self.cluster_counts)
         if self.metric == "l2":
+            # exact L2 via the IP kernel on augmented vectors:
+            # argmin ||q-v||² == argmax (q·v - ||v||²/2)
             def l2_fn(q, vectors):
                 sq = jnp.sum(vectors**2, axis=-1, keepdims=True) / 2.0
                 aug_vec = jnp.concatenate([vectors, -sq], axis=-1)
                 aug_q = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
-                return brute_force_topk(aug_q, aug_vec, k=k)
+                return brute_force_topk(aug_q, aug_vec, k=k, impl=self.topk_impl)
 
             return l2_fn, (self.vectors,)
-        return partial(brute_force_topk, k=k), (self.vectors,)
+        return partial(brute_force_topk, k=k, impl=self.topk_impl), (self.vectors,)
 
     def _flat_search(self, q: jnp.ndarray, k: int):
-        """Cached jit-compiled exact scan — ONE device dispatch per call
-        (eager ops each pay full device-call latency in serving)."""
-        key = ("flat", k, q.shape[0], self.metric)
+        """Cached jit-compiled scan — ONE device dispatch per call (eager ops
+        each pay full device-call latency in serving). Same program as the
+        fused path: search_ops supplies the fn/operands."""
+        key = ("flat", k, q.shape[0], self.metric, self.topk_impl)
         cache = self.__dict__.setdefault("_compiled", {})
         if key not in cache:
-            if self.metric == "l2":
-                # exact L2 via the IP kernel on augmented vectors:
-                # argmin ||q-v||² == argmax (q·v - ||v||²/2)
-                def run(q, vectors):
-                    sq = jnp.sum(vectors**2, axis=-1, keepdims=True) / 2.0
-                    aug_vec = jnp.concatenate([vectors, -sq], axis=-1)
-                    aug_q = jnp.concatenate([q, jnp.ones((q.shape[0], 1))], axis=-1)
-                    return brute_force_topk(aug_q, aug_vec, k=k)
-            else:
-                def run(q, vectors):
-                    return brute_force_topk(q, vectors, k=k)
-            cache[key] = jax.jit(run)
-        return cache[key](q, self.vectors)
+            fn, _ = self.search_ops(k, q.shape[0])
+            cache[key] = jax.jit(fn)
+        _, operands = self.search_ops(k, q.shape[0])
+        return cache[key](q, *operands)
 
     def _ivf_search(self, q: jnp.ndarray, k: int):
         """Jit-compiled IVF search (arrays passed as arguments — closing the

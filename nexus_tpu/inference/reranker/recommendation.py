@@ -70,18 +70,20 @@ class BaseRerankerInferenceEngine:
         if not isinstance(candidates, dict):
             candidates = self.get_candidates_features(np.asarray(candidates))
         t0 = time.perf_counter()
-        if getattr(self, "_predict_jit", None) is None:
+        # ONE compiled program per (batch, n_cand) shape AND topk: eager
+        # predict dispatches dozens of ops, each paying full device-call
+        # latency (~25 ms on the relay — measured 940 ms/request un-jitted)
+        cache = self.__dict__.setdefault("_predict_cache", {})
+        topk = self.output_topk
+        if topk not in cache:
             import jax
 
-            # ONE compiled program per (batch, n_cand) shape: eager predict
-            # dispatches dozens of ops, each paying full device-call latency
-            # (~25 ms on the relay — measured 940 ms/request un-jitted)
-            self._predict_jit = jax.jit(
+            cache[topk] = jax.jit(
                 lambda variables, ctx, cand: self.model.predict(
-                    variables, ctx, cand, topk=self.output_topk
+                    variables, ctx, cand, topk=topk
                 )
             )
-        topk_idx = np.asarray(self._predict_jit(self.variables, context, candidates))
+        topk_idx = np.asarray(cache[topk](self.variables, context, candidates))
         self.timers["model"] += time.perf_counter() - t0
         fiid = self.data_attr.fiid
         cand_ids = np.asarray(candidates[fiid])

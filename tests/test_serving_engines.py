@@ -200,3 +200,42 @@ def test_fused_u2i_matches_separate_paths(stack):
     scores, item_ids = stack["index"].search(q, 5)
     np.testing.assert_array_equal(out["item_ids"], item_ids)
     np.testing.assert_allclose(out["scores"], scores, atol=1e-5)
+
+
+def test_u2i_duck_typed_index_fallback(stack):
+    """Indexes exposing only .search() (e.g. ShardedIVFIndex) serve u2i via
+    the separate encode+search path."""
+
+    class SearchOnlyIndex:
+        def __init__(self, base):
+            self._base = base
+
+        def search(self, q, k):
+            return self._base.search(q, k)
+
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=SearchOnlyIndex(stack["index"]),
+    )
+    users = _known_user_ids(stack["kv"])
+    out = eng.batch_inference(users)
+    assert out["item_ids"].shape == (len(users), 5)
+    assert eng.timers["search"] > 0  # separate-path timers in use
+
+
+def test_u2i_index_swap_takes_effect(stack):
+    """Swapping eng.item_index (corpus refresh) must not serve the stale
+    fused operand capture."""
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    users = _known_user_ids(stack["kv"], 2)
+    before = eng.batch_inference(users)
+    # refreshed corpus: only the first 5 items exist -> results must come
+    # from rows 0..4 regardless of what the old index returned
+    iv = np.asarray(stack["index"].vectors)[:5].astype(np.float32)
+    eng.item_index = ItemIndex.build(iv, index_type="flat")
+    after = eng.batch_inference(users)
+    assert set(after["item_ids"].reshape(-1)) <= {0, 1, 2, 3, 4}
+    assert before["item_ids"].shape == after["item_ids"].shape
