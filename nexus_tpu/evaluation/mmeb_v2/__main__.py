@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--media_root", default=None)
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world_size", type=int, default=1)
+    ap.add_argument("--run_id", default=None,
+                    help="token scoping cross-rank gather files when reusing "
+                         "an output_dir across runs")
     args = ap.parse_args()
 
     from nexus_tpu.evaluation.mmeb_v2 import MMEBEvaluator
@@ -36,6 +39,7 @@ def main():
     ev = MMEBEvaluator(
         embedder, args.dataset_dir, output_dir=args.output_dir, reranker=reranker,
         rerank_top_k=args.rerank_top_k, rank=args.rank, world_size=args.world_size,
+        run_id=args.run_id,
     )
     results = ev.run(args.tasks)
     for task, m in results.items():

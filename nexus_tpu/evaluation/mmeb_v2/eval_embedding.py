@@ -70,6 +70,7 @@ class MMEBEvaluator:
         k_values=(1, 5, 10),
         rank: int = 0,
         world_size: int = 1,
+        run_id: Optional[str] = None,
         reuse_embeddings: bool = True,
         data_basedir: Optional[str] = None,
         parser_kwargs: Optional[dict] = None,
@@ -84,7 +85,14 @@ class MMEBEvaluator:
         self.k_values = tuple(k_values)
         self.rank = rank
         self.world_size = world_size
+        self.run_id = run_id  # optional token scoping the cross-rank gather
+        # files: reuse of an output_dir across runs cannot otherwise tell a
+        # crashed rank's previous-run file from a fresh one
         self.reuse = reuse_embeddings
+
+    def _rank_file(self, r: int) -> str:
+        tag = f"_{self.run_id}" if self.run_id else ""
+        return os.path.join(self.output_dir, f"rank{r}{tag}_results.json")
 
     # -- per-task -----------------------------------------------------------
 
@@ -264,9 +272,12 @@ class MMEBEvaluator:
         if self.world_size > 1:
             # clear THIS rank's stale result file from any previous run in
             # the same output_dir before the (long) evaluation starts, so
-            # the rank-0 gather below never merges a previous run's shards
+            # the rank-0 gather below never merges a previous run's shard
+            # for a live rank. (A rank that CRASHES mid-run can still leave
+            # a previous run's file behind — launch multi-rank runs with a
+            # fresh output_dir or a distinct run_id to make that loud.)
             os.makedirs(self.output_dir, exist_ok=True)
-            stale = os.path.join(self.output_dir, f"rank{self.rank}_results.json")
+            stale = self._rank_file(self.rank)
             if os.path.exists(stale):
                 os.remove(stale)
         results = {}
@@ -286,7 +297,7 @@ class MMEBEvaluator:
         import time as _time
 
         os.makedirs(self.output_dir, exist_ok=True)
-        mine = os.path.join(self.output_dir, f"rank{self.rank}_results.json")
+        mine = self._rank_file(self.rank)
         tmp = f"{mine}.tmp"  # atomic publish: peers must never read a
         # partially-written JSON
         with open(tmp, "w") as f:
@@ -294,8 +305,7 @@ class MMEBEvaluator:
         os.replace(tmp, mine)
         if self.rank != 0:
             return results
-        paths = [os.path.join(self.output_dir, f"rank{r}_results.json")
-                 for r in range(self.world_size)]
+        paths = [self._rank_file(r) for r in range(self.world_size)]
         deadline = _time.time() + timeout_s
         while any(not os.path.exists(p) for p in paths):
             if _time.time() > deadline:
