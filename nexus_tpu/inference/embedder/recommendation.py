@@ -150,6 +150,36 @@ class BaseEmbedderInferenceEngine:
         self.timers["model"] += time.perf_counter() - t0
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
 
+    def batch_inference_stream(self, user_id_batches):
+        """Pipelined u2i over a STREAM of request batches: the fused program
+        for batch n is dispatched (async), batch n+1's mget+decode hydration
+        runs on the host while the device crunches, and n's results are
+        fetched only then — the KV round-trip hides behind device time
+        (the double-buffered request pipeline; jax dispatch is async, so the
+        overlap needs no threads). Yields the same dicts batch_inference
+        returns, in order."""
+        if self.retrieve_mode == "i2i" or not hasattr(self.item_index, "search_ops"):
+            for user_ids in user_id_batches:  # non-fused paths: sequential
+                yield self.batch_inference(user_ids)
+            return
+        pending = None  # (user_ids, device futures)
+        for user_ids in user_id_batches:
+            batch = self.get_user_context_features(user_ids)
+            dispatched = (user_ids, self._fused_u2i(len(user_ids))(batch))
+            if pending is not None:
+                yield self._finish_u2i(*pending)
+            pending = dispatched
+        if pending is not None:
+            yield self._finish_u2i(*pending)
+
+    def _finish_u2i(self, user_ids, result) -> Dict[str, np.ndarray]:
+        scores, rows = result
+        t0 = time.perf_counter()
+        scores = np.asarray(scores)  # blocks until the device finishes
+        item_ids = self.item_index.item_ids[np.asarray(rows)]
+        self.timers["model"] += time.perf_counter() - t0
+        return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
+
     def _fused_u2i(self, batch_size: int):
         """One jit program per batch size: query-tower encode -> metric prep
         -> index scan (index arrays as arguments, never jit constants).

@@ -239,3 +239,21 @@ def test_u2i_index_swap_takes_effect(stack):
     after = eng.batch_inference(users)
     assert set(after["item_ids"].reshape(-1)) <= {0, 1, 2, 3, 4}
     assert before["item_ids"].shape == after["item_ids"].shape
+
+
+def test_u2i_stream_matches_sequential(stack):
+    """The pipelined stream API yields exactly what per-batch calls return,
+    in order (hydration of batch n+1 overlaps batch n's device step)."""
+    eng = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    all_users = _known_user_ids(stack["kv"], 6)
+    batches = [all_users[:2], all_users[2:4], all_users[4:6]]
+    streamed = list(eng.batch_inference_stream(iter(batches)))
+    assert len(streamed) == 3
+    for users, out in zip(batches, streamed):
+        ref = eng.batch_inference(users)
+        np.testing.assert_array_equal(out["user_id"], ref["user_id"])
+        np.testing.assert_array_equal(out["item_ids"], ref["item_ids"])
+        np.testing.assert_allclose(out["scores"], ref["scores"], atol=1e-5)
