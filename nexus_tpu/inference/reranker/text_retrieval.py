@@ -30,10 +30,11 @@ class TextReranker:
         infer_mode: str = "normal",
         normalize: bool = True,
     ):
-        from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+        from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
 
         if model is None:
-            model = CrossEncoderModel.from_pretrained(model_name_or_path)
+            # dispatches BERT-head vs decoder (LLM yes-logit) by config.json
+            model = load_reranker_model(model_name_or_path)
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer
@@ -48,11 +49,16 @@ class TextReranker:
         self.session = self._build_session()
 
     def _score_fn(self, variables, input_ids, attention_mask, token_type_ids):
-        logits = self.model.net.apply(
-            variables, input_ids,
-            attention_mask=attention_mask, token_type_ids=token_type_ids,
+        # model.scores ignores token_type_ids for decoder backbones, so one
+        # session feed serves both cross-encoder families
+        return self.model.scores(
+            variables,
+            {
+                "input_ids": input_ids,
+                "attention_mask": attention_mask,
+                "token_type_ids": token_type_ids,
+            },
         )
-        return logits
 
     def _build_session(self):
         names = ["input_ids", "attention_mask", "token_type_ids"]

@@ -97,6 +97,12 @@ def graft_lora_init(converted_params: dict, init_params: dict) -> dict:
     leaves only in ``init_params`` (the adapters) keep their init values."""
     def graft(conv, ini):
         if isinstance(ini, dict):
+            if "base" in ini and isinstance(conv, dict) and "kernel" in conv:
+                # plain Dense checkpoint grafted onto a LoRA net: the kernel
+                # (and bias) nest under the frozen 'base' child
+                out = dict(ini)
+                out["base"] = graft(conv, ini["base"])
+                return out
             out = {}
             for k, v in ini.items():
                 if isinstance(conv, dict) and k in conv:

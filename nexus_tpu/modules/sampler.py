@@ -599,11 +599,17 @@ class LSHSampler:
         neg_prob = weight / jnp.maximum(len_item, 1)[:, None]
         log_neg_prob = jnp.log(neg_prob + 1e-12)
 
-        # uniform fallback for queries with empty candidate sets
+        # uniform fallback for queries with empty candidate sets. The
+        # fallback log-prob must stay in the same convention as the
+        # collision-probability rows (true log-probabilities), so it is
+        # -log(num_items) for a uniform draw — NOT 0.0, which would bias the
+        # sampled-softmax correction for exactly the empty-bucket queries.
         empty = (len_item == 0)[:, None]
         fb_items = jax.random.randint(key_fb, (b, num_neg), 0, self.num_items)
         item_id = jnp.where(empty, fb_items, item_id)
-        log_neg_prob = jnp.where(empty, 0.0, log_neg_prob)
+        log_neg_prob = jnp.where(
+            empty, -jnp.log(jnp.float32(self.num_items)), log_neg_prob
+        )
 
         if pos_items is not None:
             return jnp.zeros_like(pos_items, dtype=jnp.float32), item_id, log_neg_prob

@@ -12,7 +12,6 @@ from nexus_tpu.training.reranker.text_retrieval.dataset import (
     TextRerankerTrainDataset,
     make_batch_iterator,
 )
-from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
 from nexus_tpu.training.trainer import RecTrainer
 from nexus_tpu.utils.logging import get_logger
 
@@ -28,15 +27,27 @@ class TextRerankerRunner:
         train_group_size: int = 8,
         max_len: int = 512,
         knowledge_distillation: bool = False,
+        lora_rank: int = 0,
+        lora_alpha: float = 16.0,
         mesh=None,
     ):
         from transformers import AutoTokenizer
 
+        from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
+
         self.training_args = training_args
         self.mesh = mesh or get_default_mesh()
         self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
-        self.model = CrossEncoderModel.from_pretrained(
-            model_name_or_path, train_group_size=train_group_size, use_kd=knowledge_distillation
+        if self.tokenizer.pad_token is None and self.tokenizer.eos_token is not None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+        # BERT-head or decoder (LLM) cross-encoder, chosen by config.json
+        self.model = load_reranker_model(
+            model_name_or_path,
+            train_group_size=train_group_size,
+            use_kd=knowledge_distillation,
+            lora_rank=lora_rank,
+            lora_alpha=lora_alpha,
+            tokenizer=self.tokenizer,
         )
         self.dataset = TextRerankerTrainDataset(
             train_data, train_group_size=train_group_size, seed=training_args.seed,
@@ -52,6 +63,10 @@ class TextRerankerRunner:
         it = make_batch_iterator(self.dataset, self.collator, global_bs)
         state = self.trainer.train(it, resume_from_checkpoint=resume_from_checkpoint)
         self.trainer.save_model(self.training_args.output_dir)
+        if getattr(self.model, "uses_lora", False):
+            # LoRA runs: the adapters alone can't serve — also export the
+            # merged standalone model (ref save_merged_model parity)
+            self.model.save_merged_model(self.training_args.output_dir, state.variables)
         self.tokenizer.save_pretrained(self.training_args.output_dir)
         logger.info("reranker saved to %s", self.training_args.output_dir)
         return state
