@@ -269,13 +269,16 @@ class MMEBEvaluator:
 
                     if task_data_exists(self.data_basedir, t):
                         task_names.append(t)
+        import time as _time
+
+        # wall-clock run start: the merge only accepts shard files written
+        # after this (minus clock-skew slack), so a previous run's leftover
+        # file — e.g. from a rank that crashed before its startup cleanup —
+        # times out LOUDLY instead of being merged silently
+        self._run_start = _time.time()
         if self.world_size > 1:
             # clear THIS rank's stale result file from any previous run in
-            # the same output_dir before the (long) evaluation starts, so
-            # the rank-0 gather below never merges a previous run's shard
-            # for a live rank. (A rank that CRASHES mid-run can still leave
-            # a previous run's file behind — launch multi-rank runs with a
-            # fresh output_dir or a distinct run_id to make that loud.)
+            # the same output_dir before the (long) evaluation starts
             os.makedirs(self.output_dir, exist_ok=True)
             stale = self._rank_file(self.rank)
             if os.path.exists(stale):
@@ -306,11 +309,27 @@ class MMEBEvaluator:
         if self.rank != 0:
             return results
         paths = [self._rank_file(r) for r in range(self.world_size)]
+        # freshness gate: a shard counts only once its mtime is at or after
+        # this run's start (60 s slack for cross-host clock skew on a shared
+        # filesystem). Stale files from a crashed previous run therefore
+        # surface as a TimeoutError naming them, never as silent bad metrics.
+        min_mtime = getattr(self, "_run_start", 0.0) - 60.0
+
+        def _fresh(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) >= min_mtime
+            except OSError:
+                return False
+
         deadline = _time.time() + timeout_s
-        while any(not os.path.exists(p) for p in paths):
+        while any(not _fresh(p) for p in paths):
             if _time.time() > deadline:
                 missing = [p for p in paths if not os.path.exists(p)]
-                raise TimeoutError(f"rank results never arrived: {missing}")
+                stale = [p for p in paths if os.path.exists(p) and not _fresh(p)]
+                raise TimeoutError(
+                    f"rank results never arrived: missing={missing} "
+                    f"stale(previous run, mtime < run start)={stale}"
+                )
             _time.sleep(0.2)
         shards = []
         for p in paths:

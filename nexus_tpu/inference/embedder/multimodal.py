@@ -33,6 +33,7 @@ class MultimodalEmbedder:
         query_instruction: Optional[str] = None,
         corpus_instruction: Optional[str] = None,
         use_chat_template: bool = False,
+        infer_mode: str = "normal",
     ):
         from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
             BiMultimodalEmbedderModel,
@@ -47,7 +48,7 @@ class MultimodalEmbedder:
             tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
         self.tokenizer = tokenizer
         c = model.vlm_config
-        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
+        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5"):
             from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
 
             t, h, w = model.grid_thw
@@ -66,7 +67,7 @@ class MultimodalEmbedder:
                 grid_t=t,
                 # qwen3-vl videos: '<t.t seconds>' text before each (1,g,g)
                 # temporal-pair block (HF Qwen3VLProcessor layout)
-                video_timestamps=getattr(model, "backbone_type", "") == "qwen3-vl",
+                video_timestamps=getattr(model, "backbone_type", "") in ("qwen3-vl", "qwen3.5"),
                 # Qwen2.5-VL spaces video temporal M-RoPE by
                 # tokens_per_second * second_per_grid_t (tps / fps, fps=2.0
                 # HF processor default); Qwen2-VL uses plain arange(t)
@@ -85,9 +86,31 @@ class MultimodalEmbedder:
         self.media_root = media_root
         self.query_instruction = query_instruction
         self.corpus_instruction = corpus_instruction
-        self._encode = jax.jit(
+        # 'normal' = jit (compile-on-first-shape); 'aot'/'onnx'/'tensorrt' =
+        # explicitly lowered+compiled executables keyed by feed shapes (the
+        # engine-parity alternative the eval runner exercises — same pattern
+        # as the text engines' AOTSession)
+        self.infer_mode = infer_mode
+        self._encode_jit = jax.jit(
             lambda variables, feed: self.model.encode_feed(variables, feed)
         )
+        self._aot_cache = {}
+
+    def _encode(self, variables, feed):
+        if self.infer_mode == "normal":
+            return self._encode_jit(variables, feed)
+        import jax.numpy as jnp
+
+        key = tuple(
+            (k, tuple(jnp.shape(v)), str(jnp.result_type(v))) for k, v in sorted(feed.items())
+        )
+        if key not in self._aot_cache:
+            spec = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+                (variables, feed),
+            )
+            self._aot_cache[key] = self._encode_jit.lower(*spec).compile()
+        return self._aot_cache[key](variables, feed)
 
     def _encode_items(self, items: List[dict]) -> np.ndarray:
         reps = []

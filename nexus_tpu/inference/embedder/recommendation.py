@@ -45,6 +45,13 @@ class BaseEmbedderInferenceEngine:
         self.user_key_template = fc.get("user_key_template", "user:{}")
         self.seq_key_template = fc.get("seq_key_template", None)
         self.i2i_key_template = fc.get("i2i_key_template", "i2i:{}")
+        # i2i trigger selection/fusion (reference keeps per-trigger top-k
+        # lists then truncates, base.py:248-268 — count + fusion are config
+        # here rather than the hard-coded [-3:])
+        self.i2i_num_triggers = int(config.get("i2i_num_triggers", 3))
+        self.i2i_fusion = config.get("i2i_fusion", "concat")  # concat | interleave
+        if self.i2i_fusion not in ("concat", "interleave"):
+            raise ValueError(f"unknown i2i_fusion {self.i2i_fusion!r}")
 
         if item_index is None and config.get("item_index_path"):
             item_index = ItemIndex.load(config["item_index_path"])
@@ -55,6 +62,23 @@ class BaseEmbedderInferenceEngine:
         self._encode_jit = jax.jit(lambda variables, batch: self.model.encode_query(variables, batch))
         self._encode = lambda batch: self._encode_jit(self.variables, batch)
         self.timers: Dict[str, float] = {"feature": 0.0, "model": 0.0, "search": 0.0}
+
+    # -- index lifecycle ----------------------------------------------------
+
+    @property
+    def item_index(self):
+        return self._item_index
+
+    @item_index.setter
+    def item_index(self, idx):
+        """Swapping in a refreshed corpus index drops every fused-program
+        cache entry: the old entries' closures would otherwise pin the
+        previous corpus arrays in HBM (~9 GB at 12.58M x 768 int8), and a
+        reused id() could silently serve stale operands. A monotonic
+        generation counter keys the cache instead of object identity."""
+        self._item_index = idx
+        self._index_gen = getattr(self, "_index_gen", 0) + 1
+        self._fused = {}
 
     # -- feature hydration --------------------------------------------------
 
@@ -84,8 +108,20 @@ class BaseEmbedderInferenceEngine:
                         schema.append((name, L))
                         widths[name] = L
                 if widths[primary] != L:
+                    logger.warning(
+                        "feature key %r shadowed by an existing width-%d column "
+                        "(need %d): stores writing %s.%s under that key will "
+                        "serve zeros — rename the colliding feature",
+                        primary, widths[primary], L, seq_name, f,
+                    )
                     primary = None
                 if widths[alias] != L:
+                    logger.warning(
+                        "bare feature key %r shadowed by an existing width-%d "
+                        "column (need %d) for seq feature %s.%s: bare-name "
+                        "storage for this feature will serve zeros",
+                        alias, widths[alias], L, seq_name, f,
+                    )
                     alias = None
                 plan.append(("seq", seq_name, f, (primary, alias)))
         from nexus_tpu.inference.feature_store import StructBatchDecoder
@@ -183,10 +219,11 @@ class BaseEmbedderInferenceEngine:
     def _fused_u2i(self, batch_size: int):
         """One jit program per batch size: query-tower encode -> metric prep
         -> index scan (index arrays as arguments, never jit constants).
-        Keyed on the index object identity so an index swap (corpus refresh)
-        rebuilds the operand capture instead of serving the stale arrays."""
-        cache = self.__dict__.setdefault("_fused", {})
-        key = (batch_size, self.output_topk, id(self.item_index),
+        Keyed on the index GENERATION (bumped by the item_index setter,
+        which also clears this cache) so a corpus refresh rebuilds the
+        operand capture instead of serving — or pinning — stale arrays."""
+        cache = self._fused
+        key = (batch_size, self.output_topk, self._index_gen,
                getattr(self.item_index, "topk_impl", "exact"))
         if key in cache:
             return cache[key]
@@ -217,7 +254,8 @@ class BaseEmbedderInferenceEngine:
         d = self.data_attr
         seq_name = sorted(d.seq_features or {})[0]
         triggers = batch[seq_name][d.fiid]  # [B, L]
-        per_row = [ [int(t) for t in row[row != 0][-3:]] for row in triggers ]
+        n_trig = self.i2i_num_triggers
+        per_row = [[int(t) for t in row[row != 0][-n_trig:]] for row in triggers]
         uniq = list(dict.fromkeys(t for row in per_row for t in row))
         blobs = self.kv.mget([self.i2i_key_template.format(t) for t in uniq])
         neighbors = {
@@ -227,8 +265,19 @@ class BaseEmbedderInferenceEngine:
         out_ids = []
         for row in per_row:
             items: List[int] = []
-            for trig in row:
-                items += neighbors[trig]
+            if self.i2i_fusion == "interleave":
+                # round-robin across the triggers' (score-sorted) neighbor
+                # lists: each trigger contributes its best candidates before
+                # any trigger's tail — the multi-trigger fusion the
+                # reference's per-trigger-truncate approximates
+                lists = [neighbors[t] for t in row]
+                for rank in range(max((len(l) for l in lists), default=0)):
+                    for l in lists:
+                        if rank < len(l):
+                            items.append(l[rank])
+            else:  # concat: trigger recency order, full lists in turn
+                for trig in row:
+                    items += neighbors[trig]
             seen = list(dict.fromkeys(items))[: self.output_topk]
             seen += [0] * (self.output_topk - len(seen))
             out_ids.append(seen)

@@ -205,11 +205,10 @@ class TextEmbedder:
 
         return packed_encode
 
-    def _encode_packed(self, sentences: List[str], batch_size: int) -> np.ndarray:
-        """Pack tokenized sentences into dense fixed-length rows (no padding
-        to the bucket edge for short text — the MXU sees >95% real tokens).
-        Embeddings match the unpacked path exactly (same-segment attention,
-        restarting positions); tests assert the parity."""
+    def _dispatch_packed(self, sentences: List[str], batch_size: int):
+        """Host work (tokenize + pack) + ASYNC device dispatch for every
+        chunk; returns futures without fetching — the streaming overlap
+        primitive."""
         from nexus_tpu.ops.packing import pack_sequences
 
         if self._packed_encode is None:
@@ -218,7 +217,7 @@ class TextEmbedder:
             list(sentences), truncation=True, max_length=self.max_length,
             padding=False,
         )["input_ids"]
-        reps_out = np.empty((len(sentences),), object)
+        futures = []  # (offset, n_valid, device reps — not yet fetched)
         for off in range(0, len(enc), batch_size):
             chunk = enc[off : off + batch_size]
             longest = max(len(s) for s in chunk)
@@ -238,10 +237,96 @@ class TextEmbedder:
                 jnp.asarray(pool_cols), jnp.asarray(token_seq), batch_size,
                 jnp.asarray(lengths),
             )
-            reps = np.asarray(reps[:n])
-            for i in range(n):
-                reps_out[off + i] = reps[i]
-        return np.stack(list(reps_out))
+            futures.append((off, n, reps))
+        return len(sentences), futures
+
+    @staticmethod
+    def _finish_packed(total: int, futures) -> np.ndarray:
+        out = None
+        for off, n, reps in futures:
+            reps = np.asarray(reps)[:n]  # host fetch = the blocking point
+            if out is None:
+                out = np.empty((total, reps.shape[-1]), reps.dtype)
+            out[off : off + n] = reps
+        return out
+
+    def _encode_packed(self, sentences: List[str], batch_size: int) -> np.ndarray:
+        """Pack tokenized sentences into dense fixed-length rows (no padding
+        to the bucket edge for short text — the MXU sees >95% real tokens).
+        Embeddings match the unpacked path exactly (same-segment attention,
+        restarting positions); tests assert the parity."""
+        return self._finish_packed(*self._dispatch_packed(sentences, batch_size))
+
+    # -- streaming encode ----------------------------------------------------
+
+    def _dispatch_dense(self, sentences: List[str], batch_size: int):
+        """Length-sorted tokenize + async jit dispatch, no fetch (normal-jit
+        sessions only)."""
+        lengths = [len(s) for s in sentences]
+        order = np.argsort(lengths)[::-1]
+        sorted_sentences = [sentences[i] for i in order]
+        bound = self.session.bound
+        fn = self.session.fn
+        futures = []
+        for off in range(0, len(sorted_sentences), batch_size):
+            chunk = sorted_sentences[off : off + batch_size]
+            enc = self.tokenizer(
+                chunk, padding=True, truncation=True, max_length=self.max_length,
+                return_tensors="np",
+            )
+            ids, mask = enc["input_ids"], enc["attention_mask"]
+            L = ids.shape[1]
+            bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
+            if bucket_len > L:
+                ids = np.pad(ids, ((0, 0), (0, bucket_len - L)))
+                mask = np.pad(mask, ((0, 0), (0, bucket_len - L)))
+            reps = fn(bound, ids.astype(np.int32), mask.astype(np.int32))
+            futures.append((len(chunk), reps))
+        return order, futures
+
+    @staticmethod
+    def _finish_dense(order, futures) -> np.ndarray:
+        chunks = [np.asarray(reps)[:n] for n, reps in futures]
+        sorted_reps = np.concatenate(chunks, axis=0)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return sorted_reps[inv]
+
+    def encode_stream(self, sentence_batches, batch_size: Optional[int] = None):
+        """Pipelined encode over a STREAM of sentence lists: batch n+1's
+        tokenization/packing runs on the host while batch n's program runs
+        on the device (jax dispatch is async — the same double-buffer shape
+        as the rec path's batch_inference_stream). Yields one [B, D] array
+        per input batch, in order.
+
+        Matches the reference's continuous length-sorted encode loop
+        (inference/embedder/text_retrieval/base.py:291-320) with the host
+        work hidden behind device time instead of serialized before it."""
+        batch_size = batch_size or self.batch_size
+        packed = self.packing and self.mesh is None and (
+            self.model.args.sentence_pooling_method in ("cls", "mean")
+        )
+        if not packed and not isinstance(self.session, NormalSession):
+            for sentences in sentence_batches:  # AOT/mesh: no future access
+                yield self.encode(sentences, batch_size=batch_size)
+            return
+        pending = None
+        for sentences in sentence_batches:
+            if packed:
+                dispatched = ("p", self._dispatch_packed(sentences, batch_size))
+            else:
+                dispatched = ("d", self._dispatch_dense(sentences, batch_size))
+            if pending is not None:
+                yield self._finish_stream(pending)
+            pending = dispatched
+        if pending is not None:
+            yield self._finish_stream(pending)
+
+    def _finish_stream(self, pending):
+        kind, payload = pending
+        if kind == "p":
+            return self._finish_packed(*payload)
+        return self._finish_dense(*payload)
 
 
 class BaseEmbedderInferenceEngine(TextEmbedder):

@@ -53,7 +53,7 @@ class MultimodalReranker:
         self.media_root = media_root
         self.instruction = instruction
         c = model.vlm_config
-        if model.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
+        if model.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5"):
             from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
 
             t, h, w = model.grid_thw
@@ -84,7 +84,7 @@ class MultimodalReranker:
                 attention_mask=feed["attention_mask"],
                 pixel_patches=feed.get("pixel_patches"),
                 positions3=feed.get("positions3"),
-            ) if model.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl") else model.net.apply(
+            ) if model.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5") else model.net.apply(
                 variables,
                 input_ids=feed["input_ids"],
                 attention_mask=feed["attention_mask"],

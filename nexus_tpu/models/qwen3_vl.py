@@ -100,7 +100,11 @@ class Qwen3VLConfig(AbsArguments):
         tc = LlamaConfig.from_hf(text)
         tc.attention_bias = False  # Qwen3: no QKV biases (q/k RMSNorm instead)
         rope_scaling = text.get("rope_scaling") or {}
+        # HF model_type 'qwen3_5' (Qwen3.5) shares this backbone; the variant
+        # tag keeps the family distinction for processor/chat-template paths
+        variant = "qwen3.5" if "qwen3_5" in str(d.get("model_type", "")) else "qwen3-vl"
         return cls(
+            variant=variant,
             vision=Qwen3VLVisionConfig.from_hf(d["vision_config"]),
             text=tc,
             mrope_section=list(rope_scaling.get("mrope_section", [24, 20, 20])),

@@ -494,6 +494,15 @@ class LlavaNextProcessorAdapter:
         }
 
 
+# Qwen-VL model families sharing the patch-grid processor + M-RoPE encode
+# path (parity: the reference's CHAT_TEMPLATE_MODEL_TYPES /
+# VIDEO_MODEL_TYPES sets listing qwen3_5 beside qwen3_vl,
+# Nexus/modules/multimodal.py:16,32)
+QWEN_VL_FAMILY = ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5")
+# variants using the timestamp-interleaved video layout + official chat
+# template (reference QWEN_OFFICIAL_CHAT_MODEL_TYPES: qwen3_vl, qwen3_5)
+QWEN3_TIMESTAMP_VARIANTS = ("qwen3-vl", "qwen3.5")
+
 _BACKBONE_REGISTRY: dict = {}
 
 
@@ -556,3 +565,9 @@ def _build_qwen3_vl(config=None, dtype=None, grid_thw=(1, 16, 16), **kw):
     from nexus_tpu.models.qwen3_vl import Qwen3VLBackbone
 
     return Qwen3VLBackbone(config, grid_thw=tuple(grid_thw), dtype=dtype or jnp.bfloat16)
+
+
+# Qwen3.5 (HF model_type 'qwen3_5') rides the qwen3-vl backbone: same
+# deepstack vision tower + interleaved M-RoPE text trunk; config.variant
+# records which family the checkpoint declared (ref multimodal.py:21,28)
+_BACKBONE_REGISTRY["qwen3.5"] = _BACKBONE_REGISTRY["qwen3-vl"]

@@ -86,7 +86,13 @@ def pack_sequences(
     should prevent that). Returns host numpy arrays ready for device_put.
     """
     n = len(sequences)
-    lengths = np.asarray([min(len(s), row_len) for s in sequences], np.int32)
+    # a zero-length sequence would land in a full row (l=0 fits any bucket)
+    # with pool_cols == row_len, and the CLS/last-token gather would then
+    # silently clamp onto another sequence's final token — pack every
+    # sequence as at least one (pad) token so it owns a real slot
+    lengths = np.asarray(
+        [min(max(len(s), 1), row_len) for s in sequences], np.int32
+    )
     order = np.argsort(-lengths, kind="stable")  # first-fit-DECREASING
 
     # capacity buckets: cap -> list of row ids with exactly `cap` free slots
@@ -122,7 +128,10 @@ def pack_sequences(
         off = 0
         for s_no, i in enumerate(members, start=1):
             l = int(lengths[i])
-            ids[r, off : off + l] = np.asarray(sequences[i][:l], np.int32)
+            seq_i = np.asarray(sequences[i][:l], np.int32)
+            if seq_i.shape[0] < l:  # empty input granted its one pad slot
+                seq_i = np.full((l,), pad_id, np.int32)
+            ids[r, off : off + l] = seq_i
             seg[r, off : off + l] = s_no
             pos[r, off : off + l] = np.arange(l)
             tok_seq[r, off : off + l] = i

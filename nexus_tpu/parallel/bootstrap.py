@@ -32,9 +32,9 @@ class BootstrapError(RuntimeError):
 
 
 def _probe_coordinator(address: str, deadline: float, process_id: int) -> None:
-    """Bounded reachability pre-check. Process 0 hosts the coordinator, so a
-    probe from it would race its own bind; everyone else TCP-connects with
-    backoff until the deadline."""
+    """Bounded reachability pre-check. Process 0 hosts the coordinator, so
+    it bind-probes the port (address-collision check) and releases it;
+    everyone else TCP-connects with backoff until the deadline."""
     host, _, port = address.rpartition(":")
     if not host or not port.isdigit():
         raise BootstrapError(
@@ -42,6 +42,28 @@ def _probe_coordinator(address: str, deadline: float, process_id: int) -> None:
             "hand it to jax.distributed (it would block forever)"
         )
     if process_id == 0:
+        # process 0 hosts the coordinator: verify the port is actually
+        # bindable here (catches an address collision with another service
+        # or a coordinator host that isn't this machine) instead of letting
+        # jax.distributed hang on it
+        try:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+                s.bind((host, int(port)))
+        except OSError as e:
+            import errno
+
+            if e.errno == errno.EADDRINUSE:
+                raise BootstrapError(
+                    f"coordinator port {address} is already bound by another "
+                    "process on this host — pick a free port or stop the "
+                    "collider"
+                ) from e
+            raise BootstrapError(
+                f"process 0 cannot bind coordinator address {address} "
+                f"({e!r}) — the coordinator host must be this machine's "
+                "address"
+            ) from e
         return
     delay = 0.2
     last_err: Optional[Exception] = None

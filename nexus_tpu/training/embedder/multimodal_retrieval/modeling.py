@@ -47,7 +47,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             args.sentence_pooling_method = "last_token"
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        if backbone_type == "qwen3-vl":
+        if backbone_type in ("qwen3-vl", "qwen3.5"):
             from nexus_tpu.models.qwen3_vl import Qwen3VLBackbone
 
             self.net = Qwen3VLBackbone(
@@ -104,7 +104,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
         # video mode: pin a (T, g, g) temporal patch grid — every vision
         # entry becomes one video block of T*temporal_patch_size frames
         grid_t = max(video_frames // config.vision.temporal_patch_size, 1)
-        if grid_t > 1 and config.variant == "qwen3-vl":
+        if grid_t > 1 and config.variant in ("qwen3-vl", "qwen3.5"):
             raise ValueError(
                 "qwen3-vl represents videos as timestamp-interleaved (1, g, g) "
                 "blocks, not one (T, g, g) grid — leave video_frames=0: the "
@@ -161,7 +161,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
     # -- encoding over multimodal feeds -------------------------------------
 
     def encode_feed(self, variables, feed: Dict[str, Array], train=False, rngs=None) -> Array:
-        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5"):
             out = self.net.apply(
                 variables,
                 input_ids=feed["input_ids"],
@@ -195,7 +195,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             return self.variables
         c = self.vlm_config
         b, l = 2, 32
-        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
+        if self.backbone_type in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5"):
             t, h, w = self.grid_thw
             patches = jnp.zeros((1, t * h * w, c.vision.patch_dim))
             return self.net.init(
@@ -291,7 +291,7 @@ class BiMultimodalEmbedderModel(BiTextEmbedderModel):
             cfg_dict = json.load(f)
         backbone_type = cfg_dict.pop("model_type", "nexus-vlm")
         grid_thw = tuple(cfg_dict.pop("grid_thw", (1, 16, 16)))
-        if backbone_type == "qwen3-vl":
+        if backbone_type in ("qwen3-vl", "qwen3.5"):
             from nexus_tpu.models.qwen3_vl import Qwen3VLConfig
 
             config = Qwen3VLConfig.from_dict(cfg_dict)

@@ -40,7 +40,7 @@ class MultimodalEmbedderRunner:
         self.model = model
         self.tokenizer = tokenizer
         c = model.vlm_config
-        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl"):
+        if getattr(model, "backbone_type", "nexus-vlm") in ("qwen2-vl", "qwen2.5-vl", "qwen3-vl", "qwen3.5"):
             from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
 
             t, h, w = model.grid_thw
@@ -59,7 +59,7 @@ class MultimodalEmbedderRunner:
                 grid_t=t,
                 # qwen3-vl videos: '<t.t seconds>' text before each (1,g,g)
                 # temporal-pair block (HF Qwen3VLProcessor layout)
-                video_timestamps=getattr(model, "backbone_type", "") == "qwen3-vl",
+                video_timestamps=getattr(model, "backbone_type", "") in ("qwen3-vl", "qwen3.5"),
                 # Qwen2.5-VL spaces video temporal M-RoPE by
                 # tokens_per_second * second_per_grid_t (tps / fps, fps=2.0
                 # HF processor default); Qwen2-VL uses plain arange(t)

@@ -152,6 +152,36 @@ def test_multichip_sharded_encode(tmp_path):
     assert np.allclose(r1, r2, atol=1e-5)
 
 
+def test_encode_stream_matches_encode(tmp_path):
+    """Pipelined encode_stream (tokenize n+1 overlapping device n) yields
+    the same embeddings as batch encode, packed and dense paths alike."""
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b", "c", "d"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    from nexus_tpu.inference import TextEmbedder
+
+    batches = [
+        [f"a b c d"[: 2 + (i + j) % 5] for i in range(5 + j)] for j in range(3)
+    ]
+    for packing in (False, True):
+        emb = TextEmbedder(model_name_or_path=str(d), batch_size=4, max_length=16,
+                           packing=packing)
+        streamed = list(emb.encode_stream(batches))
+        assert len(streamed) == len(batches)
+        for got, sentences in zip(streamed, batches):
+            want = emb.encode(sentences)
+            np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"packing={packing}")
+
+
 def test_ivf_int8_storage(key):
     """int8 cell storage: 4x memory saving with near-exact recall (per-row
     symmetric quant, scales applied after the matmul)."""
