@@ -113,22 +113,23 @@ def main() -> None:
     float(encode_probe(*args))
     float(encode_probe(*args))
 
-    # best-of trials: the relay service shows large run-to-run variance, and
-    # peak sustained throughput is the capability being measured
-    best = 0.0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
+    # N>=5 repeat trials, median + IQR (single-run numbers are not evidence
+    # on this relay — see utils/benchstats.py)
+    from nexus_tpu.utils.benchstats import throughput_trials
+
+    def run_iters(n):
+        for _ in range(n):
             float(encode_probe(*args))
-        dt = time.perf_counter() - t0
-        best = max(best, n_emb * ITERS / dt)
-    throughput = best
+
+    stats = throughput_trials(run_iters, units_per_iter=n_emb, iters=ITERS)
 
     print(json.dumps({
         "metric": "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_bf16",
-        "value": round(throughput, 2),
+        "value": round(stats["value"], 2),
         "unit": "embeddings/s",
-        "vs_baseline": round(throughput / NORTH_STAR, 4),
+        "vs_baseline": round(stats["value"] / NORTH_STAR, 4),
+        "n": stats["n"],
+        "iqr": round(stats["iqr"], 2),
     }))
 
 

@@ -1,12 +1,18 @@
-"""Training-throughput benchmark: BGE-base embedder fine-tune step on one chip.
+"""Training-throughput benchmark: BGE-base embedder AND cross-encoder
+reranker fine-tune steps on one chip.
 
-Headline config matches the reference's single-GPU log (BASELINE.md):
-bs16/device, group_size 8, seq 512 -> 16 queries + 128 passages per step,
-contrastive in-batch loss, AdamW. Reference: 43.9 samples/s on one A100
-(fp16 + ZeRO-1); this chip has 197 bf16 TF/s peak vs A100's 312 fp16.
+Headline config matches the reference's single-GPU logs (BASELINE.md):
+- embedder: bs16/device, group_size 8, seq 512 -> 16 queries + 128 passages
+  per step, contrastive in-batch loss, AdamW. Reference: 43.9 samples/s on
+  one A100 (fp16 + ZeRO-1).
+- reranker: bs16 groups of 8 (query,passage) pairs, seq 512, group CE.
+  Reference: 39.7 samples/s on one A100 (reranker/log/single.log).
+This chip has 197 bf16 TF/s peak vs the A100's 312 fp16.
 
-Variants (argv): attention impl (xla | pallas flash fwd+blocked bwd),
-remat (full | dots | none). Prints samples/s per variant.
+Variants (argv): 'impl/remat' embedder grid (xla|pallas / full|dots|none),
+'ragged_padded'|'ragged_packed' embedder, 'reranker_padded'|'reranker_packed'.
+Every variant runs N>=5 timed trials and prints median + IQR
+(utils/benchstats.py — single-run relay numbers are not evidence).
 """
 import sys
 import time
@@ -18,6 +24,20 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
 
 BS, GROUP, SEQ = 16, 8, 512
+
+
+def _timed_trials(step_once, samples_per_step: int, steps: int = 6):
+    """Median+IQR over N trials of `steps` chained steps (loss fetch per
+    step = the real sync on the relay)."""
+    from nexus_tpu.utils.benchstats import measure_trials
+
+    def one():
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step_once()
+        return samples_per_step * steps / (time.perf_counter() - t0)
+
+    return measure_trials(one)
 
 
 def run(attention_impl: str, remat: str) -> float:
@@ -61,23 +81,20 @@ def run(attention_impl: str, remat: str) -> float:
         "passage_attention_mask": jnp.ones((BS * GROUP, SEQ), jnp.int32),
     }
     key = jax.random.PRNGKey(0)
-    state = trainer._state
+    holder = {"state": trainer._state}
     # compile + warm (loss fetch = real sync on the relay)
-    state, m = step_fn(state, batch, key)
-    float(m["loss"])
-    state, m = step_fn(state, batch, key)
-    float(m["loss"])
+    def step_once():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        holder["loss"] = float(m["loss"])
 
-    steps = 6
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step_fn(state, batch, key)
-        loss = float(m["loss"])
-    dt = time.perf_counter() - t0
-    sps = steps * BS / dt
-    print(f"attention={attention_impl:6s} remat={remat:5s}: {sps:6.1f} samples/s "
-          f"({dt / steps * 1e3:.0f} ms/step, loss {loss:.3f})", flush=True)
-    return sps
+    step_once()
+    step_once()
+    stats = _timed_trials(step_once, BS)
+    print(f"attention={attention_impl:6s} remat={remat:5s}: {stats['value']:6.1f} samples/s "
+          f"median of n={stats['n']} (IQR {stats['iqr']:.1f}, "
+          f"range {stats['min']:.1f}-{stats['max']:.1f}, loss {holder['loss']:.3f})",
+          flush=True)
+    return stats["value"]
 
 
 def _ragged_batch(rng, pack: bool):
@@ -152,21 +169,95 @@ def run_ragged(pack: bool) -> float:
         rows = batch["passage_input_ids"].shape[0]
         print(f"  packed: passage rows {rows} (vs {BS * GROUP} padded), occupancy {occ:.2f}")
     key = jax.random.PRNGKey(0)
-    state = trainer._state
-    state, m = step_fn(state, batch, key)
-    float(m["loss"])
-    state, m = step_fn(state, batch, key)
-    float(m["loss"])
-    steps = 6
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step_fn(state, batch, key)
-        loss = float(m["loss"])
-    dt = time.perf_counter() - t0
-    sps = steps * BS / dt
-    print(f"ragged {'packed' if pack else 'padded'}: {sps:6.1f} samples/s "
-          f"({dt / steps * 1e3:.0f} ms/step, loss {loss:.3f})", flush=True)
-    return sps
+    holder = {"state": trainer._state}
+
+    def step_once():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        holder["loss"] = float(m["loss"])
+
+    step_once()
+    step_once()
+    stats = _timed_trials(step_once, BS)
+    print(f"ragged {'packed' if pack else 'padded'}: {stats['value']:6.1f} samples/s "
+          f"median of n={stats['n']} (IQR {stats['iqr']:.1f}, "
+          f"range {stats['min']:.1f}-{stats['max']:.1f}, loss {holder['loss']:.3f})",
+          flush=True)
+    return stats["value"]
+
+
+def _reranker_pairs(rng):
+    """Reference-shaped reranker batch: BS groups x GROUP (query,passage)
+    pairs, pair length = query (~16) + passage (lognormal mean ~170),
+    capped at SEQ; token_type marks the passage half."""
+    n = BS * GROUP
+    q_lens = np.clip(np.round(rng.lognormal(2.7, 0.4, n)).astype(int), 4, 64)
+    p_lens = np.clip(np.round(rng.lognormal(5.0, 0.6, n)).astype(int), 8, SEQ - 4)
+    lens = np.minimum(q_lens + p_lens, SEQ)
+    ids = np.zeros((n, SEQ), np.int32)
+    mask = np.zeros((n, SEQ), np.int32)
+    tt = np.zeros((n, SEQ), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(1, 30000, l)
+        mask[i, :l] = 1
+        tt[i, min(q_lens[i], l) : l] = 1
+    return ids, mask, tt
+
+
+def run_reranker(pack: bool) -> float:
+    """Cross-encoder reranker fine-tune throughput (VERDICT r2 item 2):
+    bs16, group 8, seq 512, flash attention + remat — padded (the
+    reference's layout; 39.7 samples/s on one A100) vs packed rows."""
+    from nexus_tpu.models.bert import BertConfig
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+    from nexus_tpu.training.trainer import RecTrainer
+
+    config = BertConfig(
+        vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512, add_pooling_layer=True,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
+        attention_impl="pallas",
+    )
+    model = CrossEncoderModel(config, train_group_size=GROUP, dtype="bfloat16", remat=True)
+    targs = TrainingArguments.from_dict(dict(
+        output_dir="/tmp/nx_bench_rerank", num_train_epochs=1,
+        per_device_train_batch_size=BS, learning_rate=1e-5,
+        optimizer="adamw", logging_steps=1000, evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs)
+    trainer.init_state()
+    step_fn = trainer._build_train_step()
+
+    rng = np.random.default_rng(0)
+    ids, mask, tt = _reranker_pairs(rng)
+    if pack:
+        from nexus_tpu.ops.packing import pack_tokenized
+
+        pk = pack_tokenized(ids, mask, row_len=SEQ, row_bucket=8,
+                            extras={"token_type_ids": tt})
+        batch = {k: jnp.asarray(v) for k, v in pk.items()}
+        occ = float(pk["lengths"].sum()) / pk["input_ids"].size
+        print(f"  packed: {pk['input_ids'].shape[0]} rows (vs {BS * GROUP} padded), "
+              f"occupancy {occ:.2f}")
+    else:
+        batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+                 "token_type_ids": jnp.asarray(tt)}
+    key = jax.random.PRNGKey(0)
+    holder = {"state": trainer._state}
+
+    def step_once():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        holder["loss"] = float(m["loss"])
+
+    step_once()
+    step_once()
+    stats = _timed_trials(step_once, BS)
+    print(f"reranker {'packed' if pack else 'padded'}: {stats['value']:6.1f} samples/s "
+          f"median of n={stats['n']} (IQR {stats['iqr']:.1f}, "
+          f"range {stats['min']:.1f}-{stats['max']:.1f}, loss {holder['loss']:.3f})",
+          flush=True)
+    return stats["value"]
 
 
 if __name__ == "__main__":
@@ -175,6 +266,12 @@ if __name__ == "__main__":
         if v in ("ragged_padded", "ragged_packed"):
             try:
                 run_ragged(v == "ragged_packed")
+            except Exception as e:
+                print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
+        if v in ("reranker_padded", "reranker_packed"):
+            try:
+                run_reranker(v == "reranker_packed")
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue

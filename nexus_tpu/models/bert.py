@@ -188,7 +188,12 @@ class BertEncoderModel(nn.Module):
         position_ids: Optional[Array] = None,
         train: bool = False,
         segment_ids: Optional[Array] = None,
+        pool_gather: Optional[tuple] = None,
     ):
+        """``pool_gather=(rows, cols)``: packed-batch pooling — the CLS
+        hidden state of each packed sequence is gathered from its slot and
+        fed through the SAME pooler dense, so a cross-encoder head scores
+        packed rows with identical params as the padded path."""
         c = self.config
         if segment_ids is not None and attention_mask is None:
             attention_mask = (segment_ids != 0).astype(jnp.int32)
@@ -232,7 +237,10 @@ class BertEncoderModel(nn.Module):
                 )
         pooled = None
         if c.add_pooling_layer:
-            pooled = nn.tanh(nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler_dense")(x[:, 0]))
+            cls_states = x[:, 0] if pool_gather is None else x[pool_gather[0], pool_gather[1]]
+            pooled = nn.tanh(
+                nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler_dense")(cls_states)
+            )
         return {"last_hidden_state": x, "pooler_output": pooled}
 
 

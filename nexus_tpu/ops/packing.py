@@ -157,6 +157,7 @@ def pack_tokenized(
     row_len: int,
     row_bucket: int = 8,
     pad_id: int = 0,
+    extras: dict = None,
 ) -> dict:
     """Pack a right-padded tokenized batch [N, L] into fixed packed rows.
 
@@ -171,7 +172,7 @@ def pack_tokenized(
     packed = pack_sequences(seqs, row_len, pad_id=pad_id)
     n_rows = -(-packed.n_rows // row_bucket) * row_bucket
     packed = packed.pad_rows(n_rows)
-    return {
+    out = {
         "input_ids": packed.input_ids,
         "segment_ids": packed.segment_ids,
         "position_ids": packed.position_ids,
@@ -180,6 +181,15 @@ def pack_tokenized(
         "token_seq": packed.token_seq,
         "lengths": packed.lengths,
     }
+    if extras:
+        # extra per-token columns (e.g. token_type_ids) ride to the same
+        # packed slots: slot (r, c) holds extras[k][source_seq, within_pos]
+        valid = packed.token_seq < len(seqs)
+        src_seq = np.where(valid, packed.token_seq, 0)
+        for k, arr in extras.items():
+            ext = np.asarray(arr)[src_seq, packed.position_ids]
+            out[k] = np.where(valid, ext, 0).astype(np.asarray(arr).dtype)
+    return out
 
 
 def pool_packed_cls(hidden: jnp.ndarray, pool_rows, pool_cols) -> jnp.ndarray:

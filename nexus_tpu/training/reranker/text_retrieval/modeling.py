@@ -24,15 +24,24 @@ class CrossEncoderNet(nn.Module):
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # gradient checkpointing over the layer scan
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, token_type_ids=None, train: bool = False):
-        out = BertEncoderModel(self.config, dtype=self.dtype, name="bert")(
-            input_ids, attention_mask=attention_mask, token_type_ids=token_type_ids, train=train
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None, train: bool = False,
+                 position_ids=None, segment_ids=None, pool_rows=None, pool_cols=None):
+        """Padded pairs by default; pass packed arrays (``segment_ids`` /
+        ``position_ids`` / ``pool_rows`` / ``pool_cols`` from pack_tokenized)
+        to score many pairs per 512-token row — same params, no pad FLOPs."""
+        pool_gather = None if pool_rows is None else (pool_rows, pool_cols)
+        out = BertEncoderModel(self.config, dtype=self.dtype, remat=self.remat, name="bert")(
+            input_ids, attention_mask=attention_mask, token_type_ids=token_type_ids,
+            train=train, position_ids=position_ids, segment_ids=segment_ids,
+            pool_gather=pool_gather,
         )
         pooled = out["pooler_output"]
         if pooled is None:
-            pooled = out["last_hidden_state"][:, 0]
+            hidden = out["last_hidden_state"]
+            pooled = hidden[:, 0] if pool_gather is None else hidden[pool_rows, pool_cols]
         logits = nn.Dense(1, dtype=jnp.float32, name="classifier")(pooled.astype(jnp.float32))
         return logits[:, 0]
 
@@ -48,6 +57,7 @@ class CrossEncoderModel:
         kd_loss_weight: float = 1.0,
         use_kd: bool = False,
         dtype: str = "bfloat16",
+        remat: bool = False,
         variables: Optional[dict] = None,
     ):
         self.bert_config = bert_config
@@ -56,7 +66,8 @@ class CrossEncoderModel:
         self.use_kd = use_kd
         self.kd_loss_weight = kd_loss_weight
         self.net = CrossEncoderNet(
-            bert_config, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+            bert_config, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            remat=remat,
         )
         self.variables = variables
         self.ce = CrossEntropyLoss()
@@ -68,6 +79,18 @@ class CrossEncoderModel:
         return self.net.init(rng, jnp.ones((2, 8), jnp.int32))
 
     def scores(self, variables, batch, train=False, rngs=None) -> Array:
+        if "pool_rows" in batch:  # packed pairs (pack_tokenized layout)
+            return self.net.apply(
+                variables,
+                batch["input_ids"],
+                token_type_ids=batch.get("token_type_ids"),
+                position_ids=batch["position_ids"],
+                segment_ids=batch["segment_ids"],
+                pool_rows=batch["pool_rows"],
+                pool_cols=batch["pool_cols"],
+                train=train,
+                rngs=rngs,
+            )
         return self.net.apply(
             variables,
             batch["input_ids"],

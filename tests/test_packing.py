@@ -303,3 +303,44 @@ def test_packed_collator_emits_packed_keys(tmp_path):
     assert batch["query_input_ids"].shape[0] % 2 == 0  # row bucket
     # every real token accounted for
     assert batch["passage_lengths"].sum() == (batch["passage_segment_ids"] > 0).sum()
+
+
+def test_packed_cross_encoder_scores_parity():
+    """Packed (query,passage) pair scoring through pool_gather matches the
+    padded cross-encoder bit-for-bit-within-tolerance: same params, the CLS
+    of each packed pair rides through the same pooler + classifier."""
+    from nexus_tpu.ops.packing import pack_tokenized
+    from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = CrossEncoderModel(cfg, train_group_size=4, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    n_pairs, L = 8, 32
+    lens = rng.integers(6, L, n_pairs)
+    ids = np.zeros((n_pairs, L), np.int32)
+    mask = np.zeros((n_pairs, L), np.int32)
+    tt = np.zeros((n_pairs, L), np.int32)
+    for i, l in enumerate(lens):
+        ids[i, :l] = rng.integers(1, 127, l)
+        mask[i, :l] = 1
+        tt[i, l // 2 : l] = 1  # second half = passage segment
+
+    padded = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+              "token_type_ids": jnp.asarray(tt)}
+    want = np.asarray(model.scores(model.variables, padded))
+
+    pk = pack_tokenized(ids, mask, row_len=L, row_bucket=4, extras={"token_type_ids": tt})
+    packed = {k: jnp.asarray(v) for k, v in pk.items()}
+    got = np.asarray(model.scores(model.variables, packed))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # loss parity too (group CE over the same scores)
+    loss_pad, _ = model.loss_fn(model.variables, padded, jax.random.PRNGKey(1))
+    loss_pk, _ = model.loss_fn(model.variables, packed, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_pk), float(loss_pad), atol=2e-4)
