@@ -41,23 +41,39 @@ CHAIN = 8  # batches per dispatch (amortizes the relay's ~25ms dispatch cost)
 ITERS = 3
 MEAN_LEN, SIGMA = 38.0, 0.55  # lognormal token-length mix (mean ~43)
 
+# secondary workload modes (argv[1]) — the VERDICT r2 long-sequence grid
+MODES = {
+    # headline: MS-MARCO-style short mix, 128-token packed rows
+    "headline": dict(mean=38.0, sigma=0.55, row_len=128, rows=256),
+    # passage-heavy (mean ~65 tok) in 128 rows (round-2 number: 10,973)
+    "passage": dict(mean=58.0, sigma=0.55, row_len=128, rows=256),
+    # same mix in 256-token rows (fewer, fatter attention tiles)
+    "passage_row256": dict(mean=58.0, sigma=0.55, row_len=256, rows=128),
+    # corpus encode: near-512-token passages packed into 512 rows
+    "corpus512": dict(mean=420.0, sigma=0.25, row_len=512, rows=64),
+    # dense fully-padded seq-512 (every row one full sequence) — the
+    # apples-to-apples corpus-encode lower bound
+    "dense512": dict(dense=512, rows=64),
+    "dense512_b128": dict(dense=512, rows=128),
+}
 
-def _make_packed_batch(rng, pack_sequences):
-    """Draw sequences from the workload distribution until ROWS rows fill."""
+
+def _make_packed_batch(rng, pack_sequences, mean, sigma, row_len, rows):
+    """Draw sequences from the workload distribution until `rows` rows fill."""
     seqs, packed = [], None
     while True:
-        lens = np.clip(rng.lognormal(np.log(MEAN_LEN), SIGMA, 64), 6, ROW_LEN)
+        lens = np.clip(rng.lognormal(np.log(mean), sigma, 64), 6, row_len)
         seqs += [rng.integers(1, 30000, int(l)).astype(np.int32) for l in lens]
-        packed = pack_sequences(seqs, ROW_LEN)
-        if packed.n_rows >= ROWS:
+        packed = pack_sequences(seqs, row_len)
+        if packed.n_rows >= rows:
             break
-    while packed.n_rows > ROWS:
+    while packed.n_rows > rows:
         seqs.pop()
-        packed = pack_sequences(seqs, ROW_LEN)
-    return packed.pad_rows(ROWS), len(seqs)
+        packed = pack_sequences(seqs, row_len)
+    return packed.pad_rows(rows), len(seqs)
 
 
-def main() -> None:
+def main(mode: str = "headline") -> None:
     # persistent compile cache: first-ever run pays the slow remote compile,
     # subsequent bench invocations start hot
     try:
@@ -77,7 +93,29 @@ def main() -> None:
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
-    batches = [_make_packed_batch(rng, pack_sequences) for _ in range(CHAIN)]
+    params = MODES[mode]
+    if "dense" in params:
+        # fully-padded rows: every row is one max-length sequence
+        L, rows = params["dense"], params["rows"]
+        batches = []
+        for _ in range(CHAIN):
+            ids_b = rng.integers(1, 30000, (rows, L)).astype(np.int32)
+            from nexus_tpu.ops.packing import PackedBatch  # noqa: F401
+
+            class _Dense:  # same attribute surface the packed loop reads
+                input_ids = ids_b
+                segment_ids = np.ones((rows, L), np.int32)
+                position_ids = np.tile(np.arange(L, dtype=np.int32), (rows, 1))
+                pool_rows = np.arange(rows, dtype=np.int32)
+                pool_cols = np.zeros(rows, np.int32)
+
+            batches.append((_Dense, rows))
+    else:
+        batches = [
+            _make_packed_batch(rng, pack_sequences, params["mean"], params["sigma"],
+                               params["row_len"], params["rows"])
+            for _ in range(CHAIN)
+        ]
     n_emb = sum(n for _, n in batches)
     max_seqs = max(n for _, n in batches)
     ids = jnp.asarray(np.stack([b.input_ids for b, _ in batches]))
@@ -123,8 +161,13 @@ def main() -> None:
 
     stats = throughput_trials(run_iters, units_per_iter=n_emb, iters=ITERS)
 
+    metric = (
+        "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_bf16"
+        if mode == "headline"
+        else f"bge_base_embeddings_per_sec_per_chip_{mode}_bf16"
+    )
     print(json.dumps({
-        "metric": "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_bf16",
+        "metric": metric,
         "value": round(stats["value"], 2),
         "unit": "embeddings/s",
         "vs_baseline": round(stats["value"] / NORTH_STAR, 4),
@@ -134,4 +177,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else "headline")

@@ -75,9 +75,17 @@ class TextRerankerTrainDataset:
 
 
 class TextRerankerCollator:
-    def __init__(self, tokenizer, max_len: int = 512):
+    def __init__(self, tokenizer, max_len: int = 512, pack: bool = False,
+                 row_bucket: int = 8):
+        """``pack=True`` packs the (query, passage) pairs into dense
+        max_len-token rows (block-diagonal segment attention, per-pair CLS
+        gather) — no pad FLOPs on ragged pair lengths; scores/loss are
+        parity-tested against the padded layout
+        (tests/test_packing.py::test_packed_cross_encoder_scores_parity)."""
         self.tokenizer = tokenizer
         self.max_len = max_len
+        self.pack = pack
+        self.row_bucket = row_bucket
 
     def __call__(self, examples: List[dict]) -> Dict[str, np.ndarray]:
         pairs_q, pairs_p = [], []
@@ -86,15 +94,25 @@ class TextRerankerCollator:
                 pairs_q.append(e["query"])
                 pairs_p.append(p)
         enc = self.tokenizer(
-            pairs_q, pairs_p, padding="max_length", truncation=True,
-            max_length=self.max_len, return_tensors="np",
+            pairs_q, pairs_p,
+            padding="longest" if self.pack else "max_length",
+            truncation=True, max_length=self.max_len, return_tensors="np",
         )
-        batch = {
-            "input_ids": enc["input_ids"].astype(np.int32),
-            "attention_mask": enc["attention_mask"].astype(np.int32),
-        }
-        if "token_type_ids" in enc:
-            batch["token_type_ids"] = enc["token_type_ids"].astype(np.int32)
+        ids = enc["input_ids"].astype(np.int32)
+        mask = enc["attention_mask"].astype(np.int32)
+        tt = enc.get("token_type_ids")
+        if self.pack:
+            from nexus_tpu.ops.packing import pack_tokenized
+
+            extras = {} if tt is None else {"token_type_ids": tt.astype(np.int32)}
+            batch = pack_tokenized(
+                ids, mask, row_len=self.max_len, row_bucket=self.row_bucket,
+                extras=extras,
+            )
+        else:
+            batch = {"input_ids": ids, "attention_mask": mask}
+            if tt is not None:
+                batch["token_type_ids"] = tt.astype(np.int32)
         if examples[0].get("teacher_scores") is not None:
             batch["teacher_scores"] = np.asarray(
                 [e["teacher_scores"] for e in examples], np.float32

@@ -29,6 +29,7 @@ class TextRerankerRunner:
         knowledge_distillation: bool = False,
         lora_rank: int = 0,
         lora_alpha: float = 16.0,
+        pack_pairs: bool = False,
         mesh=None,
     ):
         from transformers import AutoTokenizer
@@ -53,7 +54,15 @@ class TextRerankerRunner:
             train_data, train_group_size=train_group_size, seed=training_args.seed,
             knowledge_distillation=knowledge_distillation,
         )
-        self.collator = TextRerankerCollator(self.tokenizer, max_len=max_len)
+        from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+
+        if pack_pairs and not isinstance(self.model, CrossEncoderModel):
+            # packed pooling is CLS-gather — decoder (last-token) backbones
+            # keep the padded layout
+            pack_pairs = False
+        self.collator = TextRerankerCollator(
+            self.tokenizer, max_len=max_len, pack=pack_pairs
+        )
         self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh)
 
     def run(self, resume_from_checkpoint: Optional[str] = None):

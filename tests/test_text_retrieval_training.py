@@ -131,3 +131,19 @@ def test_cross_encoder_reranker_trains(tiny_hf_dir, train_jsonl, tmp_path):
 
     model2 = CrossEncoderModel.from_pretrained(runner.training_args.output_dir)
     assert model2.variables is not None
+
+
+def test_cross_encoder_reranker_trains_packed(tiny_hf_dir, train_jsonl, tmp_path):
+    """pack_pairs=True trains through the full trainer (packed rows shard
+    over the 8-device mesh; pool gathers stay global under GSPMD)."""
+    runner = TextRerankerRunner(
+        model_name_or_path=tiny_hf_dir,
+        train_data=[train_jsonl],
+        training_args=_train_args(tmp_path, max_steps=3),
+        train_group_size=3,
+        max_len=24,
+        pack_pairs=True,
+    )
+    assert runner.collator.pack
+    state = runner.run()
+    assert int(state.step) == 3
