@@ -55,6 +55,20 @@ MODES = {
     # apples-to-apples corpus-encode lower bound
     "dense512": dict(dense=512, rows=64),
     "dense512_b128": dict(dense=512, rows=128),
+    # flash-attention variants: at L=512 the XLA path's materialized f32
+    # probs ([H, 512, 512] per row per layer) are pure HBM traffic; the
+    # Pallas 512-block kernel keeps them in VMEM
+    "corpus512_flash": dict(mean=420.0, sigma=0.25, row_len=512, rows=64,
+                            attention_impl="pallas"),
+    "dense512_flash": dict(dense=512, rows=64, attention_impl="pallas"),
+    # M=65536 token batches: the [65536,768]x[768,768] GEMM probes 77 TF/s
+    # vs 59 at M=32768 — with flash attention the probs-memory penalty that
+    # sank the XLA b128 variant is gone
+    "dense512_b128_flash": dict(dense=512, rows=128, attention_impl="pallas"),
+    "corpus512_b128_flash": dict(mean=420.0, sigma=0.25, row_len=512, rows=128,
+                                 attention_impl="pallas"),
+    "passage_flash": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
+                          attention_impl="pallas"),
 }
 
 
@@ -84,16 +98,16 @@ def main(mode: str = "headline") -> None:
     from nexus_tpu.models.bert import BertConfig, BertEncoderModel
     from nexus_tpu.ops.packing import pack_sequences, pool_packed_cls
 
+    params = MODES[mode]
     config = BertConfig(
         vocab_size=30522, hidden_size=768, num_hidden_layers=12,
         num_attention_heads=12, intermediate_size=3072,
         max_position_embeddings=512, add_pooling_layer=False,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attention_impl=params.get("attention_impl", "xla"),
     )
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-
-    params = MODES[mode]
     if "dense" in params:
         # fully-padded rows: every row is one max-length sequence
         L, rows = params["dense"], params["rows"]
@@ -179,4 +193,13 @@ def main(mode: str = "headline") -> None:
 if __name__ == "__main__":
     import sys
 
-    main(sys.argv[1] if len(sys.argv) > 1 else "headline")
+    arg = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    if arg == "grid":
+        # all workload modes in one process: pay relay/backend startup once
+        for m in MODES:
+            try:
+                main(m)
+            except Exception as e:
+                print(json.dumps({"metric": f"bge_{m}", "error": str(e)[:160]}))
+    else:
+        main(arg)
