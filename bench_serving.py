@@ -175,9 +175,13 @@ def text_stream() -> None:
 
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="nx_bench_text_")
-    # ~770 sequences fill 256 rows of 128 at mean ~43 tokens — one stream
-    # batch matches the headline bench's device batch
-    per_batch, n_batches = 768, 8
+    # stream batch size: each packed program is ONE relay dispatch paying
+    # ~25-50 ms of fixed overhead, so bigger batches amortize it (a real
+    # directly-attached chip pays ~1 ms and can stream smaller batches)
+    import sys
+
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
+    n_batches = max(24576 // per_batch, 2)
     tok, sentences = _fake_corpus_and_tokenizer(tmp, per_batch * n_batches, rng)
     batches = [sentences[i * per_batch : (i + 1) * per_batch] for i in range(n_batches)]
 
@@ -199,6 +203,7 @@ def text_stream() -> None:
         "metric": "text_serving_stream_embeddings_per_sec_end_to_end",
         "value": round(stats["value"], 2), "unit": "embeddings/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
+        "stream_batch": per_batch,
         "includes": "tokenization + packing + encode + fetch (host work "
                     "overlapped via double buffering)",
     }), flush=True)
