@@ -181,12 +181,14 @@ def text_stream() -> None:
     import sys
 
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
+    out_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     n_batches = max(24576 // per_batch, 2)
     tok, sentences = _fake_corpus_and_tokenizer(tmp, per_batch * n_batches, rng)
     batches = [sentences[i * per_batch : (i + 1) * per_batch] for i in range(n_batches)]
 
     emb = TextEmbedder(model=model, tokenizer=tok, batch_size=per_batch,
-                       max_length=128, seq_buckets=(128,), packing=True)
+                       max_length=128, seq_buckets=(128,), packing=True,
+                       output_dtype=out_dtype)
     # warm: compile every row-bucket shape the stream will hit
     for _ in emb.encode_stream(batches):
         pass
@@ -203,7 +205,7 @@ def text_stream() -> None:
         "metric": "text_serving_stream_embeddings_per_sec_end_to_end",
         "value": round(stats["value"], 2), "unit": "embeddings/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
-        "stream_batch": per_batch,
+        "stream_batch": per_batch, "output_dtype": out_dtype,
         "includes": "tokenization + packing + encode + fetch (host work "
                     "overlapped via double buffering)",
     }), flush=True)

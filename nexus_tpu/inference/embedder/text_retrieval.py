@@ -45,6 +45,7 @@ class TextEmbedder:
         infer_mode: str = "normal",
         mesh=None,
         packing: bool = False,
+        output_dtype: str = "float32",
     ):
         """``mesh``: shard encode batches across the mesh's data axis — the
         multi-chip replacement for the reference's per-GPU process pool
@@ -69,6 +70,11 @@ class TextEmbedder:
         self.seq_buckets = tuple(b for b in seq_buckets if b <= max_length) or (max_length,)
         self.infer_mode = infer_mode
         self.packing = packing
+        # 'float16' halves the device->host result transfer; normalized
+        # embeddings carry |x|<=1 so fp16's 2^-11 relative step costs ~5e-4
+        # per component — negligible for retrieval, opt-in for serving hosts
+        # where readback bandwidth bounds the pipeline
+        self.output_dtype = output_dtype
         self.session = self._build_session()
         self._packed_encode = None
 
@@ -83,7 +89,7 @@ class TextEmbedder:
         )
         if self.normalize:
             reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
-        return reps
+        return reps.astype(jnp.dtype(self.output_dtype))
 
     def _build_session(self):
         names = ["input_ids", "attention_mask"]
@@ -185,6 +191,7 @@ class TextEmbedder:
     def _build_packed_encode(self):
         method = self.model.args.sentence_pooling_method
         normalize = self.normalize
+        out_dtype = jnp.dtype(self.output_dtype)
         net = self.model.net
         from functools import partial
 
@@ -201,7 +208,7 @@ class TextEmbedder:
                 reps = pool_packed_mean(hidden, token_seq, lengths, n_seq)
             if normalize:
                 reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
-            return reps
+            return reps.astype(out_dtype)
 
         return packed_encode
 
@@ -310,17 +317,24 @@ class TextEmbedder:
             for sentences in sentence_batches:  # AOT/mesh: no future access
                 yield self.encode(sentences, batch_size=batch_size)
             return
-        pending = None
-        for sentences in sentence_batches:
-            if packed:
-                dispatched = ("p", self._dispatch_packed(sentences, batch_size))
-            else:
-                dispatched = ("d", self._dispatch_dense(sentences, batch_size))
+        # one fetch worker: the result readback (device->host transfer)
+        # releases the GIL, so it overlaps the NEXT batch's tokenization on
+        # the main thread — without it the stream is tokenize + fetch
+        # serialized even though dispatch is async
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            for sentences in sentence_batches:
+                if packed:
+                    dispatched = ("p", self._dispatch_packed(sentences, batch_size))
+                else:
+                    dispatched = ("d", self._dispatch_dense(sentences, batch_size))
+                if pending is not None:
+                    yield pending.result()
+                pending = pool.submit(self._finish_stream, dispatched)
             if pending is not None:
-                yield self._finish_stream(pending)
-            pending = dispatched
-        if pending is not None:
-            yield self._finish_stream(pending)
+                yield pending.result()
 
     def _finish_stream(self, pending):
         kind, payload = pending
