@@ -110,20 +110,19 @@ def main(mode: str = "headline") -> None:
     rng = np.random.default_rng(0)
     if "dense" in params:
         # fully-padded rows: every row is one max-length sequence
+        from types import SimpleNamespace
+
         L, rows = params["dense"], params["rows"]
-        batches = []
-        for _ in range(CHAIN):
-            ids_b = rng.integers(1, 30000, (rows, L)).astype(np.int32)
-            from nexus_tpu.ops.packing import PackedBatch  # noqa: F401
-
-            class _Dense:  # same attribute surface the packed loop reads
-                input_ids = ids_b
-                segment_ids = np.ones((rows, L), np.int32)
-                position_ids = np.tile(np.arange(L, dtype=np.int32), (rows, 1))
-                pool_rows = np.arange(rows, dtype=np.int32)
-                pool_cols = np.zeros(rows, np.int32)
-
-            batches.append((_Dense, rows))
+        batches = [
+            (SimpleNamespace(
+                input_ids=rng.integers(1, 30000, (rows, L)).astype(np.int32),
+                segment_ids=np.ones((rows, L), np.int32),
+                position_ids=np.tile(np.arange(L, dtype=np.int32), (rows, 1)),
+                pool_rows=np.arange(rows, dtype=np.int32),
+                pool_cols=np.zeros(rows, np.int32),
+            ), rows)
+            for _ in range(CHAIN)
+        ]
     else:
         batches = [
             _make_packed_batch(rng, pack_sequences, params["mean"], params["sigma"],

@@ -310,10 +310,13 @@ class MMEBEvaluator:
             return results
         paths = [self._rank_file(r) for r in range(self.world_size)]
         # freshness gate: a shard counts only once its mtime is at or after
-        # this run's start (60 s slack for cross-host clock skew on a shared
-        # filesystem). Stale files from a crashed previous run therefore
-        # surface as a TimeoutError naming them, never as silent bad metrics.
-        min_mtime = getattr(self, "_run_start", 0.0) - 60.0
+        # this run's start minus a slack window covering both clock skew and
+        # STAGGERED LAUNCHES (a fast rank may legitimately finish before a
+        # late rank 0 starts — its file must not read as stale). Files older
+        # than the window (a crashed previous run's leftovers) surface as a
+        # TimeoutError naming them, never as silent bad metrics; launches
+        # staggered beyond the window should pass a distinct run_id.
+        min_mtime = getattr(self, "_run_start", 0.0) - max(60.0, timeout_s)
 
         def _fresh(p: str) -> bool:
             try:

@@ -313,8 +313,11 @@ class TextEmbedder:
         packed = self.packing and self.mesh is None and (
             self.model.args.sentence_pooling_method in ("cls", "mean")
         )
-        if not packed and not isinstance(self.session, NormalSession):
-            for sentences in sentence_batches:  # AOT/mesh: no future access
+        if not packed and (self.mesh is not None or not isinstance(self.session, NormalSession)):
+            # AOT sessions expose no device futures; mesh sessions need
+            # encode()'s per-device row padding — both fall back to
+            # sequential full encodes
+            for sentences in sentence_batches:
                 yield self.encode(sentences, batch_size=batch_size)
             return
         # one fetch worker: the result readback (device->host transfer)

@@ -120,20 +120,9 @@ class MultimodalReranker:
         yes_id = tokenizer.convert_tokens_to_ids(yes_token)
         no_id = tokenizer.convert_tokens_to_ids(no_token)
 
-        sd = {}
-        st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
-        if st_files:
-            from safetensors.numpy import load_file
+        from nexus_tpu.models.hf_convert import load_hf_state_dict
 
-            for f in st_files:
-                sd.update(load_file(os.path.join(model_dir, f)))
-        else:
-            import torch
-
-            sd = torch.load(
-                os.path.join(model_dir, "pytorch_model.bin"),
-                map_location="cpu", weights_only=True,
-            )
+        sd = load_hf_state_dict(model_dir)
         vec = qwen3vl_binary_score_vector(sd, yes_id, no_id)
         return cls(model, vec, tokenizer=tokenizer, **kw)
 

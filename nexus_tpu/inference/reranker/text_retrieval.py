@@ -40,6 +40,10 @@ class TextReranker:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        if tokenizer.pad_token is None and tokenizer.eos_token is not None:
+            # decoder tokenizers (Llama/Mistral) ship without a pad token;
+            # padding=True in compute_score would raise otherwise
+            tokenizer.pad_token = tokenizer.eos_token
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.max_length = max_length

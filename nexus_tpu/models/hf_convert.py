@@ -26,6 +26,25 @@ def _t(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def load_hf_state_dict(model_dir: str) -> dict:
+    """Flat state dict from a local HF checkpoint dir: every *.safetensors
+    shard merged, else pytorch_model.bin. The one loading path shared by
+    all converters."""
+    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        sd: dict = {}
+        for f in st_files:
+            sd.update(load_file(os.path.join(model_dir, f)))
+        return sd
+    import torch
+
+    return torch.load(
+        os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
+    )
+
+
 def torch_bert_to_flax(
     state_dict: Dict[str, "np.ndarray"], config: BertConfig, dtype=jnp.float32,
     scan_layers: bool = True, plain_layers: int = 0,
@@ -139,13 +158,17 @@ def torch_llama_to_flax(state_dict, config, dtype=jnp.float32, scan_layers: bool
     layers = []
     for i in range(config.num_hidden_layers):
         p = f"layers.{i}"
+        attn = {
+            "q_proj": dense(f"{p}.self_attn.q_proj", lora),
+            "k_proj": dense(f"{p}.self_attn.k_proj", lora),
+            "v_proj": dense(f"{p}.self_attn.v_proj", lora),
+            "o_proj": dense(f"{p}.self_attn.o_proj", lora),
+        }
+        if f"{p}.self_attn.q_norm.weight" in sd:  # Qwen3 per-head q/k norms
+            attn["q_norm"] = norm(f"{p}.self_attn.q_norm")
+            attn["k_norm"] = norm(f"{p}.self_attn.k_norm")
         layers.append({
-            "self_attn": {
-                "q_proj": dense(f"{p}.self_attn.q_proj", lora),
-                "k_proj": dense(f"{p}.self_attn.k_proj", lora),
-                "v_proj": dense(f"{p}.self_attn.v_proj", lora),
-                "o_proj": dense(f"{p}.self_attn.o_proj", lora),
-            },
+            "self_attn": attn,
             "mlp": {
                 "gate_proj": dense(f"{p}.mlp.gate_proj", False),
                 "up_proj": dense(f"{p}.mlp.up_proj", False),
@@ -257,19 +280,7 @@ def load_hf_qwen2vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True,
         cfg_dict = json.load(f)
     config = Qwen2VLConfig.from_hf(cfg_dict)
 
-    sd = {}
-    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
-    if st_files:
-        from safetensors.numpy import load_file
-
-        for f in st_files:
-            sd.update(load_file(os.path.join(model_dir, f)))
-    else:
-        import torch
-
-        sd = torch.load(
-            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
-        )
+    sd = load_hf_state_dict(model_dir)
     return config, torch_qwen2vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers,
                                          lora=lora)
 
@@ -404,19 +415,7 @@ def load_hf_qwen3vl(model_dir: str, dtype=jnp.float32, scan_layers: bool = True,
         cfg_dict = json.load(f)
     config = Qwen3VLConfig.from_hf(cfg_dict)
 
-    sd = {}
-    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
-    if st_files:
-        from safetensors.numpy import load_file
-
-        for f in st_files:
-            sd.update(load_file(os.path.join(model_dir, f)))
-    else:
-        import torch
-
-        sd = torch.load(
-            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
-        )
+    sd = load_hf_state_dict(model_dir)
     return config, torch_qwen3vl_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers,
                                          lora=lora)
 
@@ -505,17 +504,5 @@ def load_hf_llava_next(model_dir: str, dtype=jnp.float32, scan_layers: bool = Tr
         cfg_dict = json.load(f)
     config = LlavaNextConfig.from_hf(cfg_dict)
 
-    sd = {}
-    st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
-    if st_files:
-        from safetensors.numpy import load_file
-
-        for f in st_files:
-            sd.update(load_file(os.path.join(model_dir, f)))
-    else:
-        import torch
-
-        sd = torch.load(
-            os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
-        )
+    sd = load_hf_state_dict(model_dir)
     return config, torch_llava_next_to_flax(sd, config, dtype=dtype, scan_layers=scan_layers)

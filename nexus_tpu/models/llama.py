@@ -36,6 +36,7 @@ class LlamaConfig(AbsArguments):
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # Qwen2 uses True for qkv
+    qk_norm: bool = False  # Qwen3: per-head RMSNorm on q/k after projection
     pad_token_id: int = 0
     attention_impl: str = "xla"  # 'xla' | 'pallas'
     lora_rank: int = 0
@@ -47,7 +48,17 @@ class LlamaConfig(AbsArguments):
 
         d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
         names = {f.name for f in _dc.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in names})
+        # None must not override defaults (HF serializes e.g. pad_token_id
+        # as null, which would crash mask derivation)
+        kw = {k: v for k, v in d.items() if k in names and v is not None}
+        model_type = str(d.get("model_type", ""))
+        if model_type == "qwen2":
+            # Qwen2's config.json carries no attention_bias key but the
+            # architecture uses QKV biases
+            kw.setdefault("attention_bias", True)
+        if model_type.startswith("qwen3"):
+            kw.setdefault("qk_norm", True)  # per-head q/k RMSNorm, no bias
+        return cls(**kw)
 
 
 class RMSNorm(nn.Module):
@@ -88,11 +99,14 @@ class LlamaAttention(nn.Module):
         h = c.hidden_size
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
-        head_dim = h // n_q
+        head_dim = c.head_dim or h // n_q  # Qwen3 decouples it
         b, l, _ = x.shape
         q = self._dense(n_q * head_dim, "q_proj", c.attention_bias)(x).reshape(b, l, n_q, head_dim)
         k = self._dense(n_kv * head_dim, "k_proj", c.attention_bias)(x).reshape(b, l, n_kv, head_dim)
         v = self._dense(n_kv * head_dim, "v_proj", c.attention_bias)(x).reshape(b, l, n_kv, head_dim)
+        if c.qk_norm:  # Qwen3: per-head RMSNorm before RoPE
+            q = RMSNorm(c.rms_norm_eps, name="q_norm")(q)
+            k = RMSNorm(c.rms_norm_eps, name="k_norm")(k)
         q = rotary_embedding(q, positions, c.rope_theta)
         k = rotary_embedding(k, positions, c.rope_theta)
         if n_kv != n_q:  # GQA: repeat kv heads

@@ -109,7 +109,10 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
         with open(os.path.join(output_dir, "config.json"), "w") as f:
             json.dump({**cfg.to_dict(), "model_type": "llama"}, f, indent=2)
         with open(os.path.join(output_dir, "nexus_embedder_config.json"), "w") as f:
-            json.dump({**self.args.to_dict(), "decoder_only": True}, f, indent=2)
+            # 'merged': adapters are folded in — from_pretrained must not
+            # overlay adapter_model.msgpack again
+            json.dump({**self.args.to_dict(), "decoder_only": True, "merged": True},
+                      f, indent=2)
         with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
             host = jax.tree_util.tree_map(lambda x: np.asarray(x), merged)
             f.write(serialization.to_bytes(host))
@@ -150,11 +153,14 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
         config.lora_rank = lora_rank
         config.lora_alpha = lora_alpha
         nexus_cfg = os.path.join(model_dir, "nexus_embedder_config.json")
-        if model_args is None and os.path.exists(nexus_cfg):
+        merged = False
+        if os.path.exists(nexus_cfg):
             with open(nexus_cfg) as f:
                 d = json.load(f)
                 d.pop("decoder_only", None)
-                model_args = TextEmbedderModelArguments.from_dict(d)
+                merged = bool(d.pop("merged", False))
+                if model_args is None:
+                    model_args = TextEmbedderModelArguments.from_dict(d)
         model = cls(config, model_args)
 
         flax_path = os.path.join(model_dir, "flax_model.msgpack")
@@ -166,20 +172,9 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
                 model.variables = serialization.from_bytes(target, f.read())
         else:
             # HF torch checkpoint
-            from nexus_tpu.models.hf_convert import torch_llama_to_flax
+            from nexus_tpu.models.hf_convert import load_hf_state_dict, torch_llama_to_flax
 
-            st = os.path.join(model_dir, "model.safetensors")
-            if os.path.exists(st):
-                from safetensors.numpy import load_file
-
-                sd = load_file(st)
-            else:
-                import torch
-
-                sd = torch.load(
-                    os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu",
-                    weights_only=True,
-                )
+            sd = load_hf_state_dict(model_dir)
             dtype = jnp.bfloat16 if model.args.dtype == "bfloat16" else jnp.float32
             converted = torch_llama_to_flax(sd, config, dtype=dtype, lora=lora_rank > 0)
             if lora_rank > 0:
@@ -190,9 +185,10 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
                 converted = {"params": graft_lora_init(converted["params"], init["params"])}
             model.variables = converted
 
-        # resume from latest adapter checkpoint if present
+        # resume from latest adapter checkpoint if present (skipped for
+        # merged saves — the weights already contain the adapters)
         adapter = os.path.join(model_dir, "adapter_model.msgpack")
-        if os.path.exists(adapter) and model.variables is not None:
+        if os.path.exists(adapter) and model.variables is not None and not merged:
             from nexus_tpu.models.lora import apply_adapter_params
 
             with open(adapter, "rb") as f:

@@ -193,8 +193,12 @@ class DecoderCrossEncoderModel:
         with open(os.path.join(output_dir, "config.json"), "w") as f:
             json.dump({**cfg.to_dict(), "model_type": "llama"}, f, indent=2)
         with open(os.path.join(output_dir, "nexus_reranker_config.json"), "w") as f:
+            # 'merged' marks the flax weights as ALREADY containing the
+            # adapters — from_pretrained must not overlay adapter_model
+            # on top (that would double the LoRA delta)
             json.dump(
-                {"train_group_size": self.train_group_size, "decoder_only": True}, f, indent=2
+                {"train_group_size": self.train_group_size, "decoder_only": True,
+                 "merged": True}, f, indent=2
             )
         with open(os.path.join(output_dir, "flax_model.msgpack"), "wb") as f:
             host = jax.tree_util.tree_map(np.asarray, merged)
@@ -254,10 +258,12 @@ class DecoderCrossEncoderModel:
         config.lora_rank = lora_rank
         config.lora_alpha = lora_alpha
         nexus_cfg = os.path.join(model_dir, "nexus_reranker_config.json")
+        merged = False
         if os.path.exists(nexus_cfg):
             with open(nexus_cfg) as f:
                 d = json.load(f)
                 d.pop("decoder_only", None)
+                merged = bool(d.pop("merged", False))
                 kw = {**d, **kw}
         model = cls(config, **kw)
 
@@ -287,7 +293,10 @@ class DecoderCrossEncoderModel:
             )
 
         adapter = os.path.join(model_dir, "adapter_model.msgpack")
-        if os.path.exists(adapter) and model.variables is not None:
+        if os.path.exists(adapter) and model.variables is not None and not merged:
+            # base weights + trained adapters (resume flow). Skipped for
+            # merged saves: the flax weights already CONTAIN the adapters,
+            # overlaying again would double the LoRA delta.
             with open(adapter, "rb") as f:
                 adapters = serialization.msgpack_restore(f.read())
             params = apply_adapter_params(model.variables["params"], adapters)
@@ -306,22 +315,9 @@ class DecoderCrossEncoderModel:
         no_token: str = "No",
         tokenizer=None,
     ) -> dict:
-        from nexus_tpu.models.hf_convert import torch_llama_to_flax
+        from nexus_tpu.models.hf_convert import load_hf_state_dict, torch_llama_to_flax
 
-        sd = {}
-        st_files = [f for f in sorted(os.listdir(model_dir)) if f.endswith(".safetensors")]
-        if st_files:
-            from safetensors.numpy import load_file
-
-            for f in st_files:
-                sd.update(load_file(os.path.join(model_dir, f)))
-        else:
-            import torch
-
-            sd = torch.load(
-                os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu",
-                weights_only=True,
-            )
+        sd = load_hf_state_dict(model_dir)
 
         lora = model.llama_config.lora_rank > 0
         trunk_sd = {k: v for k, v in sd.items() if not k.startswith(("score.", "lm_head."))}
@@ -365,7 +361,11 @@ def load_reranker_model(model_dir: str, **kw):
     cross-encoder class (BERT head vs decoder last-token yes-logit).
     Mirrors the reference's `AutoModelForSequenceClassification` dispatch
     (runner.py:104) without the torch auto-registry."""
-    decoder_types = {"llama", "qwen2", "qwen3", "mistral", "gemma"}
+    # backbones the Llama trunk represents exactly: llama/mistral (plain),
+    # qwen2 (QKV biases), qwen3 (q/k RMSNorm + decoupled head_dim) — all
+    # torch-parity-tested. gemma (GeGLU, different norm placement) is NOT
+    # representable and intentionally absent.
+    decoder_types = {"llama", "qwen2", "qwen3", "mistral"}
     with open(os.path.join(model_dir, "config.json")) as f:
         model_type = json.load(f).get("model_type", "bert")
     if model_type in decoder_types:

@@ -263,3 +263,89 @@ def test_eval_runner_accepts_decoder_reranker(tmp_path, bert_tok_dir):
     )
     out = TextRetrievalEvalRunner(args).run()
     assert "Reranked" in out["toy"] and "NDCG@1" in out["toy"]["Reranked"]
+
+
+def test_qwen2_seqcls_parity(tmp_path, rng):
+    """Qwen2 backbone (QKV biases, GQA) through the decoder cross-encoder:
+    scores match HF Qwen2ForSequenceClassification. Regression for the
+    dispatch bug where Qwen2 biases were silently dropped."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFQ2, Qwen2ForSequenceClassification
+
+    d = tmp_path / "tiny_qwen2_cls"
+    cfg = HFQ2(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        num_labels=1, pad_token_id=0,
+    )
+    torch.manual_seed(2)
+    hf = Qwen2ForSequenceClassification(cfg).eval()
+    hf.save_pretrained(str(d))
+
+    model = DecoderCrossEncoderModel.from_pretrained(str(d), dtype="float32")
+    assert model.llama_config.attention_bias  # qwen2 -> QKV biases honored
+    ids, mask = _batch(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).logits[:, 0].numpy()
+    ours = np.asarray(
+        model.scores(model.variables, {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)})
+    )
+    assert np.abs(ours - ref).max() < 5e-4
+
+
+def test_qwen3_seqcls_parity(tmp_path, rng):
+    """Qwen3 backbone (per-head q/k RMSNorm, decoupled head_dim) through the
+    decoder cross-encoder: scores match HF Qwen3ForSequenceClassification."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config as HFQ3, Qwen3ForSequenceClassification
+
+    d = tmp_path / "tiny_qwen3_cls"
+    cfg = HFQ3(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,  # != 32/4
+        max_position_embeddings=64, num_labels=1, pad_token_id=0,
+    )
+    torch.manual_seed(3)
+    hf = Qwen3ForSequenceClassification(cfg).eval()
+    hf.save_pretrained(str(d))
+
+    model = DecoderCrossEncoderModel.from_pretrained(str(d), dtype="float32")
+    assert model.llama_config.qk_norm and model.llama_config.head_dim == 16
+    ids, mask = _batch(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).logits[:, 0].numpy()
+    ours = np.asarray(
+        model.scores(model.variables, {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)})
+    )
+    assert np.abs(ours - ref).max() < 5e-4
+
+
+def test_merged_save_reload_no_double_lora(tmp_path):
+    """Reloading a merged LoRA save must NOT re-apply the adapter file:
+    scores after reload equal the merged model's scores exactly."""
+    cfg = LlamaConfig(**TINY, lora_rank=2)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    # make the adapters non-trivial (zero-init B would hide the bug)
+    import jax.numpy as _jnp
+
+    def bump(t):
+        if isinstance(t, dict):
+            return {k: (np.asarray(v) + 0.05 if k in ("lora_A", "lora_B") else bump(v))
+                    for k, v in t.items()}
+        return t
+    variables = {"params": bump(variables["params"])}
+    model.variables = variables
+
+    out = tmp_path / "out"
+    model.save(str(out), variables)          # adapters
+    model.save_merged_model(str(out), variables)  # merged weights + marker
+
+    rng = np.random.default_rng(1)
+    ids, mask = _batch(rng)
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+    want = np.asarray(model.scores(variables, batch))
+
+    re = DecoderCrossEncoderModel.from_pretrained(str(out), dtype="float32")
+    got = np.asarray(re.scores(re.variables, batch))
+    np.testing.assert_allclose(got, want, atol=1e-5)
