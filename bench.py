@@ -67,6 +67,13 @@ MODES = {
     "dense512_b128_flash": dict(dense=512, rows=128, attention_impl="pallas"),
     "corpus512_b128_flash": dict(mean=420.0, sigma=0.25, row_len=512, rows=128,
                                  attention_impl="pallas"),
+    # fused [768,2304] QKV projection: rejected at L=64/128 in round 2, but
+    # the isolated no-attention pipeline probes 155 TF/s with the fused
+    # shape — retest at L=512 where attention dominates differently
+    "dense512_flash_fqkv": dict(dense=512, rows=64, attention_impl="pallas",
+                                fused_qkv=True),
+    "headline_fqkv": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
+                          fused_qkv=True),
     "passage_flash": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
                           attention_impl="pallas"),
 }
@@ -105,6 +112,7 @@ def main(mode: str = "headline") -> None:
         max_position_embeddings=512, add_pooling_layer=False,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         attention_impl=params.get("attention_impl", "xla"),
+        fused_qkv=params.get("fused_qkv", False),
     )
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
