@@ -182,6 +182,36 @@ def test_encode_stream_matches_encode(tmp_path):
             np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"packing={packing}")
 
 
+def test_encode_output_dtype_fp16(tmp_path):
+    """output_dtype='float16' halves the result payload with <=1e-3
+    per-component deviation on normalized embeddings (transfer-bound
+    serving hosts opt in)."""
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b", "c"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    from nexus_tpu.inference import TextEmbedder
+
+    texts = ["a b c", "c b", "a"]
+    for packing in (False, True):
+        f32 = TextEmbedder(model_name_or_path=str(d), batch_size=4, max_length=16,
+                           packing=packing)
+        f16 = TextEmbedder(model=f32.model, tokenizer=f32.tokenizer, batch_size=4,
+                           max_length=16, packing=packing, output_dtype="float16")
+        a = f32.encode(texts)
+        b = f16.encode(texts)
+        assert b.dtype == np.float16
+        np.testing.assert_allclose(a, b.astype(np.float32), atol=1e-3)
+
+
 def test_ivf_int8_storage(key):
     """int8 cell storage: 4x memory saving with near-exact recall (per-row
     symmetric quant, scales applied after the matmul)."""
