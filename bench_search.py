@@ -63,10 +63,11 @@ def main() -> None:
         s, i = flat_search(queries, corpus)
         _ = np.asarray(i[0, 0])
         lat.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(lat, 50))
+    q1, p50, q3 = (float(x) for x in np.percentile(lat, [25, 50, 75]))
     print(json.dumps({
         "metric": f"flat_top{K}_p50_ms_{N//1_000_000}M_x{DIM}_batch{Q}",
-        "value": round(p50, 2), "unit": "ms",
+        "value": round(p50, 2), "unit": "ms", "n": len(lat),
+        "iqr": round(q3 - q1, 2),
         "per_query_ms": round(p50 / Q, 3),
     }), flush=True)
 
@@ -90,10 +91,11 @@ def main() -> None:
         ivf_scores, ivf_rows = index.search(qf, K)
         _ = np.asarray(ivf_rows[0, 0])
         lat.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(lat, 50))
+    q1, p50, q3 = (float(x) for x in np.percentile(lat, [25, 50, 75]))
     print(json.dumps({
         "metric": f"ivf_top{K}_p50_ms_{N//1_000_000}M_x{DIM}_batch{Q}_nprobe64of4096",
-        "value": round(p50, 2), "unit": "ms",
+        "value": round(p50, 2), "unit": "ms", "n": len(lat),
+        "iqr": round(q3 - q1, 2),
         "per_query_ms": round(p50 / Q, 3),
         "recall10_vs_exact": round(float(recall), 4),
     }), flush=True)

@@ -43,6 +43,9 @@ class BertConfig(AbsArguments):
     add_pooling_layer: bool = True
     attention_impl: str = "xla"  # 'xla' | 'pallas' (flash attention kernel)
     fused_qkv: bool = False  # one [h, 3h] projection instead of 3 [h, h]
+    # RoBERTa/XLM-R (BGE-M3's trunk): non-pad token positions start at
+    # padding_idx + 1 (HF create_position_ids_from_input_ids). 0 = BERT.
+    position_offset: int = 0
 
     @classmethod
     def from_hf(cls, hf_config) -> "BertConfig":
@@ -50,7 +53,12 @@ class BertConfig(AbsArguments):
 
         d = hf_config.to_dict() if hasattr(hf_config, "to_dict") else dict(hf_config)
         names = {f.name for f in _dc.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in names})
+        kw = {k: v for k, v in d.items() if k in names and v is not None}
+        if "roberta" in str(d.get("model_type", "")):
+            # positions start at padding_idx+1 (pad_token_id is 1 for
+            # roberta/xlm-roberta); token_type table is a single row
+            kw.setdefault("position_offset", int(d.get("pad_token_id", 1)) + 1)
+        return cls(**kw)
 
 
 class BertEmbeddings(nn.Module):
@@ -63,7 +71,7 @@ class BertEmbeddings(nn.Module):
         we = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="word_embeddings")
         pe = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype, name="position_embeddings")
         te = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=self.dtype, name="token_type_embeddings")
-        x = we(input_ids) + pe(position_ids) + te(token_type_ids)
+        x = we(input_ids) + pe(position_ids + c.position_offset) + te(token_type_ids)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="LayerNorm")(x)
         x = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(x)
         return x.astype(self.dtype)

@@ -55,7 +55,10 @@ def torch_bert_to_flax(
     lax.scan layer loop (see BertEncoderModel.scan_layers). When
     ``config.fused_qkv`` the three projection matrices pack into one
     [h, 3h] kernel (single fat MXU GEMM at inference)."""
-    sd = {k.removeprefix("bert."): _t(v) for k, v in state_dict.items()}
+    sd = {
+        k.removeprefix("bert.").removeprefix("roberta."): _t(v)
+        for k, v in state_dict.items()
+    }
 
     def dense(prefix):
         return {

@@ -147,3 +147,48 @@ def test_partial_remat_split_matches_full():
     flat_c, _ = _ravel_pytree(jax.tree_util.tree_map(lambda x: x[2:], gl))
     flat_d, _ = _ravel_pytree(gpp)
     np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_d), atol=1e-5)
+
+
+def test_xlm_roberta_matches_hf(tmp_path):
+    """XLM-RoBERTa (BGE-M3's trunk): roberta position offsets
+    (padding_idx+1), 'roberta.'-prefixed keys, and the 1-row token-type
+    table convert and match torch hidden states; the TextEmbedder engine
+    serves the checkpoint end to end."""
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    import numpy as np
+
+    d = tmp_path / "xlmr"
+    cfg = XLMRobertaConfig(
+        vocab_size=50, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=40, type_vocab_size=1,
+        pad_token_id=1,
+    )
+    torch.manual_seed(0)
+    hf = XLMRobertaModel(cfg).eval()
+    hf.save_pretrained(str(d))
+
+    from nexus_tpu.models.bert import BertEncoderModel
+    from nexus_tpu.models.hf_convert import load_hf_bert
+
+    config, variables = load_hf_bert(str(d), add_pooling_layer=False)
+    assert config.position_offset == 2 and config.pad_token_id == 1
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 49, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[1, 9:] = 0
+    ids = ids * mask + (1 - mask) * 1  # pad token id 1
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    model = BertEncoderModel(config, dtype=jnp.float32)
+    ours = np.asarray(
+        model.apply(variables, jnp.asarray(ids), attention_mask=jnp.asarray(mask))[
+            "last_hidden_state"
+        ]
+    )
+    valid = mask.astype(bool)
+    assert np.abs(ours[valid] - ref[valid]).max() < 5e-4
