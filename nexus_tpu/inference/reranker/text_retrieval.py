@@ -29,7 +29,13 @@ class TextReranker:
         seq_buckets: Sequence[int] = DEFAULT_SEQ_BUCKETS,
         infer_mode: str = "normal",
         normalize: bool = True,
+        pair_template: Optional[str] = None,
     ):
+        """``pair_template``: LLM-reranker prompt formatting — e.g.
+        ``"A: {query}\\nB: {passage}\\nPredict whether passage B answers "
+        "query A."`` Each pair becomes ONE formatted sequence (the decoder
+        scores its last token); without it, pairs tokenize as the standard
+        two-segment (query, passage) encoding."""
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
 
         if model is None:
@@ -50,6 +56,7 @@ class TextReranker:
         self.seq_buckets = tuple(b for b in seq_buckets if b <= max_length) or (max_length,)
         self.infer_mode = infer_mode
         self.normalize = normalize
+        self.pair_template = pair_template
         self.session = self._build_session()
 
     def _score_fn(self, variables, input_ids, attention_mask, token_type_ids):
@@ -100,10 +107,19 @@ class TextReranker:
             idx = order[off : off + batch_size]
             qs = [sentence_pairs[i][0] for i in idx]
             ps = [sentence_pairs[i][1] for i in idx]
-            enc = self.tokenizer(
-                qs, ps, padding=True, truncation=True, max_length=self.max_length,
-                return_tensors="np",
-            )
+            if self.pair_template:
+                texts = [
+                    self.pair_template.format(query=q, passage=p) for q, p in zip(qs, ps)
+                ]
+                enc = self.tokenizer(
+                    texts, padding=True, truncation=True, max_length=self.max_length,
+                    return_tensors="np",
+                )
+            else:
+                enc = self.tokenizer(
+                    qs, ps, padding=True, truncation=True, max_length=self.max_length,
+                    return_tensors="np",
+                )
             ids = enc["input_ids"]
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)

@@ -76,7 +76,7 @@ class TextRerankerTrainDataset:
 
 class TextRerankerCollator:
     def __init__(self, tokenizer, max_len: int = 512, pack: bool = False,
-                 row_bucket: int = 8):
+                 row_bucket: int = 8, pair_template: str = None):
         """``pack=True`` packs the (query, passage) pairs into dense
         max_len-token rows (block-diagonal segment attention, per-pair CLS
         gather) — no pad FLOPs on ragged pair lengths; scores/loss are
@@ -86,6 +86,9 @@ class TextRerankerCollator:
         self.max_len = max_len
         self.pack = pack
         self.row_bucket = row_bucket
+        # LLM-reranker prompt: one formatted sequence per pair (must match
+        # the inference engine's pair_template for train/serve consistency)
+        self.pair_template = pair_template
 
     def __call__(self, examples: List[dict]) -> Dict[str, np.ndarray]:
         pairs_q, pairs_p = [], []
@@ -93,11 +96,21 @@ class TextRerankerCollator:
             for p in e["passages"]:
                 pairs_q.append(e["query"])
                 pairs_p.append(p)
-        enc = self.tokenizer(
-            pairs_q, pairs_p,
-            padding="longest" if self.pack else "max_length",
-            truncation=True, max_length=self.max_len, return_tensors="np",
-        )
+        padding = "longest" if self.pack else "max_length"
+        if self.pair_template:
+            texts = [
+                self.pair_template.format(query=q, passage=p)
+                for q, p in zip(pairs_q, pairs_p)
+            ]
+            enc = self.tokenizer(
+                texts, padding=padding, truncation=True,
+                max_length=self.max_len, return_tensors="np",
+            )
+        else:
+            enc = self.tokenizer(
+                pairs_q, pairs_p, padding=padding,
+                truncation=True, max_length=self.max_len, return_tensors="np",
+            )
         ids = enc["input_ids"].astype(np.int32)
         mask = enc["attention_mask"].astype(np.int32)
         tt = enc.get("token_type_ids")

@@ -30,6 +30,7 @@ class TextRerankerRunner:
         lora_rank: int = 0,
         lora_alpha: float = 16.0,
         pack_pairs: bool = False,
+        pair_template: Optional[str] = None,
         mesh=None,
     ):
         from transformers import AutoTokenizer
@@ -61,7 +62,8 @@ class TextRerankerRunner:
             # keep the padded layout
             pack_pairs = False
         self.collator = TextRerankerCollator(
-            self.tokenizer, max_len=max_len, pack=pack_pairs
+            self.tokenizer, max_len=max_len, pack=pack_pairs,
+            pair_template=pair_template,
         )
         self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh)
 

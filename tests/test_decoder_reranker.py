@@ -320,6 +320,49 @@ def test_qwen3_seqcls_parity(tmp_path, rng):
     assert np.abs(ours - ref).max() < 5e-4
 
 
+def test_pair_template_formatting(tmp_path, bert_tok_dir):
+    """pair_template formats each pair into ONE sequence (LLM prompt mode);
+    engine scores then equal a direct forward over the formatted texts."""
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+
+    d = tmp_path / "m"
+    cfg = LlamaConfig(**TINY)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    model.save(str(d), model.variables)
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    tok.save_pretrained(str(d))
+
+    tpl = "query: {query} document: {passage}"
+    rr = TextReranker(model_name_or_path=str(d), max_length=16, batch_size=4,
+                      pair_template=tpl)
+    pairs = [("dog runs", "dog document"), ("cat sits", "sky unrelated")]
+    scores = rr.compute_score(pairs, normalize=False)
+
+    enc = rr.tokenizer(
+        [tpl.format(query=q, passage=p) for q, p in pairs],
+        padding="max_length", truncation=True, max_length=16, return_tensors="np",
+    )
+    direct = np.asarray(rr.model.scores(rr.model.variables, {
+        "input_ids": jnp.asarray(enc["input_ids"].astype(np.int32)),
+        "attention_mask": jnp.asarray(enc["attention_mask"].astype(np.int32)),
+    }))
+    np.testing.assert_allclose(np.asarray(scores), direct, rtol=1e-4, atol=1e-4)
+
+    # training collator emits the same single-sequence layout
+    from nexus_tpu.training.reranker.text_retrieval.dataset import TextRerankerCollator
+
+    col = TextRerankerCollator(rr.tokenizer, max_len=16, pair_template=tpl)
+    batch = col([{"query": pairs[0][0], "passages": [pairs[0][1], pairs[1][1]]}])
+    assert batch["input_ids"].shape == (2, 16)
+    row0 = rr.tokenizer(tpl.format(query=pairs[0][0], passage=pairs[0][1]),
+                        padding="max_length", truncation=True, max_length=16,
+                        return_tensors="np")["input_ids"][0]
+    np.testing.assert_array_equal(batch["input_ids"][0], row0.astype(np.int32))
+
+
 def test_merged_save_reload_no_double_lora(tmp_path):
     """Reloading a merged LoRA save must NOT re-apply the adapter file:
     scores after reload equal the merged model's scores exactly."""
