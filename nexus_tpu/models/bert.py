@@ -105,7 +105,10 @@ class BertSelfAttention(nn.Module):
             seg = segment_ids if segment_ids is not None else attention_mask
             # whole-row blocks up to 512: at encoder lengths one (head, row)
             # program does a single dense VMEM attention — far fewer, fatter
-            # programs than the 128-block streaming shape
+            # programs than the 128-block streaming shape.
+            # (A layout-native [B, L, H, D] variant that would drop the four
+            # HBM transposes was tried and is infeasible under current
+            # Mosaic tiling rules — BENCH_NOTES r3 records the attempt.)
             blk = min(512, max(128, l))
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),

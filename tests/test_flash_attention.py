@@ -145,3 +145,4 @@ def test_flash_causal_matches_reference(key):
     valid = np.asarray(mask)
     diff = np.abs(np.asarray(out) - np.asarray(ref))[np.broadcast_to(valid[:, None, :, None], out.shape)]
     assert diff.max() < 2e-5, diff.max()
+
