@@ -326,24 +326,18 @@ class TextEmbedder:
         # serialized even though dispatch is async
         from concurrent.futures import ThreadPoolExecutor
 
+        dispatch = self._dispatch_packed if packed else self._dispatch_dense
+        finish = self._finish_packed if packed else self._finish_dense
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = None
             for sentences in sentence_batches:
-                if packed:
-                    dispatched = ("p", self._dispatch_packed(sentences, batch_size))
-                else:
-                    dispatched = ("d", self._dispatch_dense(sentences, batch_size))
+                dispatched = dispatch(sentences, batch_size)
                 if pending is not None:
                     yield pending.result()
-                pending = pool.submit(self._finish_stream, dispatched)
+                pending = pool.submit(finish, *dispatched)
             if pending is not None:
                 yield pending.result()
 
-    def _finish_stream(self, pending):
-        kind, payload = pending
-        if kind == "p":
-            return self._finish_packed(*payload)
-        return self._finish_dense(*payload)
 
 
 class BaseEmbedderInferenceEngine(TextEmbedder):

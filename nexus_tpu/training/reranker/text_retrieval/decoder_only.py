@@ -131,15 +131,10 @@ class DecoderCrossEncoderModel:
         )
 
     def loss_fn(self, variables, batch: Dict[str, Array], rng) -> Tuple[Array, dict]:
+        from nexus_tpu.training.reranker.text_retrieval.modeling import group_ce_kd_loss
+
         logits = self.scores(variables, batch, train=True, rngs={"dropout": rng})
-        grouped = logits.reshape(-1, self.train_group_size)
-        targets = jnp.zeros((grouped.shape[0],), jnp.int32)  # positive first
-        loss = self.ce(grouped, targets)
-        teacher = batch.get("teacher_scores")
-        if self.use_kd and teacher is not None:
-            teacher_targets = jax.nn.softmax(teacher.reshape(grouped.shape), axis=-1)
-            loss = loss + self.kd_loss_weight * self.kd(grouped, teacher_targets)
-        return loss, {"batch_stats": None}
+        return group_ce_kd_loss(self, logits, batch), {"batch_stats": None}
 
     def eval_step(self, variables, batch) -> Tuple[Array, Array]:
         logits = self.scores(variables, batch)
@@ -372,9 +367,6 @@ def load_reranker_model(model_dir: str, **kw):
         return DecoderCrossEncoderModel.from_pretrained(model_dir, **kw)
     from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
 
-    kw.pop("lora_rank", None)
-    kw.pop("lora_alpha", None)
-    kw.pop("yes_token", None)
-    kw.pop("no_token", None)
-    kw.pop("tokenizer", None)
+    for k in ("lora_rank", "lora_alpha", "yes_token", "no_token", "tokenizer"):
+        kw.pop(k, None)  # decoder-only knobs
     return CrossEncoderModel.from_pretrained(model_dir, **kw)

@@ -19,6 +19,20 @@ from nexus_tpu.utils.registry import register_model
 Array = jnp.ndarray
 
 
+def group_ce_kd_loss(model, logits: Array, batch: Dict[str, Array]) -> Array:
+    """Group-wise CE (positive first) + optional KD — the shared reranker
+    training objective (ref modeling.py compute_loss), used by both the
+    BERT and the decoder cross-encoders."""
+    grouped = logits.reshape(-1, model.train_group_size)
+    targets = jnp.zeros((grouped.shape[0],), jnp.int32)
+    loss = model.ce(grouped, targets)
+    teacher = batch.get("teacher_scores")
+    if model.use_kd and teacher is not None:
+        teacher_targets = jax.nn.softmax(teacher.reshape(grouped.shape), axis=-1)
+        loss = loss + model.kd_loss_weight * model.kd(grouped, teacher_targets)
+    return loss
+
+
 class CrossEncoderNet(nn.Module):
     """BERT + scalar classification head on the pooled CLS."""
 
@@ -102,14 +116,7 @@ class CrossEncoderModel:
 
     def loss_fn(self, variables, batch: Dict[str, Array], rng) -> Tuple[Array, dict]:
         logits = self.scores(variables, batch, train=True, rngs={"dropout": rng})
-        grouped = logits.reshape(-1, self.train_group_size)
-        targets = jnp.zeros((grouped.shape[0],), jnp.int32)  # positive first
-        loss = self.ce(grouped, targets)
-        teacher = batch.get("teacher_scores")
-        if self.use_kd and teacher is not None:
-            teacher_targets = jax.nn.softmax(teacher.reshape(grouped.shape), axis=-1)
-            loss = loss + self.kd_loss_weight * self.kd(grouped, teacher_targets)
-        return loss, {"batch_stats": None}
+        return group_ce_kd_loss(self, logits, batch), {"batch_stats": None}
 
     def eval_step(self, variables, batch) -> Tuple[Array, Array]:
         logits = self.scores(variables, batch)
@@ -175,21 +182,9 @@ class CrossEncoderModel:
     @staticmethod
     def _convert_hf_classifier(model_dir: str, model: "CrossEncoderModel") -> dict:
         """Convert a torch BertForSequenceClassification checkpoint."""
-        import os
+        from nexus_tpu.models.hf_convert import load_hf_state_dict, torch_bert_to_flax
 
-        from nexus_tpu.models.hf_convert import torch_bert_to_flax
-
-        st_path = os.path.join(model_dir, "model.safetensors")
-        if os.path.exists(st_path):
-            from safetensors.numpy import load_file
-
-            sd = load_file(st_path)
-        else:
-            import torch
-
-            sd = torch.load(
-                os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
-            )
+        sd = load_hf_state_dict(model_dir)
         bert_sd = {k.removeprefix("bert."): v for k, v in sd.items() if not k.startswith("classifier")}
         inner = torch_bert_to_flax(bert_sd, model.bert_config)["params"]
         # fresh init supplies any head the torch checkpoint lacks (e.g. a plain
