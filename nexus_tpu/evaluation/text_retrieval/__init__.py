@@ -1,3 +1,8 @@
+from nexus_tpu.evaluation.text_retrieval.airbench import (
+    AIRBenchEvalArgs,
+    AIRBenchEvalModelArgs,
+    AIRBenchEvalRunner,
+)
 from nexus_tpu.evaluation.text_retrieval.data_loader import TextRetrievalEvalDataLoader
 from nexus_tpu.evaluation.text_retrieval.evaluator import TextRetrievalAbsEvaluator
 from nexus_tpu.evaluation.text_retrieval.runner import (
@@ -10,6 +15,9 @@ from nexus_tpu.evaluation.text_retrieval.searcher import (
 )
 
 __all__ = [
+    "AIRBenchEvalArgs",
+    "AIRBenchEvalModelArgs",
+    "AIRBenchEvalRunner",
     "TextRetrievalEvalDataLoader",
     "TextRetrievalAbsEvaluator",
     "TextRetrievalEvalArguments",

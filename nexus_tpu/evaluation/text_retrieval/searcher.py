@@ -20,10 +20,16 @@ class TextRetrievalEvalDenseRetriever:
     on-device brute-force index (replaces the Faiss Flat GPU clone,
     evaluation/text_retrieval/utils.py:148-229)."""
 
-    def __init__(self, embedder, search_top_k: int = 1000, corpus_embd_save_dir: Optional[str] = None):
+    def __init__(self, embedder, search_top_k: int = 1000, corpus_embd_save_dir: Optional[str] = None,
+                 name: Optional[str] = None):
         self.embedder = embedder
         self.search_top_k = search_top_k
         self.corpus_embd_save_dir = corpus_embd_save_dir
+        self.name = name
+
+    def __str__(self):
+        # harness output dirs are named str(retriever) (AIR-Bench convention)
+        return os.path.basename(str(self.name)) if self.name else self.__class__.__name__
 
     def __call__(
         self,
@@ -70,9 +76,13 @@ class TextRetrievalEvalReranker:
     """Rescore each query's top-k with a cross-encoder
     (parity: searcher.py:164-190)."""
 
-    def __init__(self, reranker, rerank_top_k: int = 100):
+    def __init__(self, reranker, rerank_top_k: int = 100, name: Optional[str] = None):
         self.reranker = reranker
         self.rerank_top_k = rerank_top_k
+        self.name = name
+
+    def __str__(self):
+        return os.path.basename(str(self.name)) if self.name else self.__class__.__name__
 
     def __call__(
         self,

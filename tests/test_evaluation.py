@@ -208,3 +208,78 @@ def test_data_loader_remote_download_mocked(tmp_path):
     # second load hits the extracted cache, no new fetch
     loader.load_corpus("scifact")
     assert len(urls) == 1
+
+
+def test_airbench_runner_wiring(tmp_path, monkeypatch):
+    """AIR-Bench adapter: engines load from config dataclasses, and run()
+    hands OUR retriever/reranker to the (stubbed) air_benchmark harness with
+    the eval args forwarded — the searcher protocol is the shared one, so the
+    stub exercises a real retrieve call too."""
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "model"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "dog", "cat", "runs"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=64)).save_pretrained(str(d))
+
+    from nexus_tpu.evaluation.text_retrieval.airbench import (
+        AIRBenchEvalArgs,
+        AIRBenchEvalModelArgs,
+        AIRBenchEvalRunner,
+    )
+
+    eval_args = AIRBenchEvalArgs.from_dict({
+        "benchmark_version": "AIR-Bench_24.05",
+        "task_types": ["qa"],
+        "domains": ["wiki"],
+        "languages": ["en"],
+        "output_dir": str(tmp_path / "out"),
+        "search_top_k": 2,
+    })
+    model_args = AIRBenchEvalModelArgs.from_dict({
+        "embedder_name_or_path": str(d),
+        "reranker_name_or_path": str(d),
+        "embedder_batch_size": 4,
+        "reranker_batch_size": 4,
+    })
+    runner = AIRBenchEvalRunner(eval_args, model_args)
+    assert str(runner.retriever) == "model" and str(runner.reranker) == "model"
+
+    # without the optional package, run() must raise a clear ImportError
+    sys.modules.pop("air_benchmark", None)
+    with pytest.raises(ImportError, match="air_benchmark"):
+        runner.run()
+
+    calls = {}
+
+    class FakeAIRBench:
+        def __init__(self, **kw):
+            calls["ctor"] = kw
+
+        def run(self, retriever, reranker=None, output_dir=None, overwrite=False):
+            calls["run"] = dict(retriever=retriever, reranker=reranker,
+                                output_dir=output_dir, overwrite=overwrite)
+            # drive the shared searcher protocol the way the harness does
+            corpus = {"d1": {"title": "", "text": "dog runs"}, "d2": {"title": "", "text": "cat"}}
+            res = retriever(corpus, {"q1": "dog"})
+            assert set(res["q1"]) <= {"d1", "d2"}
+            rr = reranker(corpus, {"q1": "dog"}, res)
+            assert set(rr["q1"]) == set(res["q1"])
+
+    stub = types.ModuleType("air_benchmark")
+    stub.AIRBench = FakeAIRBench
+    monkeypatch.setitem(sys.modules, "air_benchmark", stub)
+    runner.run()
+    assert calls["ctor"]["benchmark_version"] == "AIR-Bench_24.05"
+    assert calls["ctor"]["task_types"] == ["qa"]
+    assert calls["run"]["retriever"] is runner.retriever
+    assert calls["run"]["reranker"] is runner.reranker
+    assert calls["run"]["output_dir"] == str(tmp_path / "out")
