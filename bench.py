@@ -76,6 +76,18 @@ MODES = {
                           fused_qkv=True),
     "passage_flash": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
                           attention_impl="pallas"),
+    # lengths fast path (flash_attention_padded): the model is driven by the
+    # attention MASK (no segment ids), so right-padded rows take the per-row
+    # dynamic-bound kernel — full blocks run mask-free, dead padding blocks
+    # are skipped outright
+    "dense512_padfast": dict(dense=512, rows=64, attention_impl="pallas",
+                             padded=True),
+    # realistic unpacked corpus encode: one passage per row, right-padded to
+    # 512 (lognormal mean ~420); the reference's answer is length-sorted
+    # dynamic batching — ours is block-skipping at static shape
+    "corpus512_unpacked_padfast": dict(padded_var=(380.0, 0.35), rows=64,
+                                       attention_impl="pallas"),
+    "corpus512_unpacked_xla": dict(padded_var=(380.0, 0.35), rows=64),
 }
 
 
@@ -116,21 +128,30 @@ def main(mode: str = "headline") -> None:
     )
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    if "dense" in params:
-        # fully-padded rows: every row is one max-length sequence
+    use_mask = bool(params.get("padded") or "padded_var" in params)
+    if "dense" in params or "padded_var" in params:
+        # one sequence per row, right-padded ('dense' = every row full length;
+        # 'padded_var' = lognormal lengths, the unpacked corpus-encode shape)
         from types import SimpleNamespace
 
-        L, rows = params["dense"], params["rows"]
-        batches = [
-            (SimpleNamespace(
-                input_ids=rng.integers(1, 30000, (rows, L)).astype(np.int32),
-                segment_ids=np.ones((rows, L), np.int32),
+        rows = params["rows"]
+        L = params.get("dense", 512)
+        batches = []
+        for _ in range(CHAIN):
+            if "padded_var" in params:
+                mean, sigma = params["padded_var"]
+                lens = np.clip(rng.lognormal(np.log(mean), sigma, rows), 16, L
+                               ).astype(np.int32)
+            else:
+                lens = np.full(rows, L, np.int32)
+            valid = (np.arange(L)[None, :] < lens[:, None]).astype(np.int32)
+            batches.append((SimpleNamespace(
+                input_ids=(rng.integers(1, 30000, (rows, L)) * valid).astype(np.int32),
+                segment_ids=valid,
                 position_ids=np.tile(np.arange(L, dtype=np.int32), (rows, 1)),
                 pool_rows=np.arange(rows, dtype=np.int32),
                 pool_cols=np.zeros(rows, np.int32),
-            ), rows)
-            for _ in range(CHAIN)
-        ]
+            ), rows))
     else:
         batches = [
             _make_packed_batch(rng, pack_sequences, params["mean"], params["sigma"],
@@ -158,7 +179,10 @@ def main(mode: str = "headline") -> None:
         # dispatch; full epilogue (per-sequence CLS pool + L2 normalize)
         def body(_, x):
             i, s, p, pr, pc = x
-            out = model.apply(variables, i, position_ids=p, segment_ids=s)
+            if use_mask:  # padding-only masking: lengths fast path
+                out = model.apply(variables, i, attention_mask=s, position_ids=p)
+            else:
+                out = model.apply(variables, i, position_ids=p, segment_ids=s)
             reps = pool_packed_cls(out["last_hidden_state"].astype(jnp.float32), pr, pc)
             reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
             return 0, jnp.sum(reps)

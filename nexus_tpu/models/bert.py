@@ -100,9 +100,9 @@ class BertSelfAttention(nn.Module):
         k = k.reshape(b, l, n_heads, head_dim)
         v = v.reshape(b, l, n_heads, head_dim)
         if c.attention_impl == "pallas" and not (train and c.attention_probs_dropout_prob > 0):
-            from nexus_tpu.ops.flash_attention import flash_attention
+            from nexus_tpu.ops.flash_attention import (
+                flash_attention, flash_attention_padded)
 
-            seg = segment_ids if segment_ids is not None else attention_mask
             # whole-row blocks up to 512: at encoder lengths one (head, row)
             # program does a single dense VMEM attention — far fewer, fatter
             # programs than the 128-block streaming shape.
@@ -110,11 +110,17 @@ class BertSelfAttention(nn.Module):
             # HBM transposes was tried and is infeasible under current
             # Mosaic tiling rules — BENCH_NOTES r3 records the attempt.)
             blk = min(512, max(128, l))
-            ctx = flash_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                seg, blk, blk,
-            ).transpose(0, 2, 1, 3)
-            return ctx.reshape(b, l, h)
+            qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            if segment_ids is None:
+                # padding-only mask, and BERT batches are right-padded
+                # (tokenizer default; the sessions enforce it): the lengths
+                # fast path skips dead key blocks and runs full blocks
+                # mask-free.
+                lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+                ctx = flash_attention_padded(qt, kt, vt, lengths, blk, blk)
+            else:
+                ctx = flash_attention(qt, kt, vt, segment_ids, blk, blk)
+            return ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         if segment_ids is not None:

@@ -146,3 +146,50 @@ def test_flash_causal_matches_reference(key):
     diff = np.abs(np.asarray(out) - np.asarray(ref))[np.broadcast_to(valid[:, None, :, None], out.shape)]
     assert diff.max() < 2e-5, diff.max()
 
+
+
+@pytest.mark.parametrize("block", [64, 128])
+def test_flash_padded_matches_reference(key, block):
+    """Lengths fast path == segment path with a prefix mask (incl. zeroed
+    padded query rows), across full/partial/dead-block lengths."""
+    from nexus_tpu.ops.flash_attention import flash_attention_padded
+
+    b, h, l, d = 4, 2, 256, 32
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, l, d))
+    k = jax.random.normal(k2, (b, h, l, d))
+    v = jax.random.normal(k3, (b, h, l, d))
+    lengths = jnp.array([l, 100, block + 1, 1], jnp.int32)
+    seg = (jnp.arange(l)[None, :] < lengths[:, None]).astype(jnp.int32)
+
+    out = flash_attention_padded(q, k, v, lengths, block, block)
+    ref = _reference_attention(q, k, v, seg)
+    ref = jnp.where(seg[:, None, :, None] != 0, ref, 0.0)  # padded q rows -> 0
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 2e-5
+
+
+def test_flash_padded_gradients(key):
+    """Padded-path vjp (segment-kernel backward off the fast forward's lse)
+    matches the XLA oracle when the loss masks padding (as every pooling
+    path does)."""
+    from nexus_tpu.ops.flash_attention import flash_attention_padded
+
+    b, h, l, d = 2, 2, 192, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, l, d))
+    kk = jax.random.normal(k2, (b, h, l, d))
+    v = jax.random.normal(k3, (b, h, l, d))
+    lengths = jnp.array([l, 77], jnp.int32)
+    seg = (jnp.arange(l)[None, :] < lengths[:, None]).astype(jnp.int32)
+    w = seg[:, None, :, None].astype(q.dtype)
+
+    def loss_fast(q, kk, v):
+        return jnp.sum((flash_attention_padded(q, kk, v, lengths, 64, 64) * w) ** 2)
+
+    def loss_ref(q, kk, v):
+        return jnp.sum((_reference_attention(q, kk, v, seg) * w) ** 2)
+
+    g1 = jax.grad(loss_fast, argnums=(0, 1, 2))(q, kk, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kk, v)
+    for a, b_ in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
