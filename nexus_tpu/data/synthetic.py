@@ -155,3 +155,103 @@ def generate_synthetic_recflow(
     with open(cfg_path, "w") as f:
         json.dump(config, f, indent=2)
     return cfg_path
+
+
+KUAIRAND_STATS = {
+    "day_of_week": 7,
+    "hour_of_day": 24,
+    "user_id": 400,
+    "user_active_degree": 9,
+    "follow_user_num_range": 8,
+    "register_days_range": 8,
+    "video_id": 1500,
+    "author_id": 600,
+    "video_type": 3,
+    "upload_type": 14,
+    "music_type": 5,
+    "tag": 64,
+}
+
+KUAIRAND_CONTEXT = ["day_of_week", "hour_of_day", "user_id", "user_active_degree",
+                    "follow_user_num_range", "register_days_range"]
+KUAIRAND_ITEM = ["video_id", "author_id", "video_type", "upload_type",
+                 "music_type", "tag"]
+
+
+def generate_synthetic_kuairand(
+    root: str,
+    n_days: int = 4,
+    rows_per_day: int = 4096,
+    stats: Optional[dict] = None,
+    start_date: str = "2022-04-09",
+    seed: int = 7,
+) -> str:
+    """KuaiRand-Pure-shaped synthetic dataset (schema mirrors /root/reference/
+    benchmark/recommendation/DSSM/data_kuairand_pure_config.json): pure
+    context+item features with NO user-sequence side tables
+    (``user_sequential_info: []``) and an ``is_click`` label — the second
+    config shape the reference's DSSM benchmark exercises."""
+    stats = dict(stats or KUAIRAND_STATS)
+    rng = np.random.default_rng(seed)
+    day0 = datetime.strptime(start_date, "%Y-%m-%d")
+
+    main_dir = os.path.join(root, "kuairand")
+    item_dir = os.path.join(root, "item_info")
+    for d in (main_dir, item_dir):
+        os.makedirs(d, exist_ok=True)
+
+    n_items = stats["video_id"]
+    item_cols = {"video_id": np.arange(n_items, dtype=np.int64)}
+    for c in KUAIRAND_ITEM[1:]:
+        item_cols[c] = rng.integers(1, stats[c], n_items)
+        item_cols[c][0] = 0
+    pq.write_table(pa.table({k: pa.array(v) for k, v in item_cols.items()}),
+                   os.path.join(item_dir, "video_basic.parquet"))
+
+    for day in range(n_days):
+        token = (day0 + timedelta(days=day)).strftime("%Y-%m-%d")
+        n = rows_per_day
+        vid = np.minimum((rng.pareto(1.2, n) * 25).astype(np.int64) + 1, n_items - 1)
+        main = {
+            "day_of_week": np.full(n, day % 7, np.int64),
+            "hour_of_day": rng.integers(0, stats["hour_of_day"], n),
+            "user_id": rng.integers(1, stats["user_id"], n),
+            "user_active_degree": rng.integers(1, stats["user_active_degree"], n),
+            "follow_user_num_range": rng.integers(1, stats["follow_user_num_range"], n),
+            "register_days_range": rng.integers(1, stats["register_days_range"], n),
+            **{c: item_cols[c][vid] for c in KUAIRAND_ITEM},
+        }
+        logits = (0.8 * np.sin(main["user_id"] * 0.13)
+                  + 0.8 * np.cos(vid * 0.07)
+                  + 0.3 * (main["user_active_degree"] > 4) - 0.2)
+        p = 1.0 / (1.0 + np.exp(-logits))
+        main["is_click"] = (rng.uniform(size=n) < p).astype(np.int64)
+        pq.write_table(pa.table({k: pa.array(v) for k, v in main.items()}),
+                       os.path.join(main_dir, f"{token}.parquet"))
+
+    train_end = (day0 + timedelta(days=max(n_days - 1, 1))).strftime("%Y-%m-%d")
+    test_end = (day0 + timedelta(days=n_days)).strftime("%Y-%m-%d")
+    config = {
+        "name": "synthetic_kuairand",
+        "type": "file",
+        "url": main_dir,
+        "file_partition": {"type": "date", "format": "%Y-%m-%d"},
+        "item_col": "video_id",
+        "context_features": KUAIRAND_CONTEXT,
+        "item_features": KUAIRAND_ITEM,
+        "labels": ["is_click"],
+        "user_sequential_info": [],
+        "item_info": {
+            "url": item_dir,
+            "key": "video_id",
+            "columns": KUAIRAND_ITEM,
+            "use_cols": KUAIRAND_ITEM,
+        },
+        "stats": stats,
+        "train_period": {"start_date": start_date, "end_date": train_end},
+        "test_period": {"start_date": train_end, "end_date": test_end},
+    }
+    cfg_path = os.path.join(root, "data_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f, indent=2)
+    return cfg_path

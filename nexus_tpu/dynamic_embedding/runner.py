@@ -64,6 +64,11 @@ class _TDERunnerMixin:
 
         self.trainer.save_model(self.train_args.output_dir)
         self.tde.tde_save(os.path.join(self.train_args.output_dir, "tde_state.pkl"), state.variables)
+        if hasattr(self.tde.ps, "save"):
+            # in-process PS: persist spilled rows next to the checkpoint so a
+            # later eval/serving process can restore them (redis plays this
+            # role in deployment)
+            self.tde.ps.save(os.path.join(self.train_args.output_dir, "tde_ps.pkl"))
         logger.info("TDE model + id-transformer state saved to %s", self.train_args.output_dir)
         return state
 

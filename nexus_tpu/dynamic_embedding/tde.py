@@ -162,6 +162,34 @@ class TDEModel:
             variables = {**variables, "params": new_params}
         return variables
 
+    # -- corpus encode under dynamic ids ------------------------------------
+
+    def compute_item_vectors(self, variables, batch_size: int = 4096):
+        """Encode the FULL item corpus through the item tower with per-chunk
+        id->slot transforms (parity: the reference's TDE eval passes the item
+        loader through the same transform its batches use). The cache only
+        ever holds `capacity` ids, so each chunk admits its ids (restoring
+        spilled rows from the PS) before encoding — vectors stay indexed by
+        GLOBAL item position. Returns (vectors, updated_variables)."""
+        import jax
+
+        model = self.model
+        feats = model.item_feat_table
+        if feats is None:
+            raise RuntimeError("no item dataset attached; call set_item_dataset first")
+        n = next(iter(feats.values())).shape[0]
+        encode = jax.jit(lambda v, b: model.net.apply(v, b, method="encode_item"))
+        out = []
+        for off in range(0, n, batch_size):
+            lo = min(off, max(n - batch_size, 0)) if off + batch_size > n else off
+            chunk = {k: np.asarray(v[lo : lo + batch_size]) for k, v in feats.items()}
+            chunk_t, variables = self.transform_batch(chunk, variables)
+            vecs = np.asarray(encode(variables, {k: jnp.asarray(v) for k, v in chunk_t.items()}))
+            if off + batch_size > n:  # final overlapped window: keep the tail
+                vecs = vecs[-(n - off):]
+            out.append(vecs)
+        return np.concatenate(out, axis=0), variables
+
     # -- persistence (parity: tde_save / state gather) -----------------------
 
     def tde_save(self, path: str, variables) -> None:

@@ -5,6 +5,7 @@ checkpoints over the test period of a data config.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 
@@ -98,4 +99,89 @@ class RecommenderEvalRunner:
             ev = RecommenderAbsEvaluator(self.ranker, self.ranker_vars, mesh=self.mesh)
             out["ranker"] = ev.evaluate(self._eval_dataset())
             logger.info("ranker metrics: %s", out["ranker"])
+        return out
+
+
+class _PrecomputedCtxModel:
+    """View of a model whose eval_context is pinned to a precomputed value
+    (the TDE corpus vectors) — everything else passes through."""
+
+    def __init__(self, model, ctx: dict):
+        self._model = model
+        self._ctx = ctx
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+    def eval_context(self, variables) -> dict:
+        return self._ctx
+
+
+class TDERecommenderEvalRunner(RecommenderEvalRunner):
+    """Standalone eval of checkpoints trained with dynamic embeddings
+    (parity: Nexus/evaluation/recommendation/tde_runner.py + __tde_main__.py).
+
+    Every id feature passes through the RESTORED id->slot transformer before
+    the compiled step, with embedding rows flowing between the device cache
+    table and the parameter server:
+    - the retriever corpus is encoded chunk-by-chunk under the transform
+      (TDEModel.compute_item_vectors) so vectors stay global-position-indexed
+      while the cache only ever holds `capacity` ids;
+    - eval batches transform per batch, with row traffic applied to the
+      live trainer state (the same wrap the TDE training runner uses).
+
+    ``ps``: the parameter server holding spilled rows — the KV store used in
+    training (redis in deployment; a MemoryKVStore.load(...) file offline).
+    """
+
+    def __init__(self, data_config_or_path, tde_features: dict, ps=None,
+                 use_native: bool = True, **kw):
+        super().__init__(data_config_or_path, **kw)
+        from nexus_tpu.dynamic_embedding.tde import TDEModel
+
+        self._tde = {}
+        for role, model, vars_attr, ckpt in (
+            ("retriever", self.retriever, "retriever_vars", kw.get("retriever_ckpt_path")),
+            ("ranker", self.ranker, "ranker_vars", kw.get("ranker_ckpt_path")),
+        ):
+            if model is None:
+                continue
+            tde = TDEModel(model, tde_features, ps=ps, use_native=use_native)
+            state_path = os.path.join(ckpt, "tde_state.pkl")
+            if os.path.exists(state_path):
+                setattr(self, vars_attr, tde.tde_load(state_path, getattr(self, vars_attr)))
+                logger.info("restored TDE transformer state from %s", state_path)
+            self._tde[role] = tde
+
+    def _wrap(self, dataset, trainer, tde):
+        class _Wrapped:
+            def __iter__(self):
+                for batch in dataset:
+                    state = trainer._state
+                    new_batch, new_vars = tde.transform_batch(batch, state.variables)
+                    if new_vars is not None and new_vars is not state.variables:
+                        trainer._state = state.replace(params=new_vars["params"])
+                    yield new_batch
+
+        return _Wrapped()
+
+    def run(self) -> Dict[str, Dict[str, float]]:
+        import jax.numpy as jnp
+
+        out: Dict[str, Dict[str, float]] = {}
+        if self.retriever is not None:
+            tde = self._tde["retriever"]
+            vecs, self.retriever_vars = tde.compute_item_vectors(self.retriever_vars)
+            ctx = {"item_vectors": jnp.asarray(vecs), "k": max(self.retriever.cutoffs)}
+            ev = RecommenderAbsEvaluator(
+                _PrecomputedCtxModel(self.retriever, ctx), self.retriever_vars,
+                mesh=self.mesh,
+            )
+            out["retriever"] = ev.evaluate(self._wrap(self._eval_dataset(), ev.trainer, tde))
+            logger.info("TDE retriever metrics: %s", out["retriever"])
+        if self.ranker is not None:
+            tde = self._tde["ranker"]
+            ev = RecommenderAbsEvaluator(self.ranker, self.ranker_vars, mesh=self.mesh)
+            out["ranker"] = ev.evaluate(self._wrap(self._eval_dataset(), ev.trainer, tde))
+            logger.info("TDE ranker metrics: %s", out["ranker"])
         return out

@@ -189,6 +189,24 @@ class MemoryKVStore(KVStore):
     def __len__(self):
         return len(self._data)
 
+    # redis-less persistence: offline TDE benchmarks/evals hand the trained
+    # parameter-server contents to a later process through a file (the role
+    # redis plays in the reference deployment)
+    def save(self, path: str) -> None:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self._data, f)
+
+    @classmethod
+    def load(cls, path: str) -> "MemoryKVStore":
+        import pickle
+
+        store = cls()
+        with open(path, "rb") as f:
+            store._data = pickle.load(f)
+        return store
+
 
 class RedisKVStore(KVStore):
     def __init__(self, host="localhost", port=6379, db=0, url: Optional[str] = None):

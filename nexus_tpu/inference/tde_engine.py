@@ -24,6 +24,20 @@ class _TDEEngineMixin:
 
     def _init_tde(self, config: dict):
         tde_features: Dict[str, int] = config["tde_features"]
+        ps_path = config.get("tde_ps_path") or os.path.join(
+            config["model_ckpt_path"], "tde_ps.pkl"
+        )
+        if os.path.exists(ps_path):
+            # offline deployments: the training run persisted its in-process
+            # PS (spilled rows) next to the checkpoint; merge into the
+            # serving store (redis holds these keys in deployment)
+            from nexus_tpu.inference.feature_store import MemoryKVStore
+
+            spilled = MemoryKVStore.load(ps_path)
+            for k in spilled.keys("tde:*"):
+                if self.kv.get(k) is None:
+                    self.kv.set(k, spilled.get(k))
+            logger.info("restored TDE parameter-server rows from %s", ps_path)
         self.tde = TDEModel(self.model, tde_features, ps=self.kv, use_native=True)
         state_path = config.get("tde_state_path") or os.path.join(
             config["model_ckpt_path"], "tde_state.pkl"

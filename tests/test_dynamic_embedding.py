@@ -337,3 +337,47 @@ def test_group_parallel_matches_serial():
         np.testing.assert_array_equal(out1["item"]["c"], out2["item"]["c"])
         np.testing.assert_array_equal(out1["label"], batch["label"])
         assert ev1 == ev2
+
+
+def test_tde_standalone_eval_runner(tmp_path):
+    """Checkpoint-based TDE eval: transformer state + PS rows restored from
+    disk, corpus encoded under per-chunk transforms, metrics finite (parity:
+    Nexus/evaluation/recommendation/tde_runner.py)."""
+    import os
+
+    import numpy as np
+
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.dynamic_embedding.runner import TDERetrieverRunner
+    from nexus_tpu.evaluation.recommendation import TDERecommenderEvalRunner
+    from nexus_tpu.inference.feature_store import MemoryKVStore
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.recommendation import MLPRetriever
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    ckpt = str(tmp_path / "ckpt")
+    runner = TDERetrieverRunner(
+        {"embedding_dim": 8, "mlp_layers": [16], "num_neg": 4, "dropout": 0.0,
+         "batch_norm": False},
+        cfg,
+        TrainingArguments.from_dict(dict(output_dir=ckpt, num_train_epochs=1, max_steps=4,
+                                         per_device_train_batch_size=8, learning_rate=0.01,
+                                         logging_steps=10, evaluation_strategy="no")),
+        model_class=MLPRetriever, tde_features={"video_id": 2000}, use_native=False,
+    )
+    state = runner.run()
+    runner.model.update_item_vectors(state.variables)
+    runner.trainer.save_model(ckpt)
+    assert os.path.exists(os.path.join(ckpt, "tde_ps.pkl"))
+
+    # fresh "process": everything restored from disk
+    ev = TDERecommenderEvalRunner(
+        cfg, tde_features={"video_id": 2000},
+        ps=MemoryKVStore.load(os.path.join(ckpt, "tde_ps.pkl")),
+        use_native=False, retriever_ckpt_path=ckpt,
+        metrics=["ndcg", "recall"], cutoffs=[5],
+    )
+    out = ev.run()
+    assert "retriever" in out and np.isfinite(list(out["retriever"].values())).all()
+    # chunked transformed corpus encode matches the capacity invariant
+    assert ev._tde["retriever"].transformer_group["video_id"].stats["size"] <= 2000
