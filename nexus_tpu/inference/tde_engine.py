@@ -60,6 +60,11 @@ class TDEEmbedderInferenceEngine(_TDEEngineMixin, BaseEmbedderInferenceEngine):
 
     def get_user_context_features(self, user_ids: List):
         batch = super().get_user_context_features(user_ids)
+        if self.retrieve_mode == "i2i":
+            # i2i reads GLOBAL trigger ids from the behavior sequence and
+            # never touches an embedding table — the id->slot transform
+            # would corrupt the neighbor-list keys
+            return batch
         return self._transform(batch)
 
 
@@ -73,6 +78,10 @@ class TDERerankerInferenceEngine(_TDEEngineMixin, BaseRerankerInferenceEngine):
         context = self._transform(context)
         if not isinstance(candidates, dict):
             candidates = self.get_candidates_features(np.asarray(candidates))
+        fiid = self.data_attr.fiid
+        # output ids must stay GLOBAL: capture them before the id->slot
+        # transform rewrites the candidate id column for the compiled forward
+        cand_ids = np.asarray(candidates[fiid]).copy()
         candidates = self._transform(candidates)
         import time
 
@@ -81,7 +90,5 @@ class TDERerankerInferenceEngine(_TDEEngineMixin, BaseRerankerInferenceEngine):
             self.model.predict(self.variables, context, candidates, topk=self.output_topk)
         )
         self.timers["model"] += time.perf_counter() - t0
-        fiid = self.data_attr.fiid
-        cand_ids = np.asarray(candidates[fiid])
         item_ids = np.take_along_axis(cand_ids, topk_idx, axis=1)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "topk_idx": topk_idx}

@@ -381,3 +381,52 @@ def test_tde_standalone_eval_runner(tmp_path):
     assert "retriever" in out and np.isfinite(list(out["retriever"].values())).all()
     # chunked transformed corpus encode matches the capacity invariant
     assert ev._tde["retriever"].transformer_group["video_id"].stats["size"] <= 2000
+
+
+def test_tde_reranker_serving_engine(tmp_path):
+    """TDE ranker serving: unbounded ids in context + candidates transform
+    through the restored state before the compiled predict."""
+    import numpy as np
+
+    from nexus_tpu.data.dataset import ItemDataset
+    from nexus_tpu.data.processor import ConfigProcessor
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+    from nexus_tpu.dynamic_embedding.runner import TDERankerRunner
+    from nexus_tpu.inference.feature_store import FeatureCache, MemoryKVStore
+    from nexus_tpu.inference.tde_engine import TDERerankerInferenceEngine
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.reranker.recommendation import MLPRanker
+
+    cfg = generate_synthetic_recflow(str(tmp_path / "d"), n_days=2, rows_per_day=256, seq_len=4)
+    ckpt = str(tmp_path / "ckpt")
+    runner = TDERankerRunner(
+        {"embedding_dim": 8, "mlp_layers": [16], "dropout": 0.0, "batch_norm": False},
+        cfg,
+        TrainingArguments.from_dict(dict(output_dir=ckpt, num_train_epochs=1, max_steps=3,
+                                         per_device_train_batch_size=8, learning_rate=0.01,
+                                         logging_steps=10, evaluation_strategy="no")),
+        model_class=MLPRanker, tde_features={"video_id": 2000}, use_native=False,
+    )
+    runner.run()
+
+    kv = MemoryKVStore()
+    cache = FeatureCache(kv)
+    kv.set("user:1", cache.codec.encode({
+        "user_id": 1, "device_id": 2, "age": 3, "gender": 1, "province": 4,
+        "seq_effective.video_id": [11, 12, 0, 0],
+        "seq_effective.author_id": [1, 2, 0, 0],
+        "seq_effective.category_level_two": [1, 1, 0, 0],
+        "seq_effective.category_level_one": [1, 1, 0, 0],
+        "seq_effective.upload_type": [1, 1, 0, 0],
+    }))
+    engine = TDERerankerInferenceEngine(
+        {"model_ckpt_path": ckpt, "output_topk": 3, "tde_features": {"video_id": 2000}},
+        kv_store=kv,
+    )
+    train_cfg, _ = ConfigProcessor(cfg).split_config()
+    table = ItemDataset(train_cfg).item_feature_table()
+    cand_ids = np.array([[5, 9, 13, 21, 34]])
+    candidates = {f: table[f][cand_ids] for f in train_cfg.item_features}
+    out = engine.batch_inference([1], candidates)
+    assert out["item_ids"].shape == (1, 3)
+    assert set(out["item_ids"][0]) <= set(cand_ids[0])
