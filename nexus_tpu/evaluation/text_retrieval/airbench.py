@@ -153,7 +153,18 @@ def main(eval_config_path: str, model_config_path: str) -> None:
     runner.run()
 
 
-if __name__ == "__main__":
-    import sys
+def _cli():
+    import argparse
 
-    main(sys.argv[1], sys.argv[2])
+    ap = argparse.ArgumentParser(
+        description="AIR-Bench eval: python -m nexus_tpu.evaluation."
+                    "text_retrieval.airbench --eval_config e.json "
+                    "--model_config m.json")
+    ap.add_argument("--eval_config", required=True, help="AIRBenchEvalArgs JSON")
+    ap.add_argument("--model_config", required=True, help="AIRBenchEvalModelArgs JSON")
+    ns = ap.parse_args()
+    main(ns.eval_config, ns.model_config)
+
+
+if __name__ == "__main__":
+    _cli()

@@ -288,3 +288,44 @@ class BaseEmbedderInferenceEngine:
             "item_ids": ids,
             "scores": np.zeros_like(ids, np.float32),
         }
+
+
+def _cli():
+    """Serving CLI (parity: Nexus/inference/embedder/recommendation/
+    __main__.py / __tde_main__.py): build the engine from a JSON/YAML config
+    (feature_cache -> redis or memory; item_index_path; --tde wraps the
+    engine with the restored id transformer) and run batch u2i/i2i inference.
+
+        python -m nexus_tpu.inference.embedder.recommendation \
+            --config infer_config.json --users 1 2 3 [--tde]
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="engine config (.json/.yaml)")
+    ap.add_argument("--users", nargs="+", type=int, required=True)
+    ap.add_argument("--tde", action="store_true",
+                    help="TDE engine: config must carry tde_features")
+    ns = ap.parse_args()
+    if ns.config.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(ns.config) as f:
+            config = yaml.safe_load(f)
+    else:
+        with open(ns.config) as f:
+            config = json.load(f)
+    if ns.tde:
+        from nexus_tpu.inference.tde_engine import TDEEmbedderInferenceEngine as Engine
+    else:
+        Engine = BaseEmbedderInferenceEngine
+    engine = Engine(config)
+    out = engine.batch_inference(ns.users)
+    for uid, items in zip(out["user_id"], out["item_ids"]):
+        print(int(uid), "->", [int(i) for i in items])
+    print("stage timers:", {k: round(v, 4) for k, v in engine.timers.items()})
+
+
+if __name__ == "__main__":
+    _cli()

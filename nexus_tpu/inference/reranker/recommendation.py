@@ -67,8 +67,12 @@ class BaseRerankerInferenceEngine:
         retriever stage already hydrated the same users."""
         if context is None:
             context = self._hydrate_user(user_ids)
+        raw_ids = None
         if not isinstance(candidates, dict):
-            candidates = self.get_candidates_features(np.asarray(candidates))
+            # echo the REQUESTED ids in the output — the hydrated id column
+            # reads 0 for items missing from the store
+            raw_ids = np.asarray(candidates)
+            candidates = self.get_candidates_features(raw_ids)
         t0 = time.perf_counter()
         # ONE compiled program per (batch, n_cand) shape AND topk: eager
         # predict dispatches dozens of ops, each paying full device-call
@@ -86,6 +90,49 @@ class BaseRerankerInferenceEngine:
         topk_idx = np.asarray(cache[topk](self.variables, context, candidates))
         self.timers["model"] += time.perf_counter() - t0
         fiid = self.data_attr.fiid
-        cand_ids = np.asarray(candidates[fiid])
+        cand_ids = raw_ids if raw_ids is not None else np.asarray(candidates[fiid])
         item_ids = np.take_along_axis(cand_ids, topk_idx, axis=1)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "topk_idx": topk_idx}
+
+
+def _cli():
+    """Ranker serving CLI (parity: Nexus/inference/reranker/recommendation/
+    __main__.py / __tde_main__.py): build the engine from a JSON/YAML config
+    and score candidate ids for users.
+
+        python -m nexus_tpu.inference.reranker.recommendation \
+            --config infer_config.json --users 1 2 --candidates 5 9 13 [--tde]
+    """
+    import argparse
+    import json
+
+    import numpy as np
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--users", nargs="+", type=int, required=True)
+    ap.add_argument("--candidates", nargs="+", type=int, required=True,
+                    help="candidate item ids (same list scored for each user)")
+    ap.add_argument("--tde", action="store_true")
+    ns = ap.parse_args()
+    if ns.config.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(ns.config) as f:
+            config = yaml.safe_load(f)
+    else:
+        with open(ns.config) as f:
+            config = json.load(f)
+    if ns.tde:
+        from nexus_tpu.inference.tde_engine import TDERerankerInferenceEngine as Engine
+    else:
+        Engine = BaseRerankerInferenceEngine
+    engine = Engine(config)
+    cands = np.tile(np.asarray(ns.candidates)[None, :], (len(ns.users), 1))
+    out = engine.batch_inference(ns.users, cands)
+    for uid, items in zip(out["user_id"], out["item_ids"]):
+        print(int(uid), "->", [int(i) for i in items])
+
+
+if __name__ == "__main__":
+    _cli()

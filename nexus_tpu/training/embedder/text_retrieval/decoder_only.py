@@ -198,3 +198,79 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
                 "params": apply_adapter_params(model.variables["params"], adapters),
             }
         return model
+
+
+def _cli():
+    """Decoder-only embedder training CLI (parity: Nexus/training/embedder/
+    text_retrieval/decoder_only/__main__.py): last-token pooling + optional
+    LoRA adapters over a causal backbone, through the standard runner.
+
+        python -m nexus_tpu.training.embedder.text_retrieval.decoder_only \
+            --model_name_or_path /path/to/llama --train_data a.jsonl \
+            --output_dir ./out [--lora_rank 16 --lora_alpha 32]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_name_or_path", required=True)
+    ap.add_argument("--train_data", nargs="+", required=True)
+    ap.add_argument("--output_dir", default="./saves/llm_embedder")
+    ap.add_argument("--lora_rank", type=int, default=0)
+    ap.add_argument("--lora_alpha", type=float, default=16.0)
+    ap.add_argument("--temperature", type=float, default=0.02)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train_group_size", type=int, default=8)
+    ap.add_argument("--query_max_len", type=int, default=512)
+    ap.add_argument("--passage_max_len", type=int, default=512)
+    ap.add_argument("--query_instruction_for_retrieval", default=None)
+    ap.add_argument("--num_train_epochs", type=int, default=1)
+    ap.add_argument("--per_device_train_batch_size", type=int, default=16)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--logging_steps", type=int, default=20)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--save_merged", action="store_true",
+                    help="also export base+adapters merged for plain serving")
+    ap.add_argument("--resume_from_checkpoint", default=None)
+    ns = ap.parse_args()
+
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.text_retrieval import (
+        TextEmbedderDataArguments,
+        TextEmbedderModelArguments,
+        TextEmbedderRunner,
+    )
+
+    margs = TextEmbedderModelArguments(
+        model_name_or_path=ns.model_name_or_path,
+        sentence_pooling_method="last_token",
+        temperature=ns.temperature, dtype=ns.dtype,
+    )
+    model = BiDecoderOnlyEmbedderModel.from_pretrained(
+        ns.model_name_or_path, margs,
+        lora_rank=ns.lora_rank, lora_alpha=ns.lora_alpha,
+    )
+    runner = TextEmbedderRunner(
+        margs,
+        TextEmbedderDataArguments(
+            train_data=ns.train_data,
+            train_group_size=ns.train_group_size,
+            query_max_len=ns.query_max_len,
+            passage_max_len=ns.passage_max_len,
+            query_instruction_for_retrieval=ns.query_instruction_for_retrieval,
+        ),
+        TrainingArguments.from_dict(dict(
+            output_dir=ns.output_dir, num_train_epochs=ns.num_train_epochs,
+            per_device_train_batch_size=ns.per_device_train_batch_size,
+            learning_rate=ns.learning_rate, logging_steps=ns.logging_steps,
+            max_steps=ns.max_steps, optimizer="adamw", evaluation_strategy="no",
+        )),
+        model=model,
+    )
+    state = runner.run(resume_from_checkpoint=ns.resume_from_checkpoint)
+    if ns.save_merged and model.uses_lora:
+        model.save_merged_model(os.path.join(ns.output_dir, "merged"),
+                                state.variables)
+
+
+if __name__ == "__main__":
+    _cli()

@@ -36,13 +36,17 @@ class TextEmbedderRunner:
         data_args: TextEmbedderDataArguments,
         training_args: TrainingArguments,
         mesh=None,
+        model=None,
     ):
+        """``model``: a pre-built embedder model (e.g. a
+        BiDecoderOnlyEmbedderModel with LoRA adapters) — when omitted, the
+        BERT-family BiTextEmbedderModel loads from model_name_or_path."""
         self.model_args = model_args
         self.data_args = data_args
         self.training_args = training_args
         self.mesh = mesh or get_default_mesh()
         self.tokenizer = load_tokenizer(model_args.model_name_or_path)
-        self.model = BiTextEmbedderModel.from_pretrained(
+        self.model = model or BiTextEmbedderModel.from_pretrained(
             model_args.model_name_or_path, model_args
         )
         self.model.no_in_batch_neg_flag = data_args.no_in_batch_neg_flag
