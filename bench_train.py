@@ -203,10 +203,17 @@ def _reranker_pairs(rng):
     return ids, mask, tt
 
 
-def run_reranker(pack: bool) -> float:
+def run_reranker(pack: bool, accum: int = 1) -> float:
     """Cross-encoder reranker fine-tune throughput (VERDICT r2 item 2):
-    bs16, group 8, seq 512, flash attention + remat — padded (the
-    reference's layout; 39.7 samples/s on one A100) vs packed rows."""
+    bs16, group 8, seq 512, flash attention — padded (the reference's
+    layout; 39.7 samples/s on one A100) vs packed rows.
+
+    ``accum > 1``: micro-batch the 16 groups into bs/accum chunks with
+    optax.MultiSteps accumulation and REMAT OFF. The group-CE loss is
+    per-group, so accumulated gradients are EXACTLY the full-batch
+    gradients (unlike the embedder's in-batch-negative loss, which
+    micro-batching would change) — activation memory is bounded by one
+    micro-batch instead of recompute, trading the remat forward away."""
     from nexus_tpu.models.bert import BertConfig
     from nexus_tpu.training.arguments import TrainingArguments
     from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
@@ -219,10 +226,13 @@ def run_reranker(pack: bool) -> float:
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
         attention_impl="pallas",
     )
-    model = CrossEncoderModel(config, train_group_size=GROUP, dtype="bfloat16", remat=True)
+    micro_bs = BS // accum
+    model = CrossEncoderModel(config, train_group_size=GROUP, dtype="bfloat16",
+                              remat=accum == 1)
     targs = TrainingArguments.from_dict(dict(
         output_dir="/tmp/nx_bench_rerank", num_train_epochs=1,
-        per_device_train_batch_size=BS, learning_rate=1e-5,
+        per_device_train_batch_size=micro_bs, learning_rate=1e-5,
+        gradient_accumulation_steps=accum,
         optimizer="adamw", logging_steps=1000, evaluation_strategy="no",
     ))
     trainer = RecTrainer(model, targs)
@@ -240,20 +250,30 @@ def run_reranker(pack: bool) -> float:
         occ = float(pk["lengths"].sum()) / pk["input_ids"].size
         print(f"  packed: {pk['input_ids'].shape[0]} rows (vs {BS * GROUP} padded), "
               f"occupancy {occ:.2f}")
+        micro_batches = [batch]
     else:
-        batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
-                 "token_type_ids": jnp.asarray(tt)}
+        rows = micro_bs * GROUP
+        micro_batches = [
+            {"input_ids": jnp.asarray(ids[i * rows:(i + 1) * rows]),
+             "attention_mask": jnp.asarray(mask[i * rows:(i + 1) * rows]),
+             "token_type_ids": jnp.asarray(tt[i * rows:(i + 1) * rows])}
+            for i in range(accum)
+        ]
     key = jax.random.PRNGKey(0)
     holder = {"state": trainer._state}
 
     def step_once():
-        holder["state"], m = step_fn(holder["state"], batch, key)
+        # one EFFECTIVE step = `accum` micro-steps (MultiSteps applies the
+        # averaged gradient on the last one)
+        for mb in micro_batches:
+            holder["state"], m = step_fn(holder["state"], mb, key)
         holder["loss"] = float(m["loss"])
 
     step_once()
     step_once()
     stats = _timed_trials(step_once, BS)
-    print(f"reranker {'packed' if pack else 'padded'}: {stats['value']:6.1f} samples/s "
+    tag = "packed" if pack else ("padded" if accum == 1 else f"padded accum{accum} no-remat")
+    print(f"reranker {tag}: {stats['value']:6.1f} samples/s "
           f"median of n={stats['n']} (IQR {stats['iqr']:.1f}, "
           f"range {stats['min']:.1f}-{stats['max']:.1f}, loss {holder['loss']:.3f})",
           flush=True)
@@ -269,9 +289,10 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue
-        if v in ("reranker_padded", "reranker_packed"):
+        if v in ("reranker_padded", "reranker_packed") or v.startswith("reranker_accum"):
             try:
-                run_reranker(v == "reranker_packed")
+                accum = int(v[len("reranker_accum"):]) if v.startswith("reranker_accum") else 1
+                run_reranker(v == "reranker_packed", accum=accum)
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue

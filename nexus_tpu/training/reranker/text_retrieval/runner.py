@@ -31,8 +31,13 @@ class TextRerankerRunner:
         lora_alpha: float = 16.0,
         pack_pairs: bool = False,
         pair_template: Optional[str] = None,
+        remat: bool = True,
         mesh=None,
     ):
+        """``remat=False`` turns gradient checkpointing off — pair it with
+        ``training_args.gradient_accumulation_steps`` to bound activation
+        memory by the micro-batch instead of recompute (the group-CE loss
+        accumulates to EXACTLY the full-batch gradient)."""
         from transformers import AutoTokenizer
 
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
@@ -50,6 +55,7 @@ class TextRerankerRunner:
             lora_rank=lora_rank,
             lora_alpha=lora_alpha,
             tokenizer=self.tokenizer,
+            remat=remat,
         )
         self.dataset = TextRerankerTrainDataset(
             train_data, train_group_size=train_group_size, seed=training_args.seed,
