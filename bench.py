@@ -88,6 +88,20 @@ MODES = {
     "corpus512_unpacked_padfast": dict(padded_var=(380.0, 0.35), rows=64,
                                        attention_impl="pallas"),
     "corpus512_unpacked_xla": dict(padded_var=(380.0, 0.35), rows=64),
+    # megakernel (ops/fused_encoder.py): QKV+attention+O+LN in ONE Pallas
+    # program per row — kills the transposes and fusion boundaries around
+    # the attention custom call (isolated 12-layer stack: 151-152 TF/s vs
+    # 87 flash / 78-101 XLA at both [64,512] and [256,128])
+    "headline_fused": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
+                           attention_impl="fused"),
+    "passage_fused": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
+                          attention_impl="fused"),
+    "corpus512_fused": dict(mean=420.0, sigma=0.25, row_len=512, rows=64,
+                            attention_impl="fused"),
+    "dense512_fused": dict(dense=512, rows=64, attention_impl="fused",
+                           padded=True),
+    "corpus512_unpacked_fused": dict(padded_var=(380.0, 0.35), rows=64,
+                                     attention_impl="fused"),
 }
 
 

@@ -42,6 +42,9 @@ class BertConfig(AbsArguments):
     # nexus extras
     add_pooling_layer: bool = True
     attention_impl: str = "xla"  # 'xla' | 'pallas' (flash attention kernel)
+    # | 'fused' (ops/fused_encoder.py megakernel: QKV+attention+O+LN in one
+    # Pallas program — the fastest encode path; falls back to flash/xla when
+    # dropout is active in training or shapes are unsupported)
     fused_qkv: bool = False  # one [h, 3h] projection instead of 3 [h, h]
     # RoBERTa/XLM-R (BGE-M3's trunk): non-pad token positions start at
     # padding_idx + 1 (HF create_position_ids_from_input_ids). 0 = BERT.
@@ -77,15 +80,53 @@ class BertEmbeddings(nn.Module):
         return x.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Materializes the SAME param tree as an nn.Dense of `features` (keys
+    'kernel'/'bias', identical initializers/param dtype) without computing —
+    the fused megakernel path reads raw weights while keeping checkpoints
+    and hf_convert layouts byte-compatible with the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int, dtype):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k.astype(dtype), b
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's param tree ('scale'/'bias') without computing."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        g = self.param("scale", nn.initializers.ones_init(), (features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(), (features,), jnp.float32)
+        return g, b
+
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_mask, train: bool = False, segment_ids=None):
+    def __call__(self, hidden, attention_mask, train: bool = False, segment_ids=None,
+                 return_weights: bool = False):
         c = self.config
         h, n_heads = c.hidden_size, c.num_attention_heads
         head_dim = h // n_heads
+        if return_weights:
+            # fused megakernel path: hand the raw [H, 3H] projection to the
+            # kernel; param tree identical to the unfused Dense modules
+            if c.fused_qkv:
+                return _DenseParams(3 * h, name="qkv")(h, self.dtype)
+            wq, bq = _DenseParams(h, name="query")(h, self.dtype)
+            wk, bk = _DenseParams(h, name="key")(h, self.dtype)
+            wv, bv = _DenseParams(h, name="value")(h, self.dtype)
+            return (jnp.concatenate([wq, wk, wv], axis=-1),
+                    jnp.concatenate([bq, bk, bv]))
         if c.fused_qkv:
             # one [h, 3h] matmul keeps the MXU on a single fat GEMM instead
             # of three slim ones (measurably better at short sequences)
@@ -99,7 +140,9 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(b, l, n_heads, head_dim)
         k = k.reshape(b, l, n_heads, head_dim)
         v = v.reshape(b, l, n_heads, head_dim)
-        if c.attention_impl == "pallas" and not (train and c.attention_probs_dropout_prob > 0):
+        if c.attention_impl in ("pallas", "fused") and not (
+            train and c.attention_probs_dropout_prob > 0
+        ):
             from nexus_tpu.ops.flash_attention import (
                 flash_attention, flash_attention_padded)
 
@@ -144,14 +187,42 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_mask, train: bool = False, segment_ids=None):
         c = self.config
-        attn = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
-            hidden, attention_mask, train, segment_ids
+        from nexus_tpu.ops.fused_encoder import fused_attention_ln, fused_supported
+
+        use_fused = (
+            c.attention_impl == "fused"
+            and fused_supported(c.hidden_size, c.num_attention_heads, hidden.shape[1])
+            # dropout cannot run inside the kernel: attention-probs dropout
+            # AND the hidden dropout between the O projection and the
+            # residual both gate the fused path off in training
+            and not (train and (c.attention_probs_dropout_prob > 0
+                                or c.hidden_dropout_prob > 0))
         )
-        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output_dense")(attn)
-        attn = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(attn)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_output_LayerNorm")(
-            hidden + attn
-        ).astype(self.dtype)
+        if use_fused:
+            wqkv, bqkv = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
+                hidden, attention_mask, train, segment_ids, return_weights=True
+            )
+            wo, bo = _DenseParams(c.hidden_size, name="attention_output_dense")(
+                c.hidden_size, self.dtype
+            )
+            gamma, beta = _LNParams(name="attention_output_LayerNorm")(c.hidden_size)
+            kw = dict(heads=c.num_attention_heads, eps=c.layer_norm_eps)
+            if segment_ids is not None:
+                hidden = fused_attention_ln(hidden, wqkv, bqkv, wo, bo, gamma,
+                                            beta, segment_ids=segment_ids, **kw)
+            else:
+                lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+                hidden = fused_attention_ln(hidden, wqkv, bqkv, wo, bo, gamma,
+                                            beta, lengths=lengths, **kw)
+        else:
+            attn = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
+                hidden, attention_mask, train, segment_ids
+            )
+            attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output_dense")(attn)
+            attn = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(attn)
+            hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_output_LayerNorm")(
+                hidden + attn
+            ).astype(self.dtype)
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
         act = {"gelu": nn.gelu, "relu": nn.relu, "gelu_new": nn.gelu}[c.hidden_act]
         inter = act(inter)

@@ -1,0 +1,246 @@
+"""Fused encoder attention block — the transformer-layer megakernel.
+
+ONE Pallas program per batch row computes the whole attention sub-block:
+
+    y = LayerNorm(x + (attention(x @ Wqkv) @ Wo + bo))
+
+i.e. QKV projection, all heads' softmax attention, output projection,
+residual and LayerNorm, with every intermediate living in VMEM. This is the
+"fused attention+MLP megakernel" lever named in BENCH_NOTES/ROADMAP: the
+unfused path pays four HBM transposes around the flash kernel plus XLA
+fusion boundaries on either side, which cap the in-model GEMM rate at
+~87-103 TF/s; owning the projections removes both. Measured on one v5e
+(12-layer BERT-base stack, bf16): 151 TF/s at [64, 512] and 152 TF/s at
+[256, 128] vs 87 (flash path) / 78-101 (XLA) — 1.5-1.7x end to end.
+
+Why heads can live INSIDE one program here when a layout-native flash
+kernel could not (BENCH_NOTES r3 negative result): the per-head split
+happens on a VMEM-resident [L, 3H] value with static 64-offset lane
+slices, which Mosaic relayouts handle — there is no [B, L, H, D] HBM
+block-spec to tile, and no shape-cast stores.
+
+Masking comes in the same two flavors as ops/flash_attention.py:
+  - ``lengths`` [B] int32 — right-padded rows (keys at pos >= length hidden);
+  - ``segment_ids`` [B, L] int — packed rows (attend within own segment only).
+
+The op is differentiable via custom_vjp: the backward RECOMPUTES the
+unfused forward (flash-attention kernels, O(L·D) memory — no [L, L]
+tensor) and backprops through it, so training can use the fast fused
+forward with flash-grade memory in the backward. Note dropout cannot run
+inside the kernel; callers gate the fused path on dropout == 0 (the
+flash-attn training convention) — models/bert.py does.
+
+Reference role parity: the attention compute path of the HF encoder the
+reference fine-tunes (Nexus/training/embedder/text_retrieval/runner.py:94).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_core(x, wqkv, bqkv, wo, bo, gamma, beta, allowed, *, heads, eps,
+               out_dtype):
+    """Shared kernel body. x: [L, H] bf16 (VMEM value), allowed: [L, L] bool
+    key-mask (True = attend). Returns y: [L, H]."""
+    l, h = x.shape
+    d = h // heads
+    scale = 1.0 / math.sqrt(d)
+    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[None, :]).astype(x.dtype)  # [L, 3H]
+    ctx_parts = []
+    for hd in range(heads):
+        q = qkv[:, hd * d:(hd + 1) * d]
+        k = qkv[:, h + hd * d: h + (hd + 1) * d]
+        v = qkv[:, 2 * h + hd * d: 2 * h + (hd + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)  # fully-masked rows: exp(0) = 1 -> uniform, finite
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [L, H]
+    out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo[None, :]
+    res = x.astype(jnp.float32) + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    y = (res - mu) * jax.lax.rsqrt(var + eps)
+    return (y * gamma[None, :] + beta[None, :]).astype(out_dtype)
+
+
+def _padded_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                   gamma_ref, beta_ref, y_ref, *, heads, eps):
+    x = x_ref[:]
+    l = x.shape[0]
+    length = lens_ref[pl.program_id(0)]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    y_ref[:] = _attn_core(
+        x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
+        gamma_ref[0], beta_ref[0], kpos < length,
+        heads=heads, eps=eps, out_dtype=y_ref.dtype,
+    )
+
+
+def _segment_kernel(seg_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                    gamma_ref, beta_ref, y_ref, *, heads, eps):
+    x = x_ref[:]
+    seg = seg_ref[0, :]  # [L]
+    allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
+    y_ref[:] = _attn_core(
+        x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
+        gamma_ref[0], beta_ref[0], allowed,
+        heads=heads, eps=eps, out_dtype=y_ref.dtype,
+    )
+
+
+def _f32row(t):
+    return jnp.asarray(t, jnp.float32).reshape(1, -1)
+
+
+def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
+                  seg_mode):
+    b, l, h = x.shape
+    # lane-pad L so the [L, L] score tile is legal; padded keys are masked
+    # (iota >= length / segment 0) and padded query rows are sliced off
+    l_pad = -(-l // 128) * 128
+    orig_l = l
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        if seg_mode:
+            mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
+        l = l_pad
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+    weight_specs = [  # index maps take (*grid, *scalar) args — all ignored
+        pl.BlockSpec((h, 3 * h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, 3 * h), lambda *a: (0, 0)),
+        pl.BlockSpec((h, h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, h), lambda *a: (0, 0)),
+    ]
+    args = (x, wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(gamma),
+            _f32row(beta))
+    if seg_mode:
+        out = pl.pallas_call(
+            functools.partial(_segment_kernel, heads=heads, eps=eps),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+                *weight_specs,
+            ],
+            out_specs=pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+            **common,
+        )(mask.astype(jnp.int32).reshape(b, 1, l), *args)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_padded_kernel, heads=heads, eps=eps),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+                    *weight_specs,
+                ],
+                out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+            ),
+            **common,
+        )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), *args)
+    return out[:, :orig_l, :]
+
+
+def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
+                       seg_mode):
+    """The same math through the blocked flash kernels (O(L·D) memory) —
+    used by the custom backward as the recompute graph, and by tests as the
+    numerical oracle."""
+    from nexus_tpu.ops.flash_attention import (flash_attention,
+                                               flash_attention_padded)
+
+    b, l, h = x.shape
+    d = h // heads
+    qkv = (jnp.dot(x, wqkv, preferred_element_type=jnp.float32)
+           + bqkv[None, None, :]).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to4 = lambda t: t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)  # noqa: E731
+    blk = min(512, max(128, l))
+    if seg_mode:
+        ctx = flash_attention(to4(q), to4(k), to4(v), mask, blk, blk)
+    else:
+        ctx = flash_attention_padded(to4(q), to4(k), to4(v), mask, blk, blk)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
+    out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo[None, None, :]
+    res = x.astype(jnp.float32) + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    y = (res - mu) * jax.lax.rsqrt(var + eps)
+    return (y * gamma[None, None, :] + beta[None, None, :]).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
+    return _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads,
+                         eps, seg_mode)
+
+
+def _fused_fwd(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
+    y = _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
+                      seg_mode)
+    return y, (x, wqkv, bqkv, wo, bo, gamma, beta, mask)
+
+
+def _fused_bwd(heads, eps, seg_mode, res, g):
+    x, wqkv, bqkv, wo, bo, gamma, beta, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: _unfused_reference(*a, mask, heads, eps, seg_mode),
+        x, wqkv, bqkv, wo, bo, gamma, beta,
+    )
+    return (*vjp(g.astype(x.dtype)), None)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention_ln(
+    x, wqkv, bqkv, wo, bo, gamma, beta, *,
+    lengths=None, segment_ids=None, heads: int, eps: float = 1e-12,
+):
+    """y = LayerNorm(x + (multi_head_attention(x) @ Wo + bo)) in one fused
+    Pallas program per batch row.
+
+    x: [B, L, H]; wqkv: [H, 3H] (q|k|v column blocks); bqkv: [3H];
+    wo: [H, H]; bo/gamma/beta: [H]. Exactly one of ``lengths`` [B] /
+    ``segment_ids`` [B, L] selects the mask flavor. LN statistics are f32
+    (the standard TPU recipe); biases/LN params are taken in f32.
+
+    Constraints (callers should fall back to the flash path otherwise):
+    H % 128 == 0, head_dim % 8 == 0, L <= ~1024 (the [L, L] f32 score tile
+    lives in VMEM), and no dropout inside the block.
+    """
+    if (lengths is None) == (segment_ids is None):
+        raise ValueError("pass exactly one of lengths= / segment_ids=")
+    seg_mode = segment_ids is not None
+    mask = segment_ids if seg_mode else lengths
+    return _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
+                  seg_mode)
+
+
+def fused_supported(hidden_size: int, heads: int, seq_len: int) -> bool:
+    """Shape gate for the fused kernel (see `fused_attention_ln`)."""
+    d = hidden_size // heads
+    return hidden_size % 128 == 0 and d % 8 == 0 and seq_len <= 1024

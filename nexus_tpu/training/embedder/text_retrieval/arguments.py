@@ -24,6 +24,8 @@ class TextEmbedderModelArguments(AbsArguments):
     remat_plain_layers: int = 0  # partial remat: last k layers skip remat
     attention_impl: str = "auto"  # auto | xla | pallas (flash kernel; the
     # flash-attn-2 parity for long-seq training — O(L) memory fwd AND bwd)
+    # | fused (ops/fused_encoder.py megakernel — fastest encode; in training
+    # it engages only when both dropouts are 0, else falls back to flash)
 
 
 @dataclass

@@ -1,0 +1,206 @@
+"""Fused encoder megakernel (ops/fused_encoder.py): op- and model-level
+parity vs the unfused XLA path, gradient parity through the custom vjp,
+and the param-tree compatibility contract of attention_impl='fused'."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nexus_tpu.models.bert import BertConfig, BertEncoderModel
+from nexus_tpu.ops.fused_encoder import (
+    _unfused_reference,
+    fused_attention_ln,
+    fused_supported,
+)
+
+H, HEADS = 128, 2
+EPS = 1e-12
+
+
+def _params(key, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    s = 0.05
+    return dict(
+        wqkv=(jax.random.normal(ks[0], (H, 3 * H)) * s).astype(dtype),
+        bqkv=jax.random.normal(ks[1], (3 * H,)) * s,
+        wo=(jax.random.normal(ks[2], (H, H)) * s).astype(dtype),
+        bo=jax.random.normal(ks[3], (H,)) * s,
+        gamma=1.0 + jax.random.normal(ks[4], (H,)) * 0.1,
+        beta=jax.random.normal(ks[5], (H,)) * 0.1,
+    )
+
+
+def _xla_oracle(x, p, allowed):
+    """Plain-einsum attention block with an explicit [B, L, L] key mask."""
+    b, l, h = x.shape
+    d = h // HEADS
+    qkv = jnp.dot(x, p["wqkv"]) + p["bqkv"]
+    q, k, v = jnp.split(qkv.astype(x.dtype), 3, axis=-1)
+    to4 = lambda t: t.reshape(b, l, HEADS, d)  # noqa: E731
+    s = jnp.einsum("bqhd,bkhd->bhqk", to4(q), to4(k)).astype(jnp.float32)
+    s = s / np.sqrt(d)
+    s = jnp.where(allowed[:, None], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", pr, to4(v)).reshape(b, l, h)
+    out = jnp.dot(ctx, p["wo"]) + p["bo"]
+    res = x.astype(jnp.float32) + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    y = (res - mu) * jax.lax.rsqrt(var + EPS)
+    return (y * p["gamma"] + p["beta"]).astype(x.dtype)
+
+
+def test_fused_padded_matches_oracle(key):
+    b, l = 3, 48  # 48 exercises the lane-pad-to-128 path
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, l, H)) * 0.5
+    lengths = jnp.array([48, 30, 7], jnp.int32)
+    got = fused_attention_ln(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                             p["gamma"], p["beta"], lengths=lengths,
+                             heads=HEADS, eps=EPS)
+    allowed = jnp.arange(l)[None, None, :] < lengths[:, None, None]
+    want = _xla_oracle(x, p, jnp.broadcast_to(allowed, (b, l, l)))
+    valid = np.asarray(jnp.arange(l)[None, :] < lengths[:, None])
+    diff = np.abs(np.asarray(got) - np.asarray(want))[valid]
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_fused_segment_matches_oracle(key):
+    b, l = 2, 64
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, l, H)) * 0.5
+    seg = np.zeros((b, l), np.int32)
+    seg[0, :20] = 1
+    seg[0, 20:50] = 2
+    seg[1, :33] = 1
+    seg = jnp.asarray(seg)
+    got = fused_attention_ln(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                             p["gamma"], p["beta"], segment_ids=seg,
+                             heads=HEADS, eps=EPS)
+    allowed = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] > 0)
+    want = _xla_oracle(x, p, allowed)
+    valid = np.asarray(seg > 0)
+    diff = np.abs(np.asarray(got) - np.asarray(want))[valid]
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_fused_unfused_reference_agrees(key):
+    """The custom-vjp recompute graph computes the same function as the
+    fused forward (valid rows)."""
+    b, l = 2, 128
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(9), (b, l, H)) * 0.5
+    lengths = jnp.array([128, 70], jnp.int32)
+    got = fused_attention_ln(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                             p["gamma"], p["beta"], lengths=lengths,
+                             heads=HEADS, eps=EPS)
+    want = _unfused_reference(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                              p["gamma"], p["beta"], lengths, HEADS, EPS,
+                              seg_mode=False)
+    valid = np.asarray(jnp.arange(l)[None, :] < lengths[:, None])
+    diff = np.abs(np.asarray(got) - np.asarray(want))[valid]
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_fused_grad_matches_xla_autodiff(key):
+    """Gradients through the custom vjp (flash recompute) match plain XLA
+    autodiff of the same function, for inputs AND weights."""
+    b, l = 2, 128
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, l, H)) * 0.5
+    lengths = jnp.array([128, 90], jnp.int32)
+    valid = (jnp.arange(l)[None, :] < lengths[:, None])[..., None]
+
+    def loss_fused(x, p):
+        y = fused_attention_ln(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                               p["gamma"], p["beta"], lengths=lengths,
+                               heads=HEADS, eps=EPS)
+        return jnp.sum(jnp.where(valid, y, 0.0) ** 2)
+
+    def loss_xla(x, p):
+        allowed = jnp.broadcast_to(
+            jnp.arange(l)[None, None, :] < lengths[:, None, None], (b, l, l))
+        y = _xla_oracle(x, p, allowed)
+        return jnp.sum(jnp.where(valid, y, 0.0) ** 2)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx_x, gp_x = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x),
+                               atol=2e-3, rtol=1e-2)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_x[k]),
+                                   atol=2e-3, rtol=1e-2, err_msg=k)
+
+
+FUSED_TINY = dict(
+    vocab_size=130,
+    hidden_size=H,
+    num_hidden_layers=2,
+    num_attention_heads=HEADS,
+    intermediate_size=256,
+    max_position_embeddings=64,
+    hidden_dropout_prob=0.0,
+    attention_probs_dropout_prob=0.0,
+)
+
+
+def test_bert_fused_matches_xla_and_shares_param_tree(key):
+    """attention_impl='fused' computes the same model AND creates the same
+    param tree as the unfused path (the checkpoint/hf_convert contract)."""
+    cfg_x = BertConfig(**FUSED_TINY)
+    cfg_f = BertConfig(**dict(FUSED_TINY, attention_impl="fused"))
+    ids = jnp.concatenate(
+        [jnp.full((2, 10), 5, jnp.int32), jnp.zeros((2, 6), jnp.int32)], axis=1)
+    mask = (ids != 0).astype(jnp.int32)
+    mx = BertEncoderModel(cfg_x)
+    mf = BertEncoderModel(cfg_f)
+    vx = mx.init(key, ids)
+    vf = mf.init(key, ids)
+    assert (jax.tree_util.tree_structure(vx) == jax.tree_util.tree_structure(vf))
+    shapes_x = jax.tree_util.tree_map(lambda t: t.shape, vx)
+    shapes_f = jax.tree_util.tree_map(lambda t: t.shape, vf)
+    assert shapes_x == shapes_f
+    out_x = mx.apply(vx, ids, attention_mask=mask)["last_hidden_state"]
+    out_f = mf.apply(vx, ids, attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    dx = np.abs(np.asarray(out_x) - np.asarray(out_f))[valid]
+    assert dx.max() < 1e-4, dx.max()
+
+
+def test_bert_fused_packed_segments(key):
+    """Fused path with packed rows (segment_ids) matches the XLA path."""
+    cfg_x = BertConfig(**FUSED_TINY)
+    cfg_f = BertConfig(**dict(FUSED_TINY, attention_impl="fused"))
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 129, (2, 32)), jnp.int32)
+    seg = np.zeros((2, 32), np.int32)
+    seg[0, :12] = 1
+    seg[0, 12:25] = 2
+    seg[1, :30] = 1
+    seg = jnp.asarray(seg)
+    pos = jnp.where(seg > 0, jnp.arange(32)[None, :], 0)
+    mx = BertEncoderModel(cfg_x)
+    v = mx.init(key, ids)
+    out_x = mx.apply(v, ids, segment_ids=seg, position_ids=pos)["last_hidden_state"]
+    out_f = BertEncoderModel(cfg_f).apply(
+        v, ids, segment_ids=seg, position_ids=pos)["last_hidden_state"]
+    valid = np.asarray(seg > 0)
+    dx = np.abs(np.asarray(out_x) - np.asarray(out_f))[valid]
+    assert dx.max() < 1e-4, dx.max()
+
+
+def test_fused_gate_and_train_fallback(key):
+    """Unsupported shapes are gated off; training with dropout falls back to
+    the unfused path (dropout must actually apply)."""
+    assert not fused_supported(96, 2, 64)      # H % 128
+    assert not fused_supported(256, 2, 2048)   # L too long for VMEM scores
+    assert fused_supported(768, 12, 512)
+    cfg = BertConfig(**dict(FUSED_TINY, attention_impl="fused",
+                            hidden_dropout_prob=0.3))
+    model = BertEncoderModel(cfg)
+    ids = jnp.full((2, 16), 7, jnp.int32)
+    v = model.init(key, ids)
+    a = model.apply(v, ids, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(v, ids, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    # different dropout rngs change the output -> the unfused dropout path ran
+    assert np.abs(np.asarray(a["last_hidden_state"])
+                  - np.asarray(b["last_hidden_state"])).max() > 1e-6
