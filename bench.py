@@ -43,8 +43,14 @@ MEAN_LEN, SIGMA = 38.0, 0.55  # lognormal token-length mix (mean ~43)
 
 # secondary workload modes (argv[1]) — the VERDICT r2 long-sequence grid
 MODES = {
-    # headline: MS-MARCO-style short mix, 128-token packed rows
-    "headline": dict(mean=38.0, sigma=0.55, row_len=128, rows=256),
+    # headline: MS-MARCO-style short mix, 128-token packed rows, encoded
+    # through the fused-layer megakernel (ops/fused_encoder.py) — the
+    # shipping inference configuration
+    "headline": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
+                     attention_impl="fused"),
+    # the same workload through plain XLA attention (the pre-megakernel
+    # headline: 16.2-16.5k emb/s)
+    "headline_xla": dict(mean=38.0, sigma=0.55, row_len=128, rows=256),
     # passage-heavy (mean ~65 tok) in 128 rows (round-2 number: 10,973)
     "passage": dict(mean=58.0, sigma=0.55, row_len=128, rows=256),
     # same mix in 256-token rows (fewer, fatter attention tiles)

@@ -187,33 +187,48 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_mask, train: bool = False, segment_ids=None):
         c = self.config
-        from nexus_tpu.ops.fused_encoder import fused_attention_ln, fused_supported
+        from nexus_tpu.ops.fused_encoder import (
+            fused_attention_ln, fused_encoder_layer, fused_layer_supported,
+            fused_supported)
 
-        use_fused = (
-            c.attention_impl == "fused"
-            and fused_supported(c.hidden_size, c.num_attention_heads, hidden.shape[1])
-            # dropout cannot run inside the kernel: attention-probs dropout
-            # AND the hidden dropout between the O projection and the
-            # residual both gate the fused path off in training
-            and not (train and (c.attention_probs_dropout_prob > 0
-                                or c.hidden_dropout_prob > 0))
+        h = c.hidden_size
+        # dropout cannot run inside the kernels: attention-probs dropout and
+        # the hidden dropouts between projections and residuals gate the
+        # fused paths off in training
+        no_dropout = not (train and (c.attention_probs_dropout_prob > 0
+                                     or c.hidden_dropout_prob > 0))
+        fuse_layer = (
+            c.attention_impl == "fused" and no_dropout
+            and fused_layer_supported(h, c.num_attention_heads, hidden.shape[1],
+                                      c.intermediate_size, c.hidden_act)
         )
-        if use_fused:
+        fuse_attn = (
+            c.attention_impl == "fused" and no_dropout and not fuse_layer
+            and fused_supported(h, c.num_attention_heads, hidden.shape[1])
+        )
+        if fuse_layer or fuse_attn:
             wqkv, bqkv = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
                 hidden, attention_mask, train, segment_ids, return_weights=True
             )
-            wo, bo = _DenseParams(c.hidden_size, name="attention_output_dense")(
-                c.hidden_size, self.dtype
-            )
-            gamma, beta = _LNParams(name="attention_output_LayerNorm")(c.hidden_size)
+            wo, bo = _DenseParams(h, name="attention_output_dense")(h, self.dtype)
+            gamma, beta = _LNParams(name="attention_output_LayerNorm")(h)
             kw = dict(heads=c.num_attention_heads, eps=c.layer_norm_eps)
             if segment_ids is not None:
-                hidden = fused_attention_ln(hidden, wqkv, bqkv, wo, bo, gamma,
-                                            beta, segment_ids=segment_ids, **kw)
+                kw["segment_ids"] = segment_ids
             else:
-                lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
-                hidden = fused_attention_ln(hidden, wqkv, bqkv, wo, bo, gamma,
-                                            beta, lengths=lengths, **kw)
+                kw["lengths"] = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        if fuse_layer:
+            wup, bup = _DenseParams(c.intermediate_size, name="intermediate_dense")(
+                h, self.dtype)
+            wdn, bdn = _DenseParams(h, name="output_dense")(c.intermediate_size,
+                                                            self.dtype)
+            gamma2, beta2 = _LNParams(name="output_LayerNorm")(h)
+            return fused_encoder_layer(
+                hidden, (wqkv, bqkv, wo, bo, gamma, beta, wup, bup, wdn, bdn,
+                         gamma2, beta2), act=c.hidden_act, **kw)
+        if fuse_attn:
+            hidden = fused_attention_ln(hidden, wqkv, bqkv, wo, bo, gamma,
+                                        beta, **kw)
         else:
             attn = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
                 hidden, attention_mask, train, segment_ids

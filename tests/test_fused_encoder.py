@@ -188,6 +188,73 @@ def test_bert_fused_packed_segments(key):
     assert dx.max() < 1e-4, dx.max()
 
 
+def test_fused_full_layer_matches_oracle_and_grads(key):
+    """fused_encoder_layer (attention + FFN + both LNs in one program)
+    matches the unfused reference, and its custom-vjp grads match XLA
+    autodiff."""
+    from nexus_tpu.ops.fused_encoder import (_unfused_layer_reference,
+                                             fused_encoder_layer)
+
+    b, l, ff = 2, 128, 256
+    ks = jax.random.split(key, 7)
+    s = 0.05
+    p = _params(key)
+    weights = (
+        p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["gamma"], p["beta"],
+        jax.random.normal(ks[0], (H, ff)) * s,
+        jax.random.normal(ks[1], (ff,)) * s,
+        jax.random.normal(ks[2], (ff, H)) * s,
+        jax.random.normal(ks[3], (H,)) * s,
+        1.0 + jax.random.normal(ks[4], (H,)) * 0.1,
+        jax.random.normal(ks[5], (H,)) * 0.1,
+    )
+    x = jax.random.normal(ks[6], (b, l, H)) * 0.5
+    lengths = jnp.array([128, 77], jnp.int32)
+    got = fused_encoder_layer(x, weights, lengths=lengths, heads=HEADS, eps=EPS)
+    want = _unfused_layer_reference(x, weights, lengths, HEADS, EPS, "gelu",
+                                    seg_mode=False)
+    valid = np.asarray(jnp.arange(l)[None, :] < lengths[:, None])
+    diff = np.abs(np.asarray(got) - np.asarray(want))[valid]
+    assert diff.max() < 1e-4, diff.max()
+
+    vmask = (jnp.arange(l)[None, :] < lengths[:, None])[..., None]
+
+    def loss_fused(x, w):
+        y = fused_encoder_layer(x, w, lengths=lengths, heads=HEADS, eps=EPS)
+        return jnp.sum(jnp.where(vmask, y, 0.0) ** 2)
+
+    def loss_ref(x, w):
+        y = _unfused_layer_reference(x, w, lengths, HEADS, EPS, "gelu",
+                                     seg_mode=False)
+        return jnp.sum(jnp.where(vmask, y, 0.0) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, weights)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, weights)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-3, rtol=1e-2)
+    for i, (a, bb) in enumerate(zip(gw_f, gw_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-3, rtol=1e-2, err_msg=f"w[{i}]")
+
+
+def test_bert_fused_attn_only_fallback(key):
+    """intermediate_size not a lane multiple -> the FFN stays unfused but
+    the attention block still fuses; output matches xla."""
+    cfg = dict(FUSED_TINY, intermediate_size=192)
+    cfg_x = BertConfig(**cfg)
+    cfg_f = BertConfig(**dict(cfg, attention_impl="fused"))
+    ids = jnp.concatenate(
+        [jnp.full((2, 9), 5, jnp.int32), jnp.zeros((2, 7), jnp.int32)], axis=1)
+    mask = (ids != 0).astype(jnp.int32)
+    mx = BertEncoderModel(cfg_x)
+    v = mx.init(key, ids)
+    out_x = mx.apply(v, ids, attention_mask=mask)["last_hidden_state"]
+    out_f = BertEncoderModel(cfg_f).apply(v, ids, attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    dx = np.abs(np.asarray(out_x) - np.asarray(out_f))[valid]
+    assert dx.max() < 1e-4, dx.max()
+
+
 def test_fused_gate_and_train_fallback(key):
     """Unsupported shapes are gated off; training with dropout falls back to
     the unfused path (dropout must actually apply)."""
