@@ -97,9 +97,8 @@ MODES = {
     # megakernel (ops/fused_encoder.py): QKV+attention+O+LN in ONE Pallas
     # program per row — kills the transposes and fusion boundaries around
     # the attention custom call (isolated 12-layer stack: 151-152 TF/s vs
-    # 87 flash / 78-101 XLA at both [64,512] and [256,128])
-    "headline_fused": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
-                           attention_impl="fused"),
+    # 87 flash / 78-101 XLA at both [64,512] and [256,128]).
+    # ("headline" above IS the fused configuration — no separate alias.)
     "passage_fused": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
                           attention_impl="fused"),
     "corpus512_fused": dict(mean=420.0, sigma=0.25, row_len=512, rows=64,

@@ -48,18 +48,23 @@ NEG_INF = -1e30
 
 
 def _ln_f32(res, gamma, beta, eps):
+    """f32 LayerNorm over the last axis; gamma/beta broadcast over any rank."""
     mu = jnp.mean(res, axis=-1, keepdims=True)
     var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
-    return (res - mu) * jax.lax.rsqrt(var + eps) * gamma[None, :] + beta[None, :]
+    return (res - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
 _ACTS = {"gelu": jax.nn.gelu, "gelu_new": jax.nn.gelu, "relu": jax.nn.relu}
 
 
 def _attn_core(x, wqkv, bqkv, wo, bo, gamma, beta, allowed, *, heads, eps,
-               out_dtype):
+               out_dtype, q_valid=None):
     """Shared kernel body. x: [L, H] bf16 (VMEM value), allowed: [L, L] bool
-    key-mask (True = attend). Returns y: [L, H]."""
+    key-mask (True = attend). ``q_valid`` [L, 1] bool zeroes the attention
+    context at invalid QUERY rows — required in padded mode so the fused
+    forward matches the flash recompute graph (flash_attention_padded zeroes
+    pad query rows) everywhere, keeping the custom-vjp gradient exact even
+    for cotangents that touch pad positions. Returns y: [L, H]."""
     l, h = x.shape
     d = h // heads
     scale = 1.0 / math.sqrt(d)
@@ -77,18 +82,21 @@ def _attn_core(x, wqkv, bqkv, wo, bo, gamma, beta, allowed, *, heads, eps,
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
                                  preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctx_parts, axis=-1).astype(x.dtype)  # [L, H]
-    out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo[None, :]
+    ctx = jnp.concatenate(ctx_parts, axis=-1)  # [L, H] f32
+    if q_valid is not None:
+        ctx = jnp.where(q_valid, ctx, 0.0)
+    out = jnp.dot(ctx.astype(x.dtype), wo,
+                  preferred_element_type=jnp.float32) + bo[None, :]
     y = _ln_f32(x.astype(jnp.float32) + out, gamma, beta, eps)
     return y.astype(out_dtype)
 
 
-def _layer_core(x, w, allowed, *, heads, eps, act, out_dtype):
+def _layer_core(x, w, allowed, *, heads, eps, act, out_dtype, q_valid=None):
     """Full encoder layer: attention block + FFN + both LayerNorms.
     w = (wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2)."""
     wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = w
     h1 = _attn_core(x, wqkv, bqkv, wo, bo, g1, b1, allowed,
-                    heads=heads, eps=eps, out_dtype=x.dtype)
+                    heads=heads, eps=eps, out_dtype=x.dtype, q_valid=q_valid)
     up = jnp.dot(h1, wup, preferred_element_type=jnp.float32)
     up = _ACTS[act](up + bup[None, :]).astype(x.dtype)
     dn = jnp.dot(up, wdown, preferred_element_type=jnp.float32) + bdown[None, :]
@@ -102,10 +110,11 @@ def _padded_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     l = x.shape[0]
     length = lens_ref[pl.program_id(0)]
     kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
     y_ref[:] = _attn_core(
         x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
         gamma_ref[0], beta_ref[0], kpos < length,
-        heads=heads, eps=eps, out_dtype=y_ref.dtype,
+        heads=heads, eps=eps, out_dtype=y_ref.dtype, q_valid=qpos < length,
     )
 
 
@@ -204,11 +213,8 @@ def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
         ctx = flash_attention_padded(to4(q), to4(k), to4(v), mask, blk, blk)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
     out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo[None, None, :]
-    res = x.astype(jnp.float32) + out
-    mu = jnp.mean(res, axis=-1, keepdims=True)
-    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
-    y = (res - mu) * jax.lax.rsqrt(var + eps)
-    return (y * gamma[None, None, :] + beta[None, None, :]).astype(x.dtype)
+    y = _ln_f32(x.astype(jnp.float32) + out, gamma, beta, eps)
+    return y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -259,10 +265,35 @@ def fused_attention_ln(
                   seg_mode)
 
 
+def _vmem_estimate(h: int, l: int, ff: int = 0) -> int:
+    """Conservative resident-VMEM byte estimate for one fused program:
+    double-buffered x/y blocks, bf16 weights, the f32+bf16 qkv value, live
+    [L, L] f32 score/prob tiles, f32 ctx, and (full-layer) the FFN weights
+    + f32/bf16 intermediate. Mosaic's allocator is not exactly predictable;
+    the budget below is calibrated so the measured-good configs (BERT-base/
+    large, L<=1024, under vmem_limit_bytes=110MB) pass and genuinely
+    oversized ones (e.g. H=2048/FF=8192/L=1024) fall back to flash instead
+    of dying with a compile error."""
+    io = 4 * 2 * l * h                      # x + y, double-buffered, bf16
+    weights = 2 * (h * 3 * h) + 2 * h * h   # wqkv + wo, bf16
+    qkv = 18 * l * h                        # f32 accum + bf16 value
+    scores = 12 * l * l                     # s + p tiles, f32
+    ctx = 4 * l * h
+    if ff:
+        weights += 2 * 2 * h * ff           # wup + wdown, bf16
+        qkv += 6 * l * ff                   # f32 up + bf16 act
+    return io + weights + qkv + scores + ctx
+
+
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
 def fused_supported(hidden_size: int, heads: int, seq_len: int) -> bool:
-    """Shape gate for the fused kernel (see `fused_attention_ln`)."""
+    """Shape + VMEM gate for the fused kernel (see `fused_attention_ln`)."""
     d = hidden_size // heads
-    return hidden_size % 128 == 0 and d % 8 == 0 and seq_len <= 1024
+    return (hidden_size % 128 == 0 and d % 8 == 0 and seq_len <= 1024
+            and _vmem_estimate(hidden_size, -(-seq_len // 128) * 128)
+            <= _VMEM_BUDGET)
 
 
 # ---------------------------------------------------------------------------
@@ -278,9 +309,10 @@ def _full_padded_kernel(lens_ref, x_ref, *rest, heads, eps, act):
     l = x.shape[0]
     length = lens_ref[pl.program_id(0)]
     kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
     w = tuple(r[:] if r.shape[0] > 1 else r[0] for r in w_refs)
     y_ref[:] = _layer_core(x, w, kpos < length, heads=heads, eps=eps, act=act,
-                           out_dtype=y_ref.dtype)
+                           out_dtype=y_ref.dtype, q_valid=qpos < length)
 
 
 def _full_segment_kernel(seg_ref, x_ref, *rest, heads, eps, act):
@@ -295,7 +327,6 @@ def _full_segment_kernel(seg_ref, x_ref, *rest, heads, eps, act):
 
 def _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode):
     b, l, h = x.shape
-    ff = weights[6].shape[-1]  # wup: [H, FF]
     l_pad = -(-l // 128) * 128
     orig_l = l
     if l_pad != l:
@@ -352,11 +383,8 @@ def _unfused_layer_reference(x, weights, mask, heads, eps, act, seg_mode):
     up = jnp.dot(h1, wup, preferred_element_type=jnp.float32)
     up = _ACTS[act](up + bup[None, None, :]).astype(x.dtype)
     dn = jnp.dot(up, wdown, preferred_element_type=jnp.float32) + bdown[None, None, :]
-    res = h1.astype(jnp.float32) + dn
-    mu = jnp.mean(res, axis=-1, keepdims=True)
-    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
-    y = (res - mu) * jax.lax.rsqrt(var + eps)
-    return (y * g2[None, None, :] + b2[None, None, :]).astype(x.dtype)
+    y = _ln_f32(h1.astype(jnp.float32) + dn, g2, b2, eps)
+    return y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -407,4 +435,6 @@ def fused_encoder_layer(
 def fused_layer_supported(hidden_size: int, heads: int, seq_len: int,
                           intermediate_size: int, act: str) -> bool:
     return (fused_supported(hidden_size, heads, seq_len)
-            and intermediate_size % 128 == 0 and act in _ACTS)
+            and intermediate_size % 128 == 0 and act in _ACTS
+            and _vmem_estimate(hidden_size, -(-seq_len // 128) * 128,
+                               intermediate_size) <= _VMEM_BUDGET)

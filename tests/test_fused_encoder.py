@@ -102,6 +102,32 @@ def test_fused_unfused_reference_agrees(key):
     assert diff.max() < 1e-4, diff.max()
 
 
+def test_fused_pad_rows_match_recompute_graph(key):
+    """Padded-mode fused forward must equal the flash recompute graph on
+    EVERY row including pad queries (flash_attention_padded zeroes the
+    attention context there; the kernel applies the same q_valid mask), so
+    the custom-vjp gradient stays exact even for losses that touch pad
+    positions. A linear cotangent makes the check exact: the backward is
+    the vjp of the recompute graph, so grads must be bit-identical."""
+    b, l = 3, 64
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, l, H)) * 0.5
+    lengths = jnp.array([64, 31, 6], jnp.int32)
+    args = (p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["gamma"], p["beta"])
+    got = fused_attention_ln(x, *args, lengths=lengths, heads=HEADS, eps=EPS)
+    want = _unfused_reference(x, *args, lengths, HEADS, EPS, seg_mode=False)
+    # FULL-tensor comparison — pad rows included
+    diff = np.abs(np.asarray(got) - np.asarray(want))
+    assert diff.max() < 1e-4, diff.max()
+    w = jax.random.normal(jax.random.PRNGKey(12), (b, l, H))  # hits pad rows
+    g_fused = jax.grad(lambda x_: jnp.sum(fused_attention_ln(
+        x_, *args, lengths=lengths, heads=HEADS, eps=EPS) * w))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(_unfused_reference(
+        x_, *args, lengths, HEADS, EPS, seg_mode=False) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=0, atol=1e-6)
+
+
 def test_fused_grad_matches_xla_autodiff(key):
     """Gradients through the custom vjp (flash recompute) match plain XLA
     autodiff of the same function, for inputs AND weights."""
