@@ -38,7 +38,11 @@ class LlamaConfig(AbsArguments):
     attention_bias: bool = False  # Qwen2 uses True for qkv
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q/k after projection
     pad_token_id: int = 0
-    attention_impl: str = "xla"  # 'xla' | 'pallas'
+    # 'xla' | 'pallas' (blocked flash attention) | 'fused' (the
+    # ops/fused_decoder.py megakernel: RMSNorm+QKV+RoPE+attention+O+residual
+    # in one Pallas program per row; requires RIGHT-padded batches and
+    # falls back to flash when the shape gate rejects or LoRA is active)
+    attention_impl: str = "xla"
     lora_rank: int = 0
     lora_alpha: float = 16.0
 
@@ -84,6 +88,35 @@ def rotary_embedding(x: Array, positions: Array, theta: float) -> Array:
     return out.astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Materializes the SAME param tree as an nn.Dense (key 'kernel' +
+    optional 'bias', identical initializers/param dtype) without computing —
+    the fused megakernel path reads raw weights while keeping checkpoints
+    and hf_convert layouts byte-compatible with the unfused path."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int, dtype):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return k.astype(dtype), None
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k.astype(dtype), b
+
+
+class _RMSParams(nn.Module):
+    """RMSNorm's param tree ('weight') without computing."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        return self.param("weight", nn.initializers.ones, (features,),
+                          jnp.float32)
+
+
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -94,8 +127,33 @@ class LlamaAttention(nn.Module):
         return lora_dense(self.config, features, name, use_bias, self.dtype)
 
     @nn.compact
-    def __call__(self, x: Array, attention_mask: Array, positions: Array):
+    def __call__(self, x: Array, attention_mask: Array, positions: Array,
+                 return_weights: bool = False):
         c = self.config
+        if return_weights:
+            # fused megakernel path: materialize the identical param tree
+            # and hand the raw packed [H, (nq+2nkv)d] projection + o_proj
+            # to the kernel (GQA K/V never repeated in HBM)
+            h = c.hidden_size
+            n_q = c.num_attention_heads
+            n_kv = c.num_key_value_heads or n_q
+            head_dim = c.head_dim or h // n_q
+            wq, bq = _DenseParams(n_q * head_dim, c.attention_bias,
+                                  name="q_proj")(h, self.dtype)
+            wk, bk = _DenseParams(n_kv * head_dim, c.attention_bias,
+                                  name="k_proj")(h, self.dtype)
+            wv, bv = _DenseParams(n_kv * head_dim, c.attention_bias,
+                                  name="v_proj")(h, self.dtype)
+            wo, _ = _DenseParams(h, False, name="o_proj")(n_q * head_dim,
+                                                          self.dtype)
+            wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
+            bqkv = (jnp.concatenate([bq, bk, bv]) if c.attention_bias
+                    else None)
+            qn = kn = None
+            if c.qk_norm:
+                qn = _RMSParams(name="q_norm")(head_dim)
+                kn = _RMSParams(name="k_norm")(head_dim)
+            return wqkv, bqkv, wo, qn, kn
         h = c.hidden_size
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
@@ -113,7 +171,9 @@ class LlamaAttention(nn.Module):
             rep = n_q // n_kv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        if c.attention_impl == "pallas":
+        if c.attention_impl in ("pallas", "fused"):
+            # 'fused' lands here only when the megakernel gate rejected
+            # (shape/VMEM/LoRA) — flash is the graceful fallback
             from nexus_tpu.ops.flash_attention import flash_attention
 
             ctx = flash_attention(
@@ -153,10 +213,38 @@ class LlamaLayer(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, positions):
         c = self.config
-        attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
-            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, positions
-        )
-        x = x + attn
+        n_q = c.num_attention_heads
+        n_kv = c.num_key_value_heads or n_q
+        head_dim = c.head_dim or c.hidden_size // n_q
+        if c.attention_impl == "fused" and c.lora_rank == 0:
+            from nexus_tpu.ops.fused_decoder import (
+                fused_decoder_attention, fused_decoder_supported)
+
+            fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv,
+                                           head_dim, x.shape[1])
+        else:
+            fuse = False
+        if fuse:
+            # one Pallas program per row: input RMSNorm + QKV (+bias) +
+            # qk-norm + RoPE + causal GQA attention + O + residual. The
+            # kernel derives positions from iota — right-padded rows only
+            # (the repo-wide convention; the non-fused paths also accept
+            # left padding via cumsum positions).
+            wqkv, bqkv, wo, qn, kn = LlamaAttention(
+                c, dtype=self.dtype, name="self_attn")(
+                x, attention_mask, positions, return_weights=True)
+            rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
+            lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+            x = fused_decoder_attention(
+                x, wqkv, wo, rms_w, lengths, num_q_heads=n_q,
+                num_kv_heads=n_kv, head_dim=head_dim,
+                rope_theta=c.rope_theta, eps=c.rms_norm_eps, bqkv=bqkv,
+                q_norm_w=qn, k_norm_w=kn)
+        else:
+            attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
+                RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, positions
+            )
+            x = x + attn
         mlp = LlamaMLP(c, dtype=self.dtype, name="mlp")(
             RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
         )

@@ -1,0 +1,291 @@
+"""Fused decoder attention block — the pre-norm megakernel for Llama/Qwen
+trunks (the LLM-embedder / LLM-reranker encode path).
+
+ONE Pallas program per batch row computes the whole attention sub-block:
+
+    y = x + O(attention(RoPE(qk_norm(QKV(RMSNorm(x))))))
+
+i.e. the input RMSNorm, fused QKV projection (+bias for Qwen2), optional
+per-head q/k RMSNorm (Qwen3), rotary embedding, all query heads' causal
+softmax attention with GQA key/value sharing, the output projection and the
+residual add — every intermediate living in VMEM. The SwiGLU MLP stays in
+XLA: its weights alone exceed the VMEM budget at real model widths, and it
+is a pure GEMM chain XLA already runs at full tilt.
+
+Why this exists: the unfused decoder path pays four HBM transposes around
+the flash kernel, materializes the GQA-repeated K/V ([B, L, nq, d] instead
+of [B, L, nkv, d]) in HBM, and leaves RoPE/RMSNorm as separate fusions.
+Owning the block removes all three (GQA sharing happens by slicing the
+VMEM-resident qkv value — no repeat is ever materialized). Same design as
+ops/fused_encoder.py; see there for why per-head VMEM lane slices work
+where a layout-native [B, L, H, D] flash kernel does not.
+
+Masking contract: rows are RIGHT-padded with per-row valid ``lengths``
+(the repo-wide convention — tokenizer right padding; sessions enforce it).
+Queries attend causally within the valid prefix; the attention context at
+pad query rows is zeroed, so pad rows return x unchanged (modulo the
+output-projection bias, absent in these models). The custom-vjp backward
+recomputes the UNFUSED graph (flash-attention kernels, O(L·D) memory) and
+backprops through it — `_unfused_reference` matches the kernel on every
+row including pads, keeping the gradient exact for any cotangent.
+
+Reference role parity: the attention compute of the causal LMs the
+reference fine-tunes as LLM embedders/rerankers
+(Nexus/training/embedder/text_retrieval/decoder_only/load_model.py:13-121,
+Nexus/training/reranker/text_retrieval/modeling.py:53).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _rope_tables(l: int, d: int, theta: float):
+    """cos/sin tables [L, d/2] for right-padded rows (positions = iota)."""
+    pos = jax.lax.broadcasted_iota(jnp.float32, (l, d // 2), 0)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (l, d // 2), 1)
+    freqs = jnp.exp(-math.log(theta) * 2.0 * idx / d)
+    ang = pos * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _rope2(t, cos, sin):
+    """Rotate a [L, d] head block (HF half-split convention)."""
+    d = t.shape[-1]
+    t1 = t[:, : d // 2].astype(jnp.float32)
+    t2 = t[:, d // 2:].astype(jnp.float32)
+    return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin],
+                           axis=-1).astype(t.dtype)
+
+
+def _head_rms(t, w, eps):
+    """Per-head RMSNorm over head_dim (Qwen3 qk_norm), f32 stats."""
+    tf = t.astype(jnp.float32)
+    var = jnp.mean(tf * tf, axis=-1, keepdims=True)
+    return (tf * jax.lax.rsqrt(var + eps) * w[None, :]).astype(t.dtype)
+
+
+def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
+                qn_ref, kn_ref, y_ref, *, nq, nkv, d, theta, eps, qk_norm):
+    x = x_ref[:]
+    l, h = x.shape
+    scale = 1.0 / math.sqrt(d)
+    length = lens_ref[pl.program_id(0)]
+    # input RMSNorm (f32 stats); the residual adds RAW x
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(var + eps) * rms_ref[0][None, :]).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0][None, :]).astype(x.dtype)  # [L, (nq+2nkv)d]
+    cos, sin = _rope_tables(l, d, theta)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    allowed = (kpos <= qpos) & (kpos < length)
+    q_valid = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0) < length
+    group = nq // nkv
+    ctx_parts = []
+    for hd in range(nq):
+        q = qkv[:, hd * d:(hd + 1) * d]
+        kv = hd // group  # GQA: shared K/V head, sliced — never repeated
+        k = qkv[:, nq * d + kv * d: nq * d + (kv + 1) * d]
+        v = qkv[:, (nq + nkv) * d + kv * d: (nq + nkv) * d + (kv + 1) * d]
+        if qk_norm:
+            q = _head_rms(q, qn_ref[0], eps)
+            k = _head_rms(k, kn_ref[0], eps)
+        q = _rope2(q, cos, sin)
+        k = _rope2(k, cos, sin)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_parts, axis=-1)  # [L, nq*d] f32
+    ctx = jnp.where(q_valid, ctx, 0.0)  # pad query rows: y = x exactly
+    out = jnp.dot(ctx.astype(x.dtype), wo_ref[:],
+                  preferred_element_type=jnp.float32)
+    y_ref[:] = (xf + out).astype(y_ref.dtype)
+
+
+def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
+                theta, eps, qk_norm):
+    b, l, h = x.shape
+    # lane-pad L so the [L, L] score tile is legal; padded rows are masked
+    # out as pad queries (zero ctx) and sliced off below
+    orig_l = l
+    l_pad = -(-l // 128) * 128
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        l = l_pad
+    lengths = jnp.clip(lengths, 0, orig_l)
+    qw = wqkv.shape[-1]
+    f32row = lambda t: jnp.asarray(t, jnp.float32).reshape(1, -1)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_dec_kernel, nq=nq, nkv=nkv, d=d, theta=theta,
+                          eps=eps, qk_norm=qk_norm),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,),
+            in_specs=[
+                pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+                pl.BlockSpec((h, qw), lambda *a: (0, 0)),
+                pl.BlockSpec((1, qw), lambda *a: (0, 0)),
+                pl.BlockSpec((nq * d, h), lambda *a: (0, 0)),
+                pl.BlockSpec((1, h), lambda *a: (0, 0)),
+                pl.BlockSpec((1, d), lambda *a: (0, 0)),
+                pl.BlockSpec((1, d), lambda *a: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(lengths.astype(jnp.int32), x, wqkv, f32row(bqkv), wo, f32row(rms_w),
+      f32row(qn_w), f32row(kn_w))
+    return out[:, :orig_l, :]
+
+
+def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
+                       nkv, d, theta, eps, qk_norm):
+    """The same math through the blocked flash kernel (O(L·D) memory) — the
+    custom-vjp recompute graph and the test oracle. Matches the fused kernel
+    on EVERY row including pad queries (ctx zeroed there)."""
+    from nexus_tpu.ops.flash_attention import flash_attention
+
+    b, l, h = x.shape
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(var + eps) * rms_w[None, None, :]).astype(x.dtype)
+    qkv = (jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)
+           + bqkv[None, None, :]).astype(x.dtype)
+    q = qkv[..., : nq * d].reshape(b, l, nq, d)
+    k = qkv[..., nq * d:(nq + nkv) * d].reshape(b, l, nkv, d)
+    v = qkv[..., (nq + nkv) * d:].reshape(b, l, nkv, d)
+    if qk_norm:
+        qf = q.astype(jnp.float32)
+        q = (qf * jax.lax.rsqrt(jnp.mean(qf * qf, -1, keepdims=True) + eps)
+             * qn_w).astype(q.dtype)
+        kf = k.astype(jnp.float32)
+        k = (kf * jax.lax.rsqrt(jnp.mean(kf * kf, -1, keepdims=True) + eps)
+             * kn_w).astype(k.dtype)
+    cos, sin = _rope_tables(l, d, theta)
+    c4, s4 = cos[None, :, None, :], sin[None, :, None, :]
+
+    def rope4(t):
+        t1 = t[..., : d // 2].astype(jnp.float32)
+        t2 = t[..., d // 2:].astype(jnp.float32)
+        return jnp.concatenate([t1 * c4 - t2 * s4, t2 * c4 + t1 * s4],
+                               axis=-1).astype(t.dtype)
+
+    q, k = rope4(q), rope4(k)
+    rep = nq // nkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    valid = jnp.arange(l)[None, :] < lengths[:, None]  # [B, L]
+    blk = min(512, max(128, l))
+    ctx = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), valid.astype(jnp.int32), blk, blk, True,
+    ).transpose(0, 2, 1, 3)
+    ctx = jnp.where(valid[:, :, None, None], ctx, 0).reshape(b, l, nq * d)
+    out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32)
+    return (xf + out).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _fused_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
+               theta, eps, qk_norm):
+    return _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
+                       nkv, d, theta, eps, qk_norm)
+
+
+def _fused_dec_fwd(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv,
+                   d, theta, eps, qk_norm):
+    y = _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv,
+                    d, theta, eps, qk_norm)
+    return y, (x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths)
+
+
+def _fused_dec_bwd(nq, nkv, d, theta, eps, qk_norm, res, g):
+    x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths = res
+    _, vjp = jax.vjp(
+        lambda *a: _unfused_reference(*a, lengths, nq, nkv, d, theta, eps,
+                                      qk_norm),
+        x, wqkv, bqkv, wo, rms_w, qn_w, kn_w,
+    )
+    return (*vjp(g.astype(x.dtype)), None)
+
+
+_fused_dec.defvjp(_fused_dec_fwd, _fused_dec_bwd)
+
+
+def fused_decoder_attention(
+    x, wqkv, wo, rms_w, lengths, *, num_q_heads: int, num_kv_heads: int,
+    head_dim: int, rope_theta: float = 10000.0, eps: float = 1e-6,
+    bqkv=None, q_norm_w=None, k_norm_w=None,
+):
+    """y = x + o_proj(causal_GQA_attention(RoPE(QKV(RMSNorm(x))))) in one
+    fused Pallas program per batch row.
+
+    x: [B, L, H]; wqkv: [H, (nq + 2·nkv)·d] (q|k|v column blocks);
+    wo: [nq·d, H]; rms_w: [H] (input_layernorm weight); lengths: [B] int32
+    valid-token counts of RIGHT-padded rows. Optional ``bqkv``
+    [(nq+2·nkv)·d] (Qwen2 attention bias) and ``q_norm_w``/``k_norm_w``
+    [d] (Qwen3 per-head qk RMSNorm, applied before RoPE).
+
+    Pad query rows return x unchanged — identical to the recompute graph,
+    so the custom-vjp gradient is exact for any cotangent. Callers should
+    fall back to the flash path when `fused_decoder_supported` is False.
+    """
+    qw = (num_q_heads + 2 * num_kv_heads) * head_dim
+    if bqkv is None:
+        bqkv = jnp.zeros((qw,), jnp.float32)
+    qk_norm = q_norm_w is not None
+    if q_norm_w is None:
+        q_norm_w = jnp.ones((head_dim,), jnp.float32)
+        k_norm_w = jnp.ones((head_dim,), jnp.float32)
+    return _fused_dec(x, wqkv, bqkv, wo, rms_w, q_norm_w, k_norm_w, lengths,
+                      num_q_heads, num_kv_heads, head_dim, rope_theta, eps,
+                      qk_norm)
+
+
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def _vmem_estimate(h: int, l: int, nq: int, nkv: int, d: int) -> int:
+    """Conservative resident-VMEM bytes for one program (see the encoder
+    twin in ops/fused_encoder.py for the calibration rationale)."""
+    qw = (nq + 2 * nkv) * d
+    io = 4 * 2 * l * h                    # x + y, double-buffered, bf16
+    weights = 2 * h * qw + 2 * nq * d * h  # wqkv + wo, bf16
+    qkv = 6 * l * qw                       # f32 accum + bf16 value
+    scores = 12 * l * l                    # s + p tiles, f32
+    ctx = 4 * l * nq * d
+    return io + weights + qkv + scores + ctx
+
+
+def fused_decoder_supported(hidden_size: int, num_q_heads: int,
+                            num_kv_heads: int, head_dim: int,
+                            seq_len: int) -> bool:
+    """Shape + VMEM gate for the fused decoder kernel."""
+    return (
+        hidden_size % 128 == 0
+        and head_dim % 8 == 0
+        and head_dim >= 16  # the half-split RoPE lane slice needs d/2 >= 8
+        and num_q_heads % max(num_kv_heads, 1) == 0
+        and seq_len <= 1024
+        and _vmem_estimate(hidden_size, -(-seq_len // 128) * 128,
+                           num_q_heads, num_kv_heads, head_dim)
+        <= _VMEM_BUDGET
+    )

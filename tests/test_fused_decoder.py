@@ -1,0 +1,163 @@
+"""Fused decoder megakernel (ops/fused_decoder.py): op-level parity vs an
+einsum oracle (GQA + RoPE + causal + right-padding, bias and qk-norm
+variants), pad-row/custom-vjp consistency, and the param-tree compatibility
+contract of LlamaConfig(attention_impl='fused')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+from nexus_tpu.ops.fused_decoder import (
+    _unfused_reference,
+    fused_decoder_attention,
+    fused_decoder_supported,
+)
+
+H, NQ, NKV, D = 128, 4, 2, 32
+THETA, EPS = 10000.0, 1e-6
+
+
+def _weights(key, bias=False, qk_norm=False):
+    ks = jax.random.split(key, 7)
+    s = 0.05
+    qw = (NQ + 2 * NKV) * D
+    w = dict(
+        wqkv=(jax.random.normal(ks[0], (H, qw)) * s).astype(jnp.float32),
+        wo=(jax.random.normal(ks[1], (NQ * D, H)) * s).astype(jnp.float32),
+        rms_w=1.0 + jax.random.normal(ks[2], (H,)) * 0.1,
+        bqkv=(jax.random.normal(ks[3], (qw,)) * s) if bias else None,
+        q_norm_w=(1.0 + jax.random.normal(ks[4], (D,)) * 0.1) if qk_norm else None,
+        k_norm_w=(1.0 + jax.random.normal(ks[5], (D,)) * 0.1) if qk_norm else None,
+    )
+    return w
+
+
+def _oracle(x, w, lengths):
+    """Plain-einsum decoder attention block with explicit masks."""
+    b, l, h = x.shape
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + EPS) * w["rms_w"]
+    qkv = xn @ w["wqkv"]
+    if w["bqkv"] is not None:
+        qkv = qkv + w["bqkv"]
+    q = qkv[..., : NQ * D].reshape(b, l, NQ, D)
+    k = qkv[..., NQ * D:(NQ + NKV) * D].reshape(b, l, NKV, D)
+    v = qkv[..., (NQ + NKV) * D:].reshape(b, l, NKV, D)
+    if w["q_norm_w"] is not None:
+        q = q * jax.lax.rsqrt(jnp.mean(q * q, -1, keepdims=True) + EPS) * w["q_norm_w"]
+        k = k * jax.lax.rsqrt(jnp.mean(k * k, -1, keepdims=True) + EPS) * w["k_norm_w"]
+    pos = jnp.arange(l, dtype=jnp.float32)
+    freqs = 1.0 / (THETA ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    ang = pos[:, None] * freqs[None, :]
+    cos, sin = jnp.cos(ang)[None, :, None, :], jnp.sin(ang)[None, :, None, :]
+
+    def rope(t):
+        t1, t2 = t[..., : D // 2], t[..., D // 2:]
+        return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin], -1)
+
+    q, k = rope(q), rope(k)
+    k = jnp.repeat(k, NQ // NKV, axis=2)
+    v = jnp.repeat(v, NQ // NKV, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+    qpos, kpos = jnp.arange(l)[:, None], jnp.arange(l)[None, :]
+    allowed = (kpos <= qpos)[None, None] & (
+        kpos[None, None] < lengths[:, None, None, None])
+    s = jnp.where(allowed, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, NQ * D)
+    ctx = jnp.where((jnp.arange(l)[None, :] < lengths[:, None])[..., None], ctx, 0)
+    return xf + ctx @ w["wo"]
+
+
+def _call(x, w, lengths):
+    return fused_decoder_attention(
+        x, w["wqkv"], w["wo"], w["rms_w"], lengths, num_q_heads=NQ,
+        num_kv_heads=NKV, head_dim=D, rope_theta=THETA, eps=EPS,
+        bqkv=w["bqkv"], q_norm_w=w["q_norm_w"], k_norm_w=w["k_norm_w"])
+
+
+@pytest.mark.parametrize("bias,qk_norm", [(False, False), (True, False),
+                                          (False, True)])
+def test_fused_decoder_matches_oracle(key, bias, qk_norm):
+    b, l = 3, 48  # 48 exercises the lane-pad-to-128 path
+    w = _weights(key, bias=bias, qk_norm=qk_norm)
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, l, H)) * 0.5
+    lengths = jnp.array([48, 30, 7], jnp.int32)
+    got = np.asarray(_call(x, w, lengths))
+    want = np.asarray(_oracle(x, w, lengths))
+    valid = np.asarray(jnp.arange(l)[None, :] < lengths[:, None])
+    assert np.abs(got - want)[valid].max() < 1e-4
+    # pad query rows return x unchanged
+    pad = ~valid
+    assert np.abs(got - np.asarray(x, np.float32))[pad].max() < 1e-5
+
+
+def test_fused_decoder_pad_rows_match_recompute_graph(key):
+    """Forward equals the flash recompute graph on EVERY row (incl. pads);
+    a linear pad-touching cotangent then gives bit-identical gradients."""
+    b, l = 2, 128
+    w = _weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, l, H)) * 0.5
+    lengths = jnp.array([128, 61], jnp.int32)
+    qw_zeros = jnp.zeros_like(w["wqkv"][0])
+    ones = jnp.ones((D,), jnp.float32)
+    got = np.asarray(_call(x, w, lengths))
+    want = np.asarray(_unfused_reference(
+        x, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, lengths,
+        NQ, NKV, D, THETA, EPS, False))
+    assert np.abs(got - want).max() < 1e-4
+    cot = jax.random.normal(jax.random.PRNGKey(9), (b, l, H))
+    g_fused = jax.grad(lambda x_: jnp.sum(_call(x_, w, lengths) * cot))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(_unfused_reference(
+        x_, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, lengths,
+        NQ, NKV, D, THETA, EPS, False) * cot))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_llama_fused_matches_xla_and_shares_param_tree(key):
+    """attention_impl='fused' through the public LlamaModel surface: same
+    param tree as 'xla' (checkpoint compatibility) and same hidden states
+    on valid rows of a right-padded batch. GQA + qk-norm (Qwen3 shape)."""
+    kw = dict(vocab_size=211, hidden_size=H, intermediate_size=256,
+              num_hidden_layers=2, num_attention_heads=NQ,
+              num_key_value_heads=NKV, max_position_embeddings=64,
+              qk_norm=True, attention_bias=True)
+    ids = np.zeros((2, 48), np.int32)
+    lens = [48, 17]
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(lens):
+        ids[i, :n] = rng.integers(1, 211, n)
+    mask = (ids != 0).astype(np.int32)
+    outs, trees = {}, {}
+    for impl in ("xla", "fused"):
+        cfg = LlamaConfig(attention_impl=impl, **kw)
+        net = LlamaModel(cfg, dtype=jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+        trees[impl] = jax.tree_util.tree_structure(v)
+        outs[impl] = np.asarray(
+            net.apply(v, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"])
+    assert trees["xla"] == trees["fused"]
+    valid = mask.astype(bool)
+    assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
+
+
+def test_fused_decoder_gate():
+    assert fused_decoder_supported(2048, 16, 8, 128, 512)
+    assert not fused_decoder_supported(2048, 16, 8, 128, 2048)  # L too long
+    assert not fused_decoder_supported(4096, 32, 8, 128, 1024)  # VMEM
+    assert not fused_decoder_supported(2048, 16, 3, 128, 512)   # ragged GQA
+    # LoRA gates fused off inside LlamaLayer (tree incompatibility): the
+    # model must still run and produce the flash/xla result
+    cfg = LlamaConfig(vocab_size=97, hidden_size=H, intermediate_size=256,
+                      num_hidden_layers=1, num_attention_heads=NQ,
+                      num_key_value_heads=NKV, attention_impl="fused",
+                      lora_rank=4)
+    net = LlamaModel(cfg, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 97, (2, 16)), jnp.int32)
+    v = net.init(jax.random.PRNGKey(0), ids)
+    out = net.apply(v, ids)["last_hidden_state"]
+    assert np.isfinite(np.asarray(out)).all()
