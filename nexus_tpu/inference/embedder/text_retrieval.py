@@ -28,6 +28,17 @@ logger = get_logger("nexus_tpu.inference.text_embedder")
 DEFAULT_SEQ_BUCKETS = (32, 64, 128, 256, 512)
 
 
+def _override_attention_impl(model, impl: str) -> None:
+    """Serve-time attention-path override: flips attention_impl on whichever
+    net config the wrapped model carries (BertConfig / LlamaConfig). The
+    session re-lowers on the next compile, so the checkpoint stays untouched
+    and the megakernel ('fused') can be enabled without editing config.json."""
+    for attr in ("bert_config", "llama_config"):
+        cfg = getattr(model, attr, None)
+        if cfg is not None and hasattr(cfg, "attention_impl"):
+            cfg.attention_impl = impl
+
+
 class TextEmbedder:
     """Encode text into embeddings with a BiTextEmbedderModel checkpoint."""
 
@@ -46,15 +57,22 @@ class TextEmbedder:
         mesh=None,
         packing: bool = False,
         output_dtype: str = "float32",
+        attention_impl: Optional[str] = None,
     ):
         """``mesh``: shard encode batches across the mesh's data axis — the
         multi-chip replacement for the reference's per-GPU process pool
         (abc/inference/embedder/AbsEmbedder.py:120-245); one compiled program,
-        XLA splits the batch over chips."""
+        XLA splits the batch over chips.
+
+        ``attention_impl``: override the checkpoint's attention path —
+        'fused' (megakernel, fastest encode) | 'pallas' (flash) | 'xla';
+        None keeps what the checkpoint's config recorded."""
         from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
 
         if model is None:
             model = BiTextEmbedderModel.from_pretrained(model_name_or_path)
+        if attention_impl is not None:
+            _override_attention_impl(model, attention_impl)
         self.mesh = mesh
         self.model = model
         if tokenizer is None:

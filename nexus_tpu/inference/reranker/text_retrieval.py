@@ -30,17 +30,25 @@ class TextReranker:
         infer_mode: str = "normal",
         normalize: bool = True,
         pair_template: Optional[str] = None,
+        attention_impl: Optional[str] = None,
     ):
         """``pair_template``: LLM-reranker prompt formatting — e.g.
         ``"A: {query}\\nB: {passage}\\nPredict whether passage B answers "
         "query A."`` Each pair becomes ONE formatted sequence (the decoder
         scores its last token); without it, pairs tokenize as the standard
-        two-segment (query, passage) encoding."""
+        two-segment (query, passage) encoding.
+
+        ``attention_impl``: serve-time attention-path override ('fused' |
+        'pallas' | 'xla'); None keeps the checkpoint's configuration."""
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
 
         if model is None:
             # dispatches BERT-head vs decoder (LLM yes-logit) by config.json
             model = load_reranker_model(model_name_or_path)
+        if attention_impl is not None:
+            from nexus_tpu.inference.embedder.text_retrieval import _override_attention_impl
+
+            _override_attention_impl(model, attention_impl)
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

@@ -53,6 +53,10 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
         args = model_args or TextEmbedderModelArguments()
         if args.sentence_pooling_method == "cls":
             args.sentence_pooling_method = "last_token"
+        if args.attention_impl != "auto":
+            # same knob as the encoder twin (modeling.py): xla | pallas |
+            # fused (ops/fused_decoder.py megakernel)
+            llama_config.attention_impl = args.attention_impl
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         self.net = LlamaModel(llama_config, dtype=dtype)
