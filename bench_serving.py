@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -211,10 +212,87 @@ def text_stream() -> None:
     }), flush=True)
 
 
+def llm_rerank() -> None:
+    """LLM (decoder) cross-encoder scoring throughput — the serve-time path
+    of the decoder-backbone reranker (VERDICT r2 item 1's inference half).
+
+    Model: Llama-3.2-1B shape (H=2048, 16 layers, GQA 32q/8kv, d=64,
+    FF=8192, ~1.2B params in bf16). Workload: (query ~16 tok, passage
+    lognormal mean ~170) pairs, seq cap 512, right padding, through the
+    public TextReranker engine (tokenize + bucket + jit score).
+    argv[2] picks attention_impl: fused (ops/fused_decoder.py megakernel,
+    default) | pallas (flash) | xla.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.reranker.text_retrieval.decoder_only import (
+        DecoderCrossEncoderModel,
+    )
+    from nexus_tpu.utils.benchstats import measure_trials
+
+    impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    tiny = len(sys.argv) > 4 and sys.argv[4] == "tiny"  # CPU smoke shape
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=256 if tiny else 2048,
+        intermediate_size=512 if tiny else 8192,
+        num_hidden_layers=2 if tiny else 16,
+        num_attention_heads=4 if tiny else 32,
+        num_key_value_heads=2 if tiny else 8,
+        max_position_embeddings=512, attention_impl=impl,
+    )
+    model = DecoderCrossEncoderModel(cfg, dtype="bfloat16")
+    model.variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+        model.init_variables(jax.random.PRNGKey(0)),
+    )
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="nx_bench_llmrr_")
+    tok, _ = _fake_corpus_and_tokenizer(tmp, 0, rng)
+    n_pairs = bs * 8
+    q_lens = np.clip(rng.lognormal(2.7, 0.4, n_pairs), 4, 60).astype(int)
+    p_lens = np.clip(rng.lognormal(np.log(170.0), 0.6, n_pairs), 8, 520).astype(int)
+    words = [f"w{i:04d}" for i in range(8000)]
+    pairs = [
+        (" ".join(rng.choice(words, q)), " ".join(rng.choice(words, p)))
+        for q, p in zip(q_lens, p_lens)
+    ]
+
+    rr = TextReranker(model=model, tokenizer=tok, batch_size=bs,
+                      max_length=512, seq_buckets=(256, 512))
+    rr.compute_score(pairs)  # warm every bucket
+
+    def one_trial() -> float:
+        t0 = time.perf_counter()
+        scores = rr.compute_score(pairs)
+        assert np.isfinite(scores).all()
+        return len(pairs) / (time.perf_counter() - t0)
+
+    stats = measure_trials(one_trial)
+    print(json.dumps({
+        "metric": "llm_reranker_pairs_per_sec_end_to_end",
+        "value": round(stats["value"], 2), "unit": "pairs/s",
+        "n": stats["n"], "iqr": round(stats["iqr"], 2),
+        "attention_impl": impl, "batch_size": bs,
+        "model": ("tiny-smoke" if tiny
+                  else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
+        "includes": "tokenization + length bucketing + jit score",
+    }), flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "text":
         text_stream()
+    elif len(sys.argv) > 1 and sys.argv[1] == "llm_rerank":
+        llm_rerank()
     else:
         main()
