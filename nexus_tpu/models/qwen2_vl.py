@@ -474,13 +474,28 @@ class Qwen2VLTextAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attention_mask, cos, sin):
+    def __call__(self, x, attention_mask, cos, sin, return_weights=False):
         from nexus_tpu.models.lora import lora_dense
 
         c = self.config
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         hd = c.hidden_size // n_q
+        if return_weights:
+            # fused megakernel path (ops/fused_decoder.py): identical param
+            # tree, raw packed projections handed to the kernel
+            from nexus_tpu.models.llama import _DenseParams
+
+            wq, bq = _DenseParams(n_q * hd, True, name="q_proj")(
+                c.hidden_size, self.dtype)
+            wk, bk = _DenseParams(n_kv * hd, True, name="k_proj")(
+                c.hidden_size, self.dtype)
+            wv, bv = _DenseParams(n_kv * hd, True, name="v_proj")(
+                c.hidden_size, self.dtype)
+            wo, _ = _DenseParams(c.hidden_size, False, name="o_proj")(
+                n_q * hd, self.dtype)
+            return (jnp.concatenate([wq, wk, wv], axis=-1),
+                    jnp.concatenate([bq, bk, bv]), wo)
         b, l, _ = x.shape
         q = lora_dense(c, n_q * hd, "q_proj", True, self.dtype)(x).reshape(b, l, n_q, hd)
         k = lora_dense(c, n_kv * hd, "k_proj", True, self.dtype)(x).reshape(b, l, n_kv, hd)
@@ -508,12 +523,35 @@ class Qwen2VLTextLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attention_mask, cos, sin):
-        from nexus_tpu.models.llama import LlamaMLP
+        from nexus_tpu.models.llama import LlamaMLP, _RMSParams
 
         c = self.config
-        x = x + Qwen2VLTextAttention(c, dtype=self.dtype, name="self_attn")(
-            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin
-        )
+        n_q = c.num_attention_heads
+        n_kv = c.num_key_value_heads or n_q
+        hd = c.hidden_size // n_q
+        if c.attention_impl == "fused" and c.lora_rank == 0:
+            from nexus_tpu.ops.fused_decoder import (
+                fused_decoder_attention, fused_decoder_supported)
+
+            fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv, hd,
+                                           x.shape[1])
+        else:
+            fuse = False
+        if fuse:
+            # megakernel with the M-RoPE tables passed straight through
+            # (right-padded rows — the processor adapters' convention)
+            wqkv, bqkv, wo = Qwen2VLTextAttention(
+                c, dtype=self.dtype, name="self_attn")(
+                x, attention_mask, cos, sin, return_weights=True)
+            rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
+            x = fused_decoder_attention(
+                x, wqkv, wo, rms_w, jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
+                eps=c.rms_norm_eps, bqkv=bqkv, rope_cos=cos, rope_sin=sin)
+        else:
+            x = x + Qwen2VLTextAttention(c, dtype=self.dtype, name="self_attn")(
+                RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin
+            )
         return x + LlamaMLP(c, dtype=self.dtype, name="mlp")(
             RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
         )

@@ -336,13 +336,29 @@ class Qwen3VLTextAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attention_mask, cos, sin):
+    def __call__(self, x, attention_mask, cos, sin, return_weights=False):
         from nexus_tpu.models.lora import lora_dense
 
         c = self.config
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         hd = getattr(c, "head_dim", None) or c.hidden_size // n_q
+        if return_weights:
+            # fused megakernel path (ops/fused_decoder.py): identical param
+            # tree, raw packed projections handed to the kernel
+            from nexus_tpu.models.llama import _DenseParams, _RMSParams
+
+            wq, _ = _DenseParams(n_q * hd, False, name="q_proj")(
+                c.hidden_size, self.dtype)
+            wk, _ = _DenseParams(n_kv * hd, False, name="k_proj")(
+                c.hidden_size, self.dtype)
+            wv, _ = _DenseParams(n_kv * hd, False, name="v_proj")(
+                c.hidden_size, self.dtype)
+            wo, _ = _DenseParams(c.hidden_size, False, name="o_proj")(
+                n_q * hd, self.dtype)
+            qn = _RMSParams(name="q_norm")(hd)
+            kn = _RMSParams(name="k_norm")(hd)
+            return jnp.concatenate([wq, wk, wv], axis=-1), wo, qn, kn
         b, l, _ = x.shape
         q = lora_dense(c, n_q * hd, "q_proj", False, self.dtype)(x).reshape(b, l, n_q, hd)
         k = lora_dense(c, n_kv * hd, "k_proj", False, self.dtype)(x).reshape(b, l, n_kv, hd)
@@ -372,12 +388,36 @@ class Qwen3VLTextLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attention_mask, cos, sin):
-        from nexus_tpu.models.llama import LlamaMLP
+        from nexus_tpu.models.llama import LlamaMLP, _RMSParams
 
         c = self.config
-        x = x + Qwen3VLTextAttention(c, dtype=self.dtype, name="self_attn")(
-            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin
-        )
+        n_q = c.num_attention_heads
+        n_kv = c.num_key_value_heads or n_q
+        hd = getattr(c, "head_dim", None) or c.hidden_size // n_q
+        if c.attention_impl == "fused" and c.lora_rank == 0:
+            from nexus_tpu.ops.fused_decoder import (
+                fused_decoder_attention, fused_decoder_supported)
+
+            fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv, hd,
+                                           x.shape[1])
+        else:
+            fuse = False
+        if fuse:
+            # megakernel with qk-norm in-kernel and the M-RoPE tables
+            # passed straight through (right-padded rows)
+            wqkv, wo, qn, kn = Qwen3VLTextAttention(
+                c, dtype=self.dtype, name="self_attn")(
+                x, attention_mask, cos, sin, return_weights=True)
+            rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
+            x = fused_decoder_attention(
+                x, wqkv, wo, rms_w, jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
+                eps=c.rms_norm_eps, q_norm_w=qn, k_norm_w=kn,
+                rope_cos=cos, rope_sin=sin)
+        else:
+            x = x + Qwen3VLTextAttention(c, dtype=self.dtype, name="self_attn")(
+                RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin
+            )
         return x + LlamaMLP(c, dtype=self.dtype, name="mlp")(
             RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
         )

@@ -48,22 +48,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _rope_tables(l: int, d: int, theta: float):
-    """cos/sin tables [L, d/2] for right-padded rows (positions = iota)."""
-    pos = jax.lax.broadcasted_iota(jnp.float32, (l, d // 2), 0)
-    idx = jax.lax.broadcasted_iota(jnp.float32, (l, d // 2), 1)
-    freqs = jnp.exp(-math.log(theta) * 2.0 * idx / d)
-    ang = pos * freqs
-    return jnp.cos(ang), jnp.sin(ang)
+def iota_rope_tables(l: int, d: int, theta: float):
+    """Full-head-dim cos/sin tables [1, L, d] for right-padded rows
+    (positions = iota), HF layout: the half-frequency table duplicated
+    across both halves, applied as ``t*cos + rotate_half(t)*sin``."""
+    pos = jnp.arange(l, dtype=jnp.float32)
+    freqs = jnp.exp(-math.log(theta)
+                    * jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    ang = pos[:, None] * freqs[None, :]  # [L, d/2]
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    return cos[None], sin[None]
 
 
 def _rope2(t, cos, sin):
-    """Rotate a [L, d] head block (HF half-split convention)."""
+    """Rotate a [L, d] head block: t*cos + rotate_half(t)*sin with full-dim
+    [L, d] tables (identical to the half-split convention when the tables
+    duplicate the frequency halves — iota_rope_tables does)."""
     d = t.shape[-1]
-    t1 = t[:, : d // 2].astype(jnp.float32)
-    t2 = t[:, d // 2:].astype(jnp.float32)
-    return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin],
-                           axis=-1).astype(t.dtype)
+    tf = t.astype(jnp.float32)
+    rot = jnp.concatenate([-tf[:, d // 2:], tf[:, : d // 2]], axis=-1)
+    return (tf * cos + rot * sin).astype(t.dtype)
 
 
 def _head_rms(t, w, eps):
@@ -74,7 +79,8 @@ def _head_rms(t, w, eps):
 
 
 def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
-                qn_ref, kn_ref, y_ref, *, nq, nkv, d, theta, eps, qk_norm):
+                qn_ref, kn_ref, cos_ref, sin_ref, y_ref, *, nq, nkv, d, eps,
+                qk_norm):
     x = x_ref[:]
     l, h = x.shape
     scale = 1.0 / math.sqrt(d)
@@ -85,7 +91,7 @@ def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
     xn = (xf * jax.lax.rsqrt(var + eps) * rms_ref[0][None, :]).astype(x.dtype)
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0][None, :]).astype(x.dtype)  # [L, (nq+2nkv)d]
-    cos, sin = _rope_tables(l, d, theta)
+    cos, sin = cos_ref[:], sin_ref[:]  # [L, d] f32 (iota or M-RoPE tables)
     qpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
     allowed = (kpos <= qpos) & (kpos < length)
@@ -116,8 +122,8 @@ def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
     y_ref[:] = (xf + out).astype(y_ref.dtype)
 
 
-def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
-                theta, eps, qk_norm):
+def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
+                nq, nkv, d, eps, qk_norm):
     b, l, h = x.shape
     # lane-pad L so the [L, L] score tile is legal; padded rows are masked
     # out as pad queries (zero ctx) and sliced off below
@@ -125,13 +131,19 @@ def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
     l_pad = -(-l // 128) * 128
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        cos = jnp.pad(cos, ((0, 0), (0, l_pad - l), (0, 0)))
+        sin = jnp.pad(sin, ((0, 0), (0, l_pad - l), (0, 0)))
         l = l_pad
     lengths = jnp.clip(lengths, 0, orig_l)
     qw = wqkv.shape[-1]
+    # per-row tables (M-RoPE) index by program id; shared iota tables are
+    # [1, L, d] and every program reads block 0
+    tab_row = (lambda i, lens: (i, 0, 0)) if cos.shape[0] == b \
+        else (lambda i, lens: (0, 0, 0))
     f32row = lambda t: jnp.asarray(t, jnp.float32).reshape(1, -1)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_dec_kernel, nq=nq, nkv=nkv, d=d, theta=theta,
-                          eps=eps, qk_norm=qk_norm),
+        functools.partial(_dec_kernel, nq=nq, nkv=nkv, d=d, eps=eps,
+                          qk_norm=qk_norm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(b,),
             in_specs=[
@@ -142,6 +154,8 @@ def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
                 pl.BlockSpec((1, h), lambda *a: (0, 0)),
                 pl.BlockSpec((1, d), lambda *a: (0, 0)),
                 pl.BlockSpec((1, d), lambda *a: (0, 0)),
+                pl.BlockSpec((None, l, d), tab_row),
+                pl.BlockSpec((None, l, d), tab_row),
             ],
             out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
         ),
@@ -151,12 +165,13 @@ def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(lengths.astype(jnp.int32), x, wqkv, f32row(bqkv), wo, f32row(rms_w),
-      f32row(qn_w), f32row(kn_w))
+      f32row(qn_w), f32row(kn_w), cos.astype(jnp.float32),
+      sin.astype(jnp.float32))
     return out[:, :orig_l, :]
 
 
-def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
-                       nkv, d, theta, eps, qk_norm):
+def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
+                       lengths, nq, nkv, d, eps, qk_norm):
     """The same math through the blocked flash kernel (O(L·D) memory) — the
     custom-vjp recompute graph and the test oracle. Matches the fused kernel
     on EVERY row including pad queries (ctx zeroed there)."""
@@ -178,14 +193,12 @@ def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
         kf = k.astype(jnp.float32)
         k = (kf * jax.lax.rsqrt(jnp.mean(kf * kf, -1, keepdims=True) + eps)
              * kn_w).astype(k.dtype)
-    cos, sin = _rope_tables(l, d, theta)
-    c4, s4 = cos[None, :, None, :], sin[None, :, None, :]
+    c4, s4 = cos[:, :, None, :], sin[:, :, None, :]  # [B|1, L, 1, d]
 
     def rope4(t):
-        t1 = t[..., : d // 2].astype(jnp.float32)
-        t2 = t[..., d // 2:].astype(jnp.float32)
-        return jnp.concatenate([t1 * c4 - t2 * s4, t2 * c4 + t1 * s4],
-                               axis=-1).astype(t.dtype)
+        tf = t.astype(jnp.float32)
+        rot = jnp.concatenate([-tf[..., d // 2:], tf[..., : d // 2]], axis=-1)
+        return (tf * c4 + rot * s4).astype(t.dtype)
 
     q, k = rope4(q), rope4(k)
     rep = nq // nkv
@@ -203,26 +216,25 @@ def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
     return (xf + out).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def _fused_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv, d,
-               theta, eps, qk_norm):
-    return _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq,
-                       nkv, d, theta, eps, qk_norm)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _fused_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths, nq,
+               nkv, d, eps, qk_norm):
+    return _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
+                       lengths, nq, nkv, d, eps, qk_norm)
 
 
-def _fused_dec_fwd(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv,
-                   d, theta, eps, qk_norm):
-    y = _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths, nq, nkv,
-                    d, theta, eps, qk_norm)
-    return y, (x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths)
+def _fused_dec_fwd(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
+                   nq, nkv, d, eps, qk_norm):
+    y = _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
+                    nq, nkv, d, eps, qk_norm)
+    return y, (x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths)
 
 
-def _fused_dec_bwd(nq, nkv, d, theta, eps, qk_norm, res, g):
-    x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, lengths = res
+def _fused_dec_bwd(nq, nkv, d, eps, qk_norm, res, g):
+    x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths = res
     _, vjp = jax.vjp(
-        lambda *a: _unfused_reference(*a, lengths, nq, nkv, d, theta, eps,
-                                      qk_norm),
-        x, wqkv, bqkv, wo, rms_w, qn_w, kn_w,
+        lambda *a: _unfused_reference(*a, lengths, nq, nkv, d, eps, qk_norm),
+        x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
     )
     return (*vjp(g.astype(x.dtype)), None)
 
@@ -233,7 +245,7 @@ _fused_dec.defvjp(_fused_dec_fwd, _fused_dec_bwd)
 def fused_decoder_attention(
     x, wqkv, wo, rms_w, lengths, *, num_q_heads: int, num_kv_heads: int,
     head_dim: int, rope_theta: float = 10000.0, eps: float = 1e-6,
-    bqkv=None, q_norm_w=None, k_norm_w=None,
+    bqkv=None, q_norm_w=None, k_norm_w=None, rope_cos=None, rope_sin=None,
 ):
     """y = x + o_proj(causal_GQA_attention(RoPE(QKV(RMSNorm(x))))) in one
     fused Pallas program per batch row.
@@ -243,6 +255,11 @@ def fused_decoder_attention(
     valid-token counts of RIGHT-padded rows. Optional ``bqkv``
     [(nq+2·nkv)·d] (Qwen2 attention bias) and ``q_norm_w``/``k_norm_w``
     [d] (Qwen3 per-head qk RMSNorm, applied before RoPE).
+
+    ``rope_cos``/``rope_sin`` [B|1, L, head_dim] f32: precomputed full-dim
+    rotary tables applied as ``t*cos + rotate_half(t)*sin`` — pass the
+    Qwen-VL M-RoPE tables here (per-row 3D positions); None derives
+    standard-RoPE tables from iota positions (right padding).
 
     Pad query rows return x unchanged — identical to the recompute graph,
     so the custom-vjp gradient is exact for any cotangent. Callers should
@@ -255,9 +272,13 @@ def fused_decoder_attention(
     if q_norm_w is None:
         q_norm_w = jnp.ones((head_dim,), jnp.float32)
         k_norm_w = jnp.ones((head_dim,), jnp.float32)
-    return _fused_dec(x, wqkv, bqkv, wo, rms_w, q_norm_w, k_norm_w, lengths,
-                      num_q_heads, num_kv_heads, head_dim, rope_theta, eps,
-                      qk_norm)
+    if rope_cos is None:
+        rope_cos, rope_sin = iota_rope_tables(x.shape[1], head_dim,
+                                              rope_theta)
+    return _fused_dec(x, wqkv, bqkv, wo, rms_w, q_norm_w, k_norm_w,
+                      jnp.asarray(rope_cos, jnp.float32),
+                      jnp.asarray(rope_sin, jnp.float32), lengths,
+                      num_q_heads, num_kv_heads, head_dim, eps, qk_norm)
 
 
 _VMEM_BUDGET = 88 * 1024 * 1024

@@ -13,6 +13,7 @@ from nexus_tpu.ops.fused_decoder import (
     _unfused_reference,
     fused_decoder_attention,
     fused_decoder_supported,
+    iota_rope_tables,
 )
 
 H, NQ, NKV, D = 128, 4, 2, 32
@@ -104,16 +105,17 @@ def test_fused_decoder_pad_rows_match_recompute_graph(key):
     lengths = jnp.array([128, 61], jnp.int32)
     qw_zeros = jnp.zeros_like(w["wqkv"][0])
     ones = jnp.ones((D,), jnp.float32)
+    cos, sin = iota_rope_tables(l, D, THETA)
     got = np.asarray(_call(x, w, lengths))
     want = np.asarray(_unfused_reference(
-        x, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, lengths,
-        NQ, NKV, D, THETA, EPS, False))
+        x, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, cos, sin,
+        lengths, NQ, NKV, D, EPS, False))
     assert np.abs(got - want).max() < 1e-4
     cot = jax.random.normal(jax.random.PRNGKey(9), (b, l, H))
     g_fused = jax.grad(lambda x_: jnp.sum(_call(x_, w, lengths) * cot))(x)
     g_ref = jax.grad(lambda x_: jnp.sum(_unfused_reference(
-        x_, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, lengths,
-        NQ, NKV, D, THETA, EPS, False) * cot))(x)
+        x_, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, cos, sin,
+        lengths, NQ, NKV, D, EPS, False) * cot))(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=0, atol=1e-5)
 
@@ -140,6 +142,72 @@ def test_llama_fused_matches_xla_and_shares_param_tree(key):
         trees[impl] = jax.tree_util.tree_structure(v)
         outs[impl] = np.asarray(
             net.apply(v, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"])
+    assert trees["xla"] == trees["fused"]
+    valid = mask.astype(bool)
+    assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
+
+
+def _vl_text_cfg(**over):
+    cfg = LlamaConfig(vocab_size=211, hidden_size=H, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=NQ,
+                      num_key_value_heads=NKV, max_position_embeddings=64,
+                      **over)
+    return cfg
+
+
+def _mrope_positions3(b, l, rng):
+    """Synthetic M-RoPE ids: row 0 text-like (iota on all components), row 1
+    an image-like span where the three components DIVERGE (t/h/w grid) —
+    exercises the per-row rotary tables through the kernel."""
+    pos = np.tile(np.arange(l, dtype=np.int64)[None], (b, 1))
+    pos3 = np.tile(pos[None], (3, 1, 1))
+    pos3[1, 1, 8:24] = np.repeat(np.arange(4), 4) + 8   # h component
+    pos3[2, 1, 8:24] = np.tile(np.arange(4), 4) + 8     # w component
+    return pos3
+
+
+@pytest.mark.parametrize("family", ["qwen2_vl", "qwen3_vl"])
+def test_vl_trunk_fused_matches_xla(key, family):
+    """Qwen-VL text trunks with attention_impl='fused': the megakernel with
+    per-row M-RoPE tables matches the XLA path on valid rows of a ragged
+    right-padded batch, with an identical param tree."""
+    b, l = 2, 48
+    ids = np.zeros((b, l), np.int64)
+    rng = np.random.default_rng(3)
+    for i, n in enumerate([48, 30]):
+        ids[i, :n] = rng.integers(10, 200, n)
+    mask = (ids != 0).astype(np.int32)
+    pos3 = _mrope_positions3(b, l, rng)
+    outs, trees = {}, {}
+    for impl in ("xla", "fused"):
+        if family == "qwen2_vl":
+            from nexus_tpu.models.qwen2_vl import Qwen2VLBackbone, Qwen2VLConfig
+
+            cfg = Qwen2VLConfig(
+                text=_vl_text_cfg(attention_bias=True, attention_impl=impl),
+                mrope_section=[4, 6, 6],  # sums to head_dim/2 = 16
+                image_token_id=7, video_token_id=8)
+            net = Qwen2VLBackbone(cfg, dtype=jnp.float32)
+        else:
+            from nexus_tpu.models.qwen3_vl import (
+                Qwen3VLBackbone, Qwen3VLConfig, Qwen3VLVisionConfig)
+
+            cfg = Qwen3VLConfig(
+                # vision unused (no pixel_patches); no deepstack so the
+                # 2-layer test trunk scans cleanly
+                vision=Qwen3VLVisionConfig(deepstack_visual_indexes=[]),
+                text=_vl_text_cfg(qk_norm=True, attention_impl=impl),
+                mrope_section=[4, 6, 6],
+                image_token_id=7, video_token_id=8)
+            net = Qwen3VLBackbone(cfg, dtype=jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ids.astype(np.int32)),
+                     attention_mask=jnp.asarray(mask),
+                     positions3=jnp.asarray(pos3))
+        trees[impl] = jax.tree_util.tree_structure(v)
+        outs[impl] = np.asarray(net.apply(
+            v, jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(mask),
+            positions3=jnp.asarray(pos3))["last_hidden_state"])
     assert trees["xla"] == trees["fused"]
     valid = mask.astype(bool)
     assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
