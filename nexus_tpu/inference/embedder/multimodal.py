@@ -34,13 +34,22 @@ class MultimodalEmbedder:
         corpus_instruction: Optional[str] = None,
         use_chat_template: bool = False,
         infer_mode: str = "normal",
+        attention_impl: Optional[str] = None,
     ):
+        """``attention_impl``: serve-time override of the TEXT TRUNK's
+        attention path ('fused' = ops/fused_decoder.py megakernel with the
+        M-RoPE tables in-kernel | 'xla'); None keeps the checkpoint's
+        configuration."""
         from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
             BiMultimodalEmbedderModel,
         )
 
         if model is None:
             model = BiMultimodalEmbedderModel.from_pretrained(model_name_or_path)
+        if attention_impl is not None:
+            tc = getattr(model.vlm_config, "text", None)
+            if tc is not None and hasattr(tc, "attention_impl"):
+                tc.attention_impl = attention_impl
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

@@ -46,7 +46,13 @@ class MultimodalReranker:
         max_length: int = 256,
         media_root: Optional[str] = None,
         instruction: str = DEFAULT_INSTRUCTION,
+        attention_impl: Optional[str] = None,
     ):
+        if attention_impl is not None:
+            # serve-time text-trunk attention override ('fused' megakernel)
+            tc = getattr(model.vlm_config, "text", None)
+            if tc is not None and hasattr(tc, "attention_impl"):
+                tc.attention_impl = attention_impl
         self.model = model
         self.tokenizer = tokenizer
         self.batch_size = batch_size
