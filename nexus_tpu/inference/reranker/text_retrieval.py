@@ -31,6 +31,7 @@ class TextReranker:
         normalize: bool = True,
         pair_template: Optional[str] = None,
         attention_impl: Optional[str] = None,
+        packing: bool = False,
     ):
         """``pair_template``: LLM-reranker prompt formatting — e.g.
         ``"A: {query}\\nB: {passage}\\nPredict whether passage B answers "
@@ -39,7 +40,13 @@ class TextReranker:
         two-segment (query, passage) encoding.
 
         ``attention_impl``: serve-time attention-path override ('fused' |
-        'pallas' | 'xla'); None keeps the checkpoint's configuration."""
+        'pallas' | 'xla'); None keeps the checkpoint's configuration.
+
+        ``packing``: score many pairs per max_length-token row instead of
+        one right-padded pair each (block-diagonal segment attention, same
+        scores) — at realistic pair lengths (~190 tokens vs 512 buckets)
+        this removes most pad FLOPs. Identical mechanics to the packed
+        training collator; both cross-encoder families support it."""
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
 
         if model is None:
@@ -65,6 +72,8 @@ class TextReranker:
         self.infer_mode = infer_mode
         self.normalize = normalize
         self.pair_template = pair_template
+        self.packing = packing
+        self._packed_fn = None
         self.session = self._build_session()
 
     def _score_fn(self, variables, input_ids, attention_mask, token_type_ids):
@@ -129,6 +138,15 @@ class TextReranker:
                     return_tensors="np",
                 )
             ids = enc["input_ids"]
+            if self.packing:
+                tt = enc.get("token_type_ids")
+                out = self._score_packed(
+                    ids.astype(np.int32),
+                    enc["attention_mask"].astype(np.int32),
+                    None if tt is None else tt.astype(np.int32),
+                )
+                scores[idx] = out
+                continue
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
             feed = {}
@@ -145,6 +163,44 @@ class TextReranker:
             scores = 1.0 / (1.0 + np.exp(-scores))
         result = scores.tolist()
         return result[0] if single else result
+
+    def _score_packed(self, ids: np.ndarray, mask: np.ndarray,
+                      token_type_ids: Optional[np.ndarray]) -> np.ndarray:
+        """Pack one right-padded chunk into max_length rows and score it in
+        a single jitted program. Row count is bucketed (multiples of 8) and
+        the per-sequence pool arrays are padded to multiples of 32, so the
+        serving process compiles a small stable set of shapes."""
+        import jax
+        import numpy as _np
+
+        from nexus_tpu.ops.packing import pack_tokenized
+
+        extras = {} if token_type_ids is None else {"token_type_ids": token_type_ids}
+        pk = pack_tokenized(ids, mask, row_len=self.max_length, row_bucket=8,
+                            extras=extras)
+        n = ids.shape[0]
+        npad = -(-n // 32) * 32
+
+        def padn(a, fill=0):
+            return _np.pad(a, (0, npad - n), constant_values=fill)
+
+        batch = {
+            "input_ids": pk["input_ids"],
+            "segment_ids": pk["segment_ids"],
+            "position_ids": pk["position_ids"],
+            "pool_rows": padn(pk["pool_rows"]),
+            "pool_cols": padn(pk["pool_cols"]),
+            "lengths": padn(pk["lengths"], 1),
+        }
+        if token_type_ids is not None:
+            batch["token_type_ids"] = pk["token_type_ids"]
+        if self._packed_fn is None:
+            self._packed_fn = jax.jit(
+                lambda v, b: self.model.scores(v, b))
+        out = _np.asarray(
+            self._packed_fn(self.model.variables,
+                            {k: jnp.asarray(v) for k, v in batch.items()}))
+        return out[:n]
 
 
 class BaseRerankerInferenceEngine(TextReranker):

@@ -128,7 +128,11 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, attention_mask: Array, positions: Array,
-                 return_weights: bool = False):
+                 return_weights: bool = False, segment_ids: Optional[Array] = None):
+        """``segment_ids`` [B, L] (0 = pad, 1.. = packed sequence id):
+        causal attention restricted to same-segment tokens — the packed-rows
+        layout from ops/packing.py. ``positions`` must then restart per
+        segment (pack_tokenized's position_ids)."""
         c = self.config
         if return_weights:
             # fused megakernel path: materialize the identical param tree
@@ -173,18 +177,27 @@ class LlamaAttention(nn.Module):
             v = jnp.repeat(v, rep, axis=2)
         if c.attention_impl in ("pallas", "fused"):
             # 'fused' lands here only when the megakernel gate rejected
-            # (shape/VMEM/LoRA) — flash is the graceful fallback
+            # (shape/VMEM/LoRA/packed rows) — flash is the graceful fallback.
+            # The 0/1 attention mask doubles as segment ids for the unpacked
+            # case; packed rows pass their real segment ids.
             from nexus_tpu.ops.flash_attention import flash_attention
 
+            seg = attention_mask if segment_ids is None else segment_ids
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                attention_mask.astype(bool), 128, 128, True,
+                seg.astype(jnp.int32), 128, 128, True,
             ).transpose(0, 2, 1, 3)
         else:
             scale = 1.0 / jnp.sqrt(head_dim)
             s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
             causal = jnp.tril(jnp.ones((l, l), bool))
-            keep = causal[None, None] & attention_mask[:, None, None, :].astype(bool)
+            if segment_ids is None:
+                keep = causal[None, None] & attention_mask[:, None, None, :].astype(bool)
+            else:
+                same = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+                    segment_ids[:, None, :] != 0
+                )
+                keep = causal[None, None] & same[:, None]
             s = jnp.where(keep, s, -1e30)
             p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v)
@@ -211,12 +224,13 @@ class LlamaLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, attention_mask, positions):
+    def __call__(self, x, attention_mask, positions, segment_ids=None):
         c = self.config
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         head_dim = c.head_dim or c.hidden_size // n_q
-        if c.attention_impl == "fused" and c.lora_rank == 0:
+        if (c.attention_impl == "fused" and c.lora_rank == 0
+                and segment_ids is None):
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_attention, fused_decoder_supported)
 
@@ -242,7 +256,8 @@ class LlamaLayer(nn.Module):
                 q_norm_w=qn, k_norm_w=kn)
         else:
             attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
-                RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, positions
+                RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),
+                attention_mask, positions, segment_ids=segment_ids,
             )
             x = x + attn
         mlp = LlamaMLP(c, dtype=self.dtype, name="mlp")(
@@ -256,9 +271,9 @@ class _ScannedLlamaLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, _, attention_mask, positions):
+    def __call__(self, x, _, attention_mask, positions, segment_ids):
         return LlamaLayer(self.config, dtype=self.dtype, name="layer")(
-            x, attention_mask, positions
+            x, attention_mask, positions, segment_ids=segment_ids
         ), None
 
 
@@ -276,16 +291,23 @@ class LlamaModel(nn.Module):
     def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
                  positions: Optional[Array] = None, train: bool = False,
                  inputs_embeds: Optional[Array] = None,
-                 override_mask: Optional[Array] = None, override_embeds: Optional[Array] = None):
+                 override_mask: Optional[Array] = None, override_embeds: Optional[Array] = None,
+                 segment_ids: Optional[Array] = None):
         """``override_mask [B, L]`` + ``override_embeds [B, L, D]`` replace the
         token embeddings at masked positions AFTER the embed lookup — the VLM
         image-feature merge (placeholder tokens take vision features) without
-        giving up the shared embed table."""
+        giving up the shared embed table.
+
+        ``segment_ids`` [B, L]: packed-rows mode (ops/packing.py layout) —
+        causal attention within each segment; pass the per-segment restarting
+        ``positions`` alongside."""
         c = self.config
         if attention_mask is None:
             if input_ids is None:
                 raise ValueError("attention_mask required with inputs_embeds")
-            attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
+            pad_src = segment_ids if segment_ids is not None else input_ids
+            attention_mask = (pad_src != (0 if segment_ids is not None
+                                          else c.pad_token_id)).astype(jnp.int32)
         if positions is None:
             # left-padding-safe positions: cumsum over valid tokens
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
@@ -300,12 +322,14 @@ class LlamaModel(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_hidden_layers,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             )
-            x, _ = Scanned(c, dtype=self.dtype, name="layers")(x, None, attention_mask, positions)
+            x, _ = Scanned(c, dtype=self.dtype, name="layers")(
+                x, None, attention_mask, positions, segment_ids)
         else:
             for i in range(c.num_hidden_layers):
-                x = LlamaLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, attention_mask, positions)
+                x = LlamaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                    x, attention_mask, positions, segment_ids=segment_ids)
         x = RMSNorm(c.rms_norm_eps, name="norm")(x)
         out = {"last_hidden_state": x}
         if self.with_lm_head:

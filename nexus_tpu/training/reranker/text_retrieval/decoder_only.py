@@ -53,16 +53,31 @@ class DecoderCrossEncoderNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, train: bool = False):
+    def __call__(self, input_ids, attention_mask=None, train: bool = False,
+                 position_ids=None, segment_ids=None, pool_rows=None,
+                 pool_cols=None, seq_lengths=None):
+        """Padded pairs by default; pass packed arrays (``segment_ids`` /
+        ``position_ids`` / ``pool_rows`` / ``pool_cols`` / ``seq_lengths``
+        from pack_tokenized) to score many pairs per row — the decoder pools
+        each segment's LAST token (col = pool_col + length - 1)."""
         c = self.config
-        if attention_mask is None:
-            attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
-        out = LlamaModel(c, dtype=self.dtype, remat=self.remat, name="model")(
-            input_ids, attention_mask=attention_mask, train=train
-        )
-        hidden = out["last_hidden_state"].astype(jnp.float32)  # [B, L, H]
-        last = jnp.maximum(jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1, 0)
-        pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]  # [B, H]
+        if segment_ids is not None:
+            out = LlamaModel(c, dtype=self.dtype, remat=self.remat, name="model")(
+                input_ids, attention_mask=(segment_ids != 0).astype(jnp.int32),
+                positions=position_ids, segment_ids=segment_ids, train=train,
+            )
+            hidden = out["last_hidden_state"].astype(jnp.float32)
+            last_cols = pool_cols + jnp.maximum(seq_lengths, 1) - 1
+            pooled = hidden[pool_rows, last_cols]  # [N, H]
+        else:
+            if attention_mask is None:
+                attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
+            out = LlamaModel(c, dtype=self.dtype, remat=self.remat, name="model")(
+                input_ids, attention_mask=attention_mask, train=train
+            )
+            hidden = out["last_hidden_state"].astype(jnp.float32)  # [B, L, H]
+            last = jnp.maximum(jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1, 0)
+            pooled = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]  # [B, H]
         logits = nn.Dense(1, use_bias=False, dtype=jnp.float32, name="score")(pooled)
         return logits[:, 0]
 
@@ -122,6 +137,18 @@ class DecoderCrossEncoderModel:
         return self.net.init(rng, jnp.ones((2, 8), jnp.int32))
 
     def scores(self, variables, batch, train=False, rngs=None) -> Array:
+        if "pool_rows" in batch:  # packed pairs (pack_tokenized layout)
+            return self.net.apply(
+                variables,
+                batch["input_ids"],
+                position_ids=batch["position_ids"],
+                segment_ids=batch["segment_ids"],
+                pool_rows=batch["pool_rows"],
+                pool_cols=batch["pool_cols"],
+                seq_lengths=batch["lengths"],
+                train=train,
+                rngs=rngs,
+            )
         return self.net.apply(
             variables,
             batch["input_ids"],

@@ -392,3 +392,62 @@ def test_merged_save_reload_no_double_lora(tmp_path):
     re = DecoderCrossEncoderModel.from_pretrained(str(out), dtype="float32")
     got = np.asarray(re.scores(re.variables, batch))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_packed_scoring_parity_decoder(bert_tok_dir):
+    """TextReranker(packing=True) scores EQUAL the padded path for the
+    decoder cross-encoder: per-segment causal attention + per-segment
+    last-token pooling (ops/packing.py layout through LlamaModel
+    segment_ids)."""
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+
+    cfg = LlamaConfig(**TINY)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    pairs = [
+        ("query about dog", "dog dog document runs fast"),
+        ("query about sky", "blue sky"),
+        ("query about cat", "cat sits slow cat document unrelated red blue"),
+        ("a", "the"),
+        ("query about red", "red red red"),
+    ]
+    padded = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32)
+    packed = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32,
+                          packing=True)
+    s_pad = padded.compute_score(pairs, normalize=False)
+    s_pk = packed.compute_score(pairs, normalize=False)
+    np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_pad),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_scoring_parity_bert(bert_tok_dir):
+    """Same parity through the BERT cross-encoder family (CLS pooling +
+    token_type_ids riding the packed slots)."""
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+    from nexus_tpu.models.bert import BertConfig
+    from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64, type_vocab_size=2,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    model = CrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    pairs = [
+        ("query about dog", "dog dog document runs fast"),
+        ("query about sky", "blue sky"),
+        ("query about cat", "cat sits slow cat document unrelated red blue"),
+    ]
+    padded = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32)
+    packed = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32,
+                          packing=True)
+    s_pad = padded.compute_score(pairs, normalize=False)
+    s_pk = packed.compute_score(pairs, normalize=False)
+    np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_pad),
+                               rtol=1e-4, atol=1e-4)
