@@ -229,10 +229,10 @@ class LlamaLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         head_dim = c.head_dim or c.hidden_size // n_q
-        if (c.attention_impl == "fused" and c.lora_rank == 0
-                and segment_ids is None):
+        if c.attention_impl == "fused" and c.lora_rank == 0:
             from nexus_tpu.ops.fused_decoder import (
-                fused_decoder_attention, fused_decoder_supported)
+                fused_decoder_attention, fused_decoder_supported,
+                iota_rope_tables)
 
             fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv,
                                            head_dim, x.shape[1])
@@ -240,20 +240,27 @@ class LlamaLayer(nn.Module):
             fuse = False
         if fuse:
             # one Pallas program per row: input RMSNorm + QKV (+bias) +
-            # qk-norm + RoPE + causal GQA attention + O + residual. The
-            # kernel derives positions from iota — right-padded rows only
+            # qk-norm + RoPE + causal GQA attention + O + residual. Padded
+            # mode derives positions from iota — right-padded rows only
             # (the repo-wide convention; the non-fused paths also accept
-            # left padding via cumsum positions).
+            # left padding via cumsum positions). Packed mode gathers the
+            # rope tables from the per-segment restarting positions.
             wqkv, bqkv, wo, qn, kn = LlamaAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, positions, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
-            lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
-            x = fused_decoder_attention(
-                x, wqkv, wo, rms_w, lengths, num_q_heads=n_q,
-                num_kv_heads=n_kv, head_dim=head_dim,
-                rope_theta=c.rope_theta, eps=c.rms_norm_eps, bqkv=bqkv,
-                q_norm_w=qn, k_norm_w=kn)
+            kw = dict(num_q_heads=n_q, num_kv_heads=n_kv, head_dim=head_dim,
+                      rope_theta=c.rope_theta, eps=c.rms_norm_eps,
+                      bqkv=bqkv, q_norm_w=qn, k_norm_w=kn)
+            if segment_ids is not None:
+                bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
+                x = fused_decoder_attention(
+                    x, wqkv, wo, rms_w, segment_ids=segment_ids,
+                    rope_cos=bc[0][positions], rope_sin=bs[0][positions],
+                    **kw)
+            else:
+                lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+                x = fused_decoder_attention(x, wqkv, wo, rms_w, lengths, **kw)
         else:
             attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),

@@ -83,19 +83,47 @@ def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
                 qk_norm):
     x = x_ref[:]
     l, h = x.shape
-    scale = 1.0 / math.sqrt(d)
     length = lens_ref[pl.program_id(0)]
-    # input RMSNorm (f32 stats); the residual adds RAW x
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    xn = (xf * jax.lax.rsqrt(var + eps) * rms_ref[0][None, :]).astype(x.dtype)
-    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0][None, :]).astype(x.dtype)  # [L, (nq+2nkv)d]
-    cos, sin = cos_ref[:], sin_ref[:]  # [L, d] f32 (iota or M-RoPE tables)
     qpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
     allowed = (kpos <= qpos) & (kpos < length)
     q_valid = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0) < length
+    y_ref[:] = _dec_core(
+        x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], rms_ref[0], qn_ref[0],
+        kn_ref[0], cos_ref[:], sin_ref[:], allowed, q_valid,
+        nq=nq, nkv=nkv, d=d, eps=eps, qk_norm=qk_norm,
+    ).astype(y_ref.dtype)
+
+
+def _dec_seg_kernel(seg_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
+                    qn_ref, kn_ref, cos_ref, sin_ref, y_ref, *, nq, nkv, d,
+                    eps, qk_norm):
+    """Packed-rows flavor: causal attention within each segment (0 = pad)."""
+    x = x_ref[:]
+    l, _ = x.shape
+    seg = seg_ref[0, :]  # [L]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    allowed = (kpos <= qpos) & (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
+    q_valid = (seg > 0)[:, None]
+    y_ref[:] = _dec_core(
+        x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], rms_ref[0], qn_ref[0],
+        kn_ref[0], cos_ref[:], sin_ref[:], allowed, q_valid,
+        nq=nq, nkv=nkv, d=d, eps=eps, qk_norm=qk_norm,
+    ).astype(y_ref.dtype)
+
+
+def _dec_core(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, allowed,
+              q_valid, *, nq, nkv, d, eps, qk_norm):
+    """Shared kernel body: RMSNorm + QKV + (qk-norm) + RoPE + masked
+    attention + O + residual on a VMEM-resident [L, H] row."""
+    scale = 1.0 / math.sqrt(d)
+    # input RMSNorm (f32 stats); the residual adds RAW x
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(var + eps) * rms_w[None, :]).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[None, :]).astype(x.dtype)  # [L, (nq+2nkv)d]
     group = nq // nkv
     ctx_parts = []
     for hd in range(nq):
@@ -104,8 +132,8 @@ def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
         k = qkv[:, nq * d + kv * d: nq * d + (kv + 1) * d]
         v = qkv[:, (nq + nkv) * d + kv * d: (nq + nkv) * d + (kv + 1) * d]
         if qk_norm:
-            q = _head_rms(q, qn_ref[0], eps)
-            k = _head_rms(k, kn_ref[0], eps)
+            q = _head_rms(q, qn_w, eps)
+            k = _head_rms(k, kn_w, eps)
         q = _rope2(q, cos, sin)
         k = _rope2(k, cos, sin)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -117,13 +145,15 @@ def _dec_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
                                  preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(ctx_parts, axis=-1)  # [L, nq*d] f32
     ctx = jnp.where(q_valid, ctx, 0.0)  # pad query rows: y = x exactly
-    out = jnp.dot(ctx.astype(x.dtype), wo_ref[:],
+    out = jnp.dot(ctx.astype(x.dtype), wo,
                   preferred_element_type=jnp.float32)
-    y_ref[:] = (xf + out).astype(y_ref.dtype)
+    return xf + out
 
 
-def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
-                nq, nkv, d, eps, qk_norm):
+def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask,
+                nq, nkv, d, eps, qk_norm, seg_mode):
+    """``mask`` is per-row ``lengths`` [B] (padded mode) or ``segment_ids``
+    [B, L] (packed mode, seg_mode=True)."""
     b, l, h = x.shape
     # lane-pad L so the [L, L] score tile is legal; padded rows are masked
     # out as pad queries (zero ctx) and sliced off below
@@ -133,48 +163,82 @@ def _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         cos = jnp.pad(cos, ((0, 0), (0, l_pad - l), (0, 0)))
         sin = jnp.pad(sin, ((0, 0), (0, l_pad - l), (0, 0)))
+        if seg_mode:
+            mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
         l = l_pad
-    lengths = jnp.clip(lengths, 0, orig_l)
     qw = wqkv.shape[-1]
-    # per-row tables (M-RoPE) index by program id; shared iota tables are
-    # [1, L, d] and every program reads block 0
-    tab_row = (lambda i, lens: (i, 0, 0)) if cos.shape[0] == b \
-        else (lambda i, lens: (0, 0, 0))
     f32row = lambda t: jnp.asarray(t, jnp.float32).reshape(1, -1)  # noqa: E731
-    out = pl.pallas_call(
-        functools.partial(_dec_kernel, nq=nq, nkv=nkv, d=d, eps=eps,
-                          qk_norm=qk_norm),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(b,),
-            in_specs=[
-                pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
-                pl.BlockSpec((h, qw), lambda *a: (0, 0)),
-                pl.BlockSpec((1, qw), lambda *a: (0, 0)),
-                pl.BlockSpec((nq * d, h), lambda *a: (0, 0)),
-                pl.BlockSpec((1, h), lambda *a: (0, 0)),
-                pl.BlockSpec((1, d), lambda *a: (0, 0)),
-                pl.BlockSpec((1, d), lambda *a: (0, 0)),
-                pl.BlockSpec((None, l, d), tab_row),
-                pl.BlockSpec((None, l, d), tab_row),
-            ],
-            out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
-        ),
+    w_args = (wqkv, f32row(bqkv), wo, f32row(rms_w), f32row(qn_w),
+              f32row(kn_w), cos.astype(jnp.float32), sin.astype(jnp.float32))
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(lengths.astype(jnp.int32), x, wqkv, f32row(bqkv), wo, f32row(rms_w),
-      f32row(qn_w), f32row(kn_w), cos.astype(jnp.float32),
-      sin.astype(jnp.float32))
+    )
+    kern_kw = dict(nq=nq, nkv=nkv, d=d, eps=eps, qk_norm=qk_norm)
+    if seg_mode:
+        # per-row tables (packed positions / M-RoPE) index by program id;
+        # shared tables are [1, L, d] and every program reads block 0
+        tab_row = (lambda i: (i, 0, 0)) if cos.shape[0] == b \
+            else (lambda i: (0, 0, 0))
+        w_specs = [
+            pl.BlockSpec((h, qw), lambda i: (0, 0)),
+            pl.BlockSpec((1, qw), lambda i: (0, 0)),
+            pl.BlockSpec((nq * d, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((None, l, d), tab_row),
+            pl.BlockSpec((None, l, d), tab_row),
+        ]
+        out = pl.pallas_call(
+            functools.partial(_dec_seg_kernel, **kern_kw),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+            **common,
+        )(mask.astype(jnp.int32).reshape(b, 1, l), x, *w_args)
+    else:
+        tab_row = (lambda i, lens: (i, 0, 0)) if cos.shape[0] == b \
+            else (lambda i, lens: (0, 0, 0))
+        w_specs = [
+            pl.BlockSpec((h, qw), lambda *a: (0, 0)),
+            pl.BlockSpec((1, qw), lambda *a: (0, 0)),
+            pl.BlockSpec((nq * d, h), lambda *a: (0, 0)),
+            pl.BlockSpec((1, h), lambda *a: (0, 0)),
+            pl.BlockSpec((1, d), lambda *a: (0, 0)),
+            pl.BlockSpec((1, d), lambda *a: (0, 0)),
+            pl.BlockSpec((None, l, d), tab_row),
+            pl.BlockSpec((None, l, d), tab_row),
+        ]
+        lengths = jnp.clip(mask, 0, orig_l)
+        out = pl.pallas_call(
+            functools.partial(_dec_kernel, **kern_kw),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+                    *w_specs,
+                ],
+                out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+            ),
+            **common,
+        )(lengths.astype(jnp.int32), x, *w_args)
     return out[:, :orig_l, :]
 
 
 def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
-                       lengths, nq, nkv, d, eps, qk_norm):
+                       mask, nq, nkv, d, eps, qk_norm, seg_mode=False):
     """The same math through the blocked flash kernel (O(L·D) memory) — the
     custom-vjp recompute graph and the test oracle. Matches the fused kernel
-    on EVERY row including pad queries (ctx zeroed there)."""
+    on EVERY row including pad queries (ctx zeroed there). ``mask`` is
+    lengths [B] or, with seg_mode, segment_ids [B, L]."""
     from nexus_tpu.ops.flash_attention import flash_attention
 
     b, l, h = x.shape
@@ -205,35 +269,41 @@ def _unfused_reference(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
     if rep > 1:
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    valid = jnp.arange(l)[None, :] < lengths[:, None]  # [B, L]
+    if seg_mode:
+        seg = mask  # [B, L] segment ids (0 = pad)
+        valid = seg > 0
+    else:
+        valid = jnp.arange(l)[None, :] < mask[:, None]  # [B, L]
+        seg = valid  # 0/1 mask doubles as segment ids
     blk = min(512, max(128, l))
     ctx = flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), valid.astype(jnp.int32), blk, blk, True,
+        v.transpose(0, 2, 1, 3), seg.astype(jnp.int32), blk, blk, True,
     ).transpose(0, 2, 1, 3)
     ctx = jnp.where(valid[:, :, None, None], ctx, 0).reshape(b, l, nq * d)
     out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32)
     return (xf + out).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
-def _fused_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths, nq,
-               nkv, d, eps, qk_norm):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _fused_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask, nq,
+               nkv, d, eps, qk_norm, seg_mode):
     return _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
-                       lengths, nq, nkv, d, eps, qk_norm)
+                       mask, nq, nkv, d, eps, qk_norm, seg_mode)
 
 
-def _fused_dec_fwd(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
-                   nq, nkv, d, eps, qk_norm):
-    y = _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths,
-                    nq, nkv, d, eps, qk_norm)
-    return y, (x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths)
+def _fused_dec_fwd(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask,
+                   nq, nkv, d, eps, qk_norm, seg_mode):
+    y = _pallas_dec(x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask,
+                    nq, nkv, d, eps, qk_norm, seg_mode)
+    return y, (x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask)
 
 
-def _fused_dec_bwd(nq, nkv, d, eps, qk_norm, res, g):
-    x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, lengths = res
+def _fused_dec_bwd(nq, nkv, d, eps, qk_norm, seg_mode, res, g):
+    x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin, mask = res
     _, vjp = jax.vjp(
-        lambda *a: _unfused_reference(*a, lengths, nq, nkv, d, eps, qk_norm),
+        lambda *a: _unfused_reference(*a, mask, nq, nkv, d, eps, qk_norm,
+                                      seg_mode),
         x, wqkv, bqkv, wo, rms_w, qn_w, kn_w, cos, sin,
     )
     return (*vjp(g.astype(x.dtype)), None)
@@ -243,9 +313,10 @@ _fused_dec.defvjp(_fused_dec_fwd, _fused_dec_bwd)
 
 
 def fused_decoder_attention(
-    x, wqkv, wo, rms_w, lengths, *, num_q_heads: int, num_kv_heads: int,
+    x, wqkv, wo, rms_w, lengths=None, *, num_q_heads: int, num_kv_heads: int,
     head_dim: int, rope_theta: float = 10000.0, eps: float = 1e-6,
     bqkv=None, q_norm_w=None, k_norm_w=None, rope_cos=None, rope_sin=None,
+    segment_ids=None,
 ):
     """y = x + o_proj(causal_GQA_attention(RoPE(QKV(RMSNorm(x))))) in one
     fused Pallas program per batch row.
@@ -261,10 +332,22 @@ def fused_decoder_attention(
     Qwen-VL M-RoPE tables here (per-row 3D positions); None derives
     standard-RoPE tables from iota positions (right padding).
 
+    ``segment_ids`` [B, L] (instead of ``lengths``): packed-rows mode —
+    causal attention restricted to same-segment tokens (0 = pad). Rope
+    tables are REQUIRED then (positions restart per segment, so iota
+    tables would be wrong).
+
     Pad query rows return x unchanged — identical to the recompute graph,
     so the custom-vjp gradient is exact for any cotangent. Callers should
     fall back to the flash path when `fused_decoder_supported` is False.
     """
+    if (lengths is None) == (segment_ids is None):
+        raise ValueError("pass exactly one of lengths= / segment_ids=")
+    seg_mode = segment_ids is not None
+    if seg_mode and rope_cos is None:
+        raise ValueError("segment_ids mode requires rope_cos/rope_sin "
+                         "(per-segment positions, e.g. gathered from "
+                         "iota_rope_tables via position_ids)")
     qw = (num_q_heads + 2 * num_kv_heads) * head_dim
     if bqkv is None:
         bqkv = jnp.zeros((qw,), jnp.float32)
@@ -275,10 +358,12 @@ def fused_decoder_attention(
     if rope_cos is None:
         rope_cos, rope_sin = iota_rope_tables(x.shape[1], head_dim,
                                               rope_theta)
+    mask = segment_ids if seg_mode else lengths
     return _fused_dec(x, wqkv, bqkv, wo, rms_w, q_norm_w, k_norm_w,
                       jnp.asarray(rope_cos, jnp.float32),
-                      jnp.asarray(rope_sin, jnp.float32), lengths,
-                      num_q_heads, num_kv_heads, head_dim, eps, qk_norm)
+                      jnp.asarray(rope_sin, jnp.float32), mask,
+                      num_q_heads, num_kv_heads, head_dim, eps, qk_norm,
+                      seg_mode)
 
 
 _VMEM_BUDGET = 88 * 1024 * 1024

@@ -213,6 +213,88 @@ def test_vl_trunk_fused_matches_xla(key, family):
     assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
 
 
+def test_fused_decoder_segment_mode_matches_flash_reference(key):
+    """Packed-rows flavor: causal attention within segments + per-segment
+    rope tables equals the flash recompute graph on every row."""
+    b, l = 2, 64
+    w = _weights(key)
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, l, H)) * 0.5
+    seg = np.zeros((b, l), np.int32)
+    pos = np.zeros((b, l), np.int32)
+    for (r, spans) in [(0, [(0, 20), (20, 50)]), (1, [(0, 33)])]:
+        for s_no, (a, z) in enumerate(spans, start=1):
+            seg[r, a:z] = s_no
+            pos[r, a:z] = np.arange(z - a)
+    seg_j = jnp.asarray(seg)
+    base_c, base_s = iota_rope_tables(l, D, THETA)
+    cos = jnp.asarray(np.asarray(base_c[0])[pos])
+    sin = jnp.asarray(np.asarray(base_s[0])[pos])
+    got = fused_decoder_attention(
+        x, w["wqkv"], w["wo"], w["rms_w"], segment_ids=seg_j,
+        num_q_heads=NQ, num_kv_heads=NKV, head_dim=D, eps=EPS,
+        rope_cos=cos, rope_sin=sin)
+    qw_zeros = jnp.zeros(((NQ + 2 * NKV) * D,), jnp.float32)
+    ones = jnp.ones((D,), jnp.float32)
+    want = _unfused_reference(
+        x, w["wqkv"], qw_zeros, w["wo"], w["rms_w"], ones, ones, cos, sin,
+        seg_j, NQ, NKV, D, EPS, False, seg_mode=True)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-4
+    # each segment must score exactly as the same sequence scored alone in
+    # a right-padded row (the packed == padded contract)
+    alone = jnp.zeros((3, l, H), x.dtype)
+    alone = alone.at[0, :20].set(x[0, :20])
+    alone = alone.at[1, :30].set(x[0, 20:50])
+    alone = alone.at[2, :33].set(x[1, :33])
+    y_alone = fused_decoder_attention(
+        alone, w["wqkv"], w["wo"], w["rms_w"], jnp.array([20, 30, 33]),
+        num_q_heads=NQ, num_kv_heads=NKV, head_dim=D, eps=EPS,
+        rope_theta=THETA)
+    got = np.asarray(got)
+    np.testing.assert_allclose(got[0, :20], np.asarray(y_alone)[0, :20],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(got[0, 20:50], np.asarray(y_alone)[1, :30],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(got[1, :33], np.asarray(y_alone)[2, :33],
+                               rtol=0, atol=1e-4)
+
+
+def test_packed_reranker_scores_with_fused_kernel(key):
+    """TextReranker(packing=True) on a fused-attention decoder cross-encoder
+    equals the padded XLA path — the packed megakernel serving combination."""
+    from nexus_tpu.training.reranker.text_retrieval.decoder_only import (
+        DecoderCrossEncoderModel,
+    )
+
+    cfg_kw = dict(vocab_size=64, hidden_size=H, intermediate_size=128,
+                  num_hidden_layers=2, num_attention_heads=NQ,
+                  num_key_value_heads=NKV, max_position_embeddings=64)
+    rng = np.random.default_rng(5)
+    n, lens = 5, [30, 9, 22, 4, 15]
+    ids = np.zeros((n, 32), np.int32)
+    for i, ln in enumerate(lens):
+        ids[i, :ln] = rng.integers(2, 63, ln)
+    mask = (ids != 0).astype(np.int32)
+
+    from nexus_tpu.ops.packing import pack_tokenized
+
+    scores = {}
+    for impl in ("xla", "fused"):
+        model = DecoderCrossEncoderModel(LlamaConfig(attention_impl=impl,
+                                                     **cfg_kw),
+                                         dtype="float32")
+        model.variables = model.init_variables(jax.random.PRNGKey(0))
+        padded = model.scores(model.variables, {
+            "input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)})
+        pk = pack_tokenized(ids, mask, row_len=32, row_bucket=2)
+        packed = model.scores(model.variables, {
+            k: jnp.asarray(v) for k, v in pk.items()})
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(padded),
+                                   rtol=1e-4, atol=1e-4)
+        scores[impl] = np.asarray(packed)
+    np.testing.assert_allclose(scores["fused"], scores["xla"],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fused_decoder_gate():
     assert fused_decoder_supported(2048, 16, 8, 128, 512)
     assert not fused_decoder_supported(2048, 16, 8, 128, 2048)  # L too long
