@@ -238,7 +238,9 @@ def llm_rerank() -> None:
 
     impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
     bs = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    tiny = len(sys.argv) > 4 and sys.argv[4] == "tiny"  # CPU smoke shape
+    extra = sys.argv[4:]
+    tiny = "tiny" in extra  # CPU smoke shape
+    packed = "packed" in extra  # many pairs per 512-token row
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=256 if tiny else 2048,
         intermediate_size=512 if tiny else 8192,
@@ -266,7 +268,8 @@ def llm_rerank() -> None:
     ]
 
     rr = TextReranker(model=model, tokenizer=tok, batch_size=bs,
-                      max_length=512, seq_buckets=(256, 512))
+                      max_length=512, seq_buckets=(256, 512),
+                      packing=packed)
     rr.compute_score(pairs)  # warm every bucket
 
     def one_trial() -> float:
@@ -280,7 +283,7 @@ def llm_rerank() -> None:
         "metric": "llm_reranker_pairs_per_sec_end_to_end",
         "value": round(stats["value"], 2), "unit": "pairs/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
-        "attention_impl": impl, "batch_size": bs,
+        "attention_impl": impl, "batch_size": bs, "packing": packed,
         "model": ("tiny-smoke" if tiny
                   else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
         "includes": "tokenization + length bucketing + jit score",

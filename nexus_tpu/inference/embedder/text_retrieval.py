@@ -215,15 +215,26 @@ class TextEmbedder:
 
         from nexus_tpu.ops.packing import pool_packed_cls, pool_packed_mean
 
+        # decoder embedders (BiDecoderOnlyEmbedderModel) take LlamaModel
+        # kwargs (positions/segment_ids, causal-within-segment attention)
+        # and pool each segment's LAST token; encoders take BERT kwargs
+        is_decoder = getattr(self.model, "llama_config", None) is not None
+
         @partial(jax.jit, static_argnums=(7,))
         def packed_encode(variables, ids, seg, pos, pool_rows, pool_cols,
                           token_seq, n_seq, lengths):
-            out = net.apply(variables, ids, position_ids=pos, segment_ids=seg)
-            hidden = out["last_hidden_state"].astype(jnp.float32)
-            if method == "cls":
-                reps = pool_packed_cls(hidden, pool_rows, pool_cols)
+            if is_decoder:
+                out = net.apply(variables, ids, positions=pos, segment_ids=seg)
+                hidden = out["last_hidden_state"].astype(jnp.float32)
+                last_cols = pool_cols + jnp.maximum(lengths, 1) - 1
+                reps = hidden[pool_rows, last_cols]
             else:
-                reps = pool_packed_mean(hidden, token_seq, lengths, n_seq)
+                out = net.apply(variables, ids, position_ids=pos, segment_ids=seg)
+                hidden = out["last_hidden_state"].astype(jnp.float32)
+                if method == "cls":
+                    reps = pool_packed_cls(hidden, pool_rows, pool_cols)
+                else:
+                    reps = pool_packed_mean(hidden, token_seq, lengths, n_seq)
             if normalize:
                 reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
             return reps.astype(out_dtype)

@@ -344,3 +344,45 @@ def test_packed_cross_encoder_scores_parity():
     loss_pad, _ = model.loss_fn(model.variables, padded, jax.random.PRNGKey(1))
     loss_pk, _ = model.loss_fn(model.variables, packed, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss_pk), float(loss_pad), atol=2e-4)
+
+
+def test_decoder_embedder_packed_encode_parity(tmp_path):
+    """TextEmbedder(packing=True) with a DECODER (causal, last-token
+    pooling) embedder: packed embeddings equal the padded path — causal
+    attention within segments, per-segment last-token gather."""
+    from transformers import BertTokenizerFast
+
+    from nexus_tpu.inference import TextEmbedder
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+
+    d = tmp_path / "tok"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "aa", "bb", "cc", "dd", "ee"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+
+    cfg = LlamaConfig(vocab_size=len(vocab), hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=64)
+    model = BiDecoderOnlyEmbedderModel(
+        cfg, TextEmbedderModelArguments(sentence_pooling_method="last_token",
+                                        dtype="float32"))
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12))) for _ in range(21)]
+    plain = TextEmbedder(model=model, tokenizer=tok, batch_size=8, max_length=32)
+    packed = TextEmbedder(model=model, tokenizer=tok, batch_size=8, max_length=32,
+                          packing=True)
+    a = plain.encode(texts)
+    b = packed.encode(texts)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=3e-5)
