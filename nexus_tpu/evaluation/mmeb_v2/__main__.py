@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--run_id", default=None,
                     help="token scoping cross-rank gather files when reusing "
                          "an output_dir across runs")
+    ap.add_argument("--attention_impl", default=None,
+                    choices=["fused", "pallas", "xla"],
+                    help="text-trunk attention override: 'fused' enables "
+                         "the decoder megakernel (fast eval encode)")
     args = ap.parse_args()
 
     from nexus_tpu.evaluation.mmeb_v2 import MMEBEvaluator
@@ -29,7 +33,7 @@ def main():
 
     embedder = MultimodalEmbedder(
         model_name_or_path=args.model_dir, batch_size=args.batch_size,
-        media_root=args.media_root,
+        media_root=args.media_root, attention_impl=args.attention_impl,
     )
     reranker = None
     if args.reranker_dir:
