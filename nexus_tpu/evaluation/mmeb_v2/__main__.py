@@ -39,7 +39,8 @@ def main():
     if args.reranker_dir:
         from nexus_tpu.inference.reranker.text_retrieval import TextReranker
 
-        reranker = TextReranker(model_name_or_path=args.reranker_dir)
+        reranker = TextReranker(model_name_or_path=args.reranker_dir,
+                                attention_impl=args.attention_impl)
     ev = MMEBEvaluator(
         embedder, args.dataset_dir, output_dir=args.output_dir, reranker=reranker,
         rerank_top_k=args.rerank_top_k, rank=args.rank, world_size=args.world_size,

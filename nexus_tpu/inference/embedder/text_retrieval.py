@@ -160,7 +160,7 @@ class TextEmbedder:
             sentences = [sentences]
         batch_size = batch_size or self.batch_size
         if self.packing and self.mesh is None and self.model.args.sentence_pooling_method in (
-            "cls", "mean",
+            "cls", "mean", "last_token",
         ):
             reps = self._encode_packed(sentences, batch_size)
             return reps[0] if single else reps
@@ -216,8 +216,9 @@ class TextEmbedder:
         from nexus_tpu.ops.packing import pool_packed_cls, pool_packed_mean
 
         # decoder embedders (BiDecoderOnlyEmbedderModel) take LlamaModel
-        # kwargs (positions/segment_ids, causal-within-segment attention)
-        # and pool each segment's LAST token; encoders take BERT kwargs
+        # kwargs (positions/segment_ids, causal-within-segment attention);
+        # encoders take BERT kwargs. Pooling follows the configured method
+        # regardless of family (last_token = each segment's final slot).
         is_decoder = getattr(self.model, "llama_config", None) is not None
 
         @partial(jax.jit, static_argnums=(7,))
@@ -225,16 +226,16 @@ class TextEmbedder:
                           token_seq, n_seq, lengths):
             if is_decoder:
                 out = net.apply(variables, ids, positions=pos, segment_ids=seg)
-                hidden = out["last_hidden_state"].astype(jnp.float32)
+            else:
+                out = net.apply(variables, ids, position_ids=pos, segment_ids=seg)
+            hidden = out["last_hidden_state"].astype(jnp.float32)
+            if method == "cls":
+                reps = pool_packed_cls(hidden, pool_rows, pool_cols)
+            elif method == "last_token":
                 last_cols = pool_cols + jnp.maximum(lengths, 1) - 1
                 reps = hidden[pool_rows, last_cols]
             else:
-                out = net.apply(variables, ids, position_ids=pos, segment_ids=seg)
-                hidden = out["last_hidden_state"].astype(jnp.float32)
-                if method == "cls":
-                    reps = pool_packed_cls(hidden, pool_rows, pool_cols)
-                else:
-                    reps = pool_packed_mean(hidden, token_seq, lengths, n_seq)
+                reps = pool_packed_mean(hidden, token_seq, lengths, n_seq)
             if normalize:
                 reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12, None)
             return reps.astype(out_dtype)
@@ -340,7 +341,7 @@ class TextEmbedder:
         work hidden behind device time instead of serialized before it."""
         batch_size = batch_size or self.batch_size
         packed = self.packing and self.mesh is None and (
-            self.model.args.sentence_pooling_method in ("cls", "mean")
+            self.model.args.sentence_pooling_method in ("cls", "mean", "last_token")
         )
         if not packed and (self.mesh is not None or not isinstance(self.session, NormalSession)):
             # AOT sessions expose no device futures; mesh sessions need

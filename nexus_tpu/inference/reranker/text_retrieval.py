@@ -74,6 +74,13 @@ class TextReranker:
         self.pair_template = pair_template
         self.packing = packing
         self._packed_fn = None
+        if packing and infer_mode != "normal":
+            logger.warning(
+                "packing=True scores through its own jitted packed program; "
+                "the %s session is bypassed (and convert_to_serialized "
+                "exports the PADDED-path program, not the served one)",
+                infer_mode,
+            )
         self.session = self._build_session()
 
     def _score_fn(self, variables, input_ids, attention_mask, token_type_ids):

@@ -224,7 +224,11 @@ class LlamaLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, attention_mask, positions, segment_ids=None):
+    def __call__(self, x, attention_mask, positions, segment_ids=None,
+                 rope_tables=None):
+        """``rope_tables``: optional (cos, sin) [B, L, head_dim] precomputed
+        once by LlamaModel for the fused path — avoids rebuilding the trig
+        tables and the position gather in every layer of the scan."""
         c = self.config
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
@@ -240,27 +244,26 @@ class LlamaLayer(nn.Module):
             fuse = False
         if fuse:
             # one Pallas program per row: input RMSNorm + QKV (+bias) +
-            # qk-norm + RoPE + causal GQA attention + O + residual. Padded
-            # mode derives positions from iota — right-padded rows only
-            # (the repo-wide convention; the non-fused paths also accept
-            # left padding via cumsum positions). Packed mode gathers the
-            # rope tables from the per-segment restarting positions.
+            # qk-norm + RoPE + causal GQA attention + O + residual. Always
+            # the SEGMENT flavor: the 0/1 attention mask doubles as segment
+            # ids for unpacked rows, and the rope tables are gathered from
+            # the REAL positions — so left padding, right padding and
+            # packed rows all match the xla/pallas paths exactly.
             wqkv, bqkv, wo, qn, kn = LlamaAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, positions, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
-            kw = dict(num_q_heads=n_q, num_kv_heads=n_kv, head_dim=head_dim,
-                      rope_theta=c.rope_theta, eps=c.rms_norm_eps,
-                      bqkv=bqkv, q_norm_w=qn, k_norm_w=kn)
-            if segment_ids is not None:
+            if rope_tables is None:
                 bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
-                x = fused_decoder_attention(
-                    x, wqkv, wo, rms_w, segment_ids=segment_ids,
-                    rope_cos=bc[0][positions], rope_sin=bs[0][positions],
-                    **kw)
-            else:
-                lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
-                x = fused_decoder_attention(x, wqkv, wo, rms_w, lengths, **kw)
+                rope_tables = (bc[0][positions], bs[0][positions])
+            seg = segment_ids if segment_ids is not None \
+                else attention_mask.astype(jnp.int32)
+            x = fused_decoder_attention(
+                x, wqkv, wo, rms_w, segment_ids=seg,
+                rope_cos=rope_tables[0], rope_sin=rope_tables[1],
+                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=head_dim,
+                rope_theta=c.rope_theta, eps=c.rms_norm_eps,
+                bqkv=bqkv, q_norm_w=qn, k_norm_w=kn)
         else:
             attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),
@@ -278,9 +281,11 @@ class _ScannedLlamaLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, _, attention_mask, positions, segment_ids):
+    def __call__(self, x, _, attention_mask, positions, segment_ids,
+                 rope_tables):
         return LlamaLayer(self.config, dtype=self.dtype, name="layer")(
-            x, attention_mask, positions, segment_ids=segment_ids
+            x, attention_mask, positions, segment_ids=segment_ids,
+            rope_tables=rope_tables,
         ), None
 
 
@@ -316,12 +321,26 @@ class LlamaModel(nn.Module):
             attention_mask = (pad_src != (0 if segment_ids is not None
                                           else c.pad_token_id)).astype(jnp.int32)
         if positions is None:
+            if segment_ids is not None:
+                # cumsum positions would NOT restart per packed segment —
+                # silent wrong RoPE; packing layers always have position_ids
+                raise ValueError("segment_ids (packed rows) requires explicit "
+                                 "positions that restart per segment")
             # left-padding-safe positions: cumsum over valid tokens
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         embed = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="embed_tokens")
         x = inputs_embeds.astype(self.dtype) if inputs_embeds is not None else embed(input_ids)
         if override_mask is not None:
             x = jnp.where(override_mask[..., None], override_embeds.astype(x.dtype), x)
+        rope_tables = None
+        if c.attention_impl == "fused" and c.lora_rank == 0:
+            # hoist the fused path's rotary tables out of the layer scan:
+            # one trig build + one position gather for the whole stack
+            from nexus_tpu.ops.fused_decoder import iota_rope_tables
+
+            head_dim = c.head_dim or c.hidden_size // c.num_attention_heads
+            bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
+            rope_tables = (bc[0][positions], bs[0][positions])
         if self.scan_layers:
             layer_cls = nn.remat(_ScannedLlamaLayer) if self.remat else _ScannedLlamaLayer
             Scanned = nn.scan(
@@ -329,14 +348,16 @@ class LlamaModel(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_hidden_layers,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast),
             )
             x, _ = Scanned(c, dtype=self.dtype, name="layers")(
-                x, None, attention_mask, positions, segment_ids)
+                x, None, attention_mask, positions, segment_ids, rope_tables)
         else:
             for i in range(c.num_hidden_layers):
                 x = LlamaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
-                    x, attention_mask, positions, segment_ids=segment_ids)
+                    x, attention_mask, positions, segment_ids=segment_ids,
+                    rope_tables=rope_tables)
         x = RMSNorm(c.rms_norm_eps, name="norm")(x)
         out = {"last_hidden_state": x}
         if self.with_lm_head:

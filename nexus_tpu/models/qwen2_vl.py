@@ -538,14 +538,16 @@ class Qwen2VLTextLayer(nn.Module):
         else:
             fuse = False
         if fuse:
-            # megakernel with the M-RoPE tables passed straight through
-            # (right-padded rows — the processor adapters' convention)
+            # megakernel with the M-RoPE tables passed straight through;
+            # segment flavor with the 0/1 mask as segment ids — correct for
+            # either padding side (positions ride in via the tables)
             wqkv, bqkv, wo = Qwen2VLTextAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, cos, sin, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
             x = fused_decoder_attention(
-                x, wqkv, wo, rms_w, jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+                x, wqkv, wo, rms_w,
+                segment_ids=attention_mask.astype(jnp.int32),
                 num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
                 eps=c.rms_norm_eps, bqkv=bqkv, rope_cos=cos, rope_sin=sin)
         else:

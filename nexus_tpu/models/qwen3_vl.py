@@ -404,13 +404,15 @@ class Qwen3VLTextLayer(nn.Module):
             fuse = False
         if fuse:
             # megakernel with qk-norm in-kernel and the M-RoPE tables
-            # passed straight through (right-padded rows)
+            # passed straight through; segment flavor with the 0/1 mask as
+            # segment ids — correct for either padding side
             wqkv, wo, qn, kn = Qwen3VLTextAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, cos, sin, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
             x = fused_decoder_attention(
-                x, wqkv, wo, rms_w, jnp.sum(attention_mask.astype(jnp.int32), axis=1),
+                x, wqkv, wo, rms_w,
+                segment_ids=attention_mask.astype(jnp.int32),
                 num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
                 eps=c.rms_norm_eps, q_norm_w=qn, k_norm_w=kn,
                 rope_cos=cos, rope_sin=sin)

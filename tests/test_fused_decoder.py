@@ -213,6 +213,31 @@ def test_vl_trunk_fused_matches_xla(key, family):
     assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
 
 
+def test_llama_fused_left_padded_matches_xla(key):
+    """attention_impl='fused' must be padding-side agnostic: the model-level
+    fused path uses the segment flavor (mask as segments) with rope tables
+    gathered from the real cumsum positions, so LEFT-padded batches (the
+    common decoder-tokenizer convention) match the xla path exactly."""
+    kw = dict(vocab_size=211, hidden_size=H, intermediate_size=256,
+              num_hidden_layers=2, num_attention_heads=NQ,
+              num_key_value_heads=NKV, max_position_embeddings=64)
+    rng = np.random.default_rng(4)
+    b, l = 2, 48
+    ids = np.zeros((b, l), np.int32)
+    ids[0, :] = rng.integers(1, 211, l)       # full row
+    ids[1, l - 17:] = rng.integers(1, 211, 17)  # LEFT-padded row
+    mask = (ids != 0).astype(np.int32)
+    outs = {}
+    for impl in ("xla", "fused"):
+        net = LlamaModel(LlamaConfig(attention_impl=impl, **kw),
+                         dtype=jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+        outs[impl] = np.asarray(net.apply(
+            v, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"])
+    valid = mask.astype(bool)
+    assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
+
+
 def test_fused_decoder_segment_mode_matches_flash_reference(key):
     """Packed-rows flavor: causal attention within segments + per-segment
     rope tables equals the flash recompute graph on every row."""
