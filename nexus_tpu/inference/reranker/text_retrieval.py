@@ -74,13 +74,12 @@ class TextReranker:
         self.pair_template = pair_template
         self.packing = packing
         self._packed_fn = None
+        self._packed_session = None
         if packing and infer_mode != "normal":
-            logger.warning(
-                "packing=True scores through its own jitted packed program; "
-                "the %s session is bypassed (and convert_to_serialized "
-                "exports the PADDED-path program, not the served one)",
-                infer_mode,
-            )
+            # packed scoring through bucketed AOT executables: same
+            # contract as the padded session (convert_to_serialized then
+            # exports THIS program — the served path)
+            self._packed_session = self._build_packed_session()
         self.session = self._build_session()
 
     def _score_fn(self, variables, input_ids, attention_mask, token_type_ids):
@@ -171,12 +170,46 @@ class TextReranker:
         result = scores.tolist()
         return result[0] if single else result
 
+    _PACKED_NAMES = ("pool_rows", "pool_cols", "lengths", "input_ids",
+                     "segment_ids", "position_ids", "token_type_ids")
+
+    def _packed_score_fn(self, variables, pool_rows, pool_cols, lengths,
+                         input_ids, segment_ids, position_ids,
+                         token_type_ids):
+        return self.model.scores(variables, {
+            "pool_rows": pool_rows, "pool_cols": pool_cols,
+            "lengths": lengths, "input_ids": input_ids,
+            "segment_ids": segment_ids, "position_ids": position_ids,
+            "token_type_ids": token_type_ids,
+        })
+
+    def _build_packed_session(self):
+        """Bucketed AOT executables for the packed layout. pool_rows leads
+        the input names so the session's n_valid (dim 0 of the first input)
+        is the SEQUENCE count — outputs slice back to the real pairs.
+        Row-count buckets are N/8..N (multiples of 8): packing never needs
+        more rows than sequences."""
+        n = self.batch_size
+        l = self.max_length
+        m8 = lambda v: -(-max(v, 1) // 8) * 8  # noqa: E731
+        row_buckets = sorted({m8(n // 8), m8(n // 4), m8(n // 2), m8(n)})
+        buckets = [
+            {
+                "pool_rows": (n,), "pool_cols": (n,), "lengths": (n,),
+                **{k: (r, l) for k in ("input_ids", "segment_ids",
+                                       "position_ids", "token_type_ids")},
+            }
+            for r in row_buckets
+        ]
+        return AOTSession(self._packed_score_fn, self._PACKED_NAMES, buckets,
+                          bound=self.model.variables)
+
     def _score_packed(self, ids: np.ndarray, mask: np.ndarray,
                       token_type_ids: Optional[np.ndarray]) -> np.ndarray:
         """Pack one right-padded chunk into max_length rows and score it in
-        a single jitted program. Row count is bucketed (multiples of 8) and
-        the per-sequence pool arrays are padded to multiples of 32, so the
-        serving process compiles a small stable set of shapes."""
+        a single program (jitted, or a bucketed AOT executable when
+        infer_mode != 'normal'). Row count is bucketed (multiples of 8) and
+        the per-sequence pool arrays are padded to stable shapes."""
         import jax
         import numpy as _np
 
@@ -186,6 +219,13 @@ class TextReranker:
         pk = pack_tokenized(ids, mask, row_len=self.max_length, row_bucket=8,
                             extras=extras)
         n = ids.shape[0]
+        if "token_type_ids" not in pk:
+            pk["token_type_ids"] = _np.zeros_like(pk["input_ids"])
+        if self._packed_session is not None:
+            feed = {k: _np.asarray(pk[k], _np.int32) for k in self._PACKED_NAMES}
+            # pad sequence 0 lengths would gather col -1; keep them >= 1
+            feed["lengths"] = _np.maximum(feed["lengths"], 1)
+            return _np.asarray(self._packed_session.run(None, feed)[0])[:n]
         npad = -(-n // 32) * 32
 
         def padn(a, fill=0):
@@ -195,12 +235,11 @@ class TextReranker:
             "input_ids": pk["input_ids"],
             "segment_ids": pk["segment_ids"],
             "position_ids": pk["position_ids"],
+            "token_type_ids": pk["token_type_ids"],
             "pool_rows": padn(pk["pool_rows"]),
             "pool_cols": padn(pk["pool_cols"]),
             "lengths": padn(pk["lengths"], 1),
         }
-        if token_type_ids is not None:
-            batch["token_type_ids"] = pk["token_type_ids"]
         if self._packed_fn is None:
             self._packed_fn = jax.jit(
                 lambda v, b: self.model.scores(v, b))
@@ -225,11 +264,15 @@ class BaseRerankerInferenceEngine(TextReranker):
         return self.compute_score(pairs)
 
     def convert_to_serialized(self, output_path: str) -> str:
-        names = ["input_ids", "attention_mask", "token_type_ids"]
-        session = self.session
-        if not isinstance(session, AOTSession):
-            buckets = [{k: (self.batch_size, L) for k in names} for L in self.seq_buckets]
-            session = AOTSession(self._score_fn, names, buckets, bound=self.model.variables)
+        if self.packing:
+            # export the program that actually serves: the packed layout
+            session = self._packed_session or self._build_packed_session()
+        else:
+            names = ["input_ids", "attention_mask", "token_type_ids"]
+            session = self.session
+            if not isinstance(session, AOTSession):
+                buckets = [{k: (self.batch_size, L) for k in names} for L in self.seq_buckets]
+                session = AOTSession(self._score_fn, names, buckets, bound=self.model.variables)
         with open(output_path, "wb") as f:
             f.write(session.serialize())
         return output_path

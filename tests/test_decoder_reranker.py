@@ -451,3 +451,31 @@ def test_packed_scoring_parity_bert(bert_tok_dir):
     s_pk = packed.compute_score(pairs, normalize=False)
     np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_pad),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_scoring_aot_session_parity(bert_tok_dir):
+    """packing=True with a non-normal infer_mode scores through bucketed
+    AOT executables of the PACKED program (pool_rows-led feed) and matches
+    the padded normal path."""
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+
+    cfg = LlamaConfig(**TINY)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    pairs = [
+        ("query about dog", "dog dog document runs fast"),
+        ("query about sky", "blue sky"),
+        ("query about cat", "cat sits slow cat document unrelated red"),
+        ("a", "the"),
+    ]
+    padded = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32)
+    packed_aot = TextReranker(model=model, tokenizer=tok, batch_size=8,
+                              max_length=32, packing=True, infer_mode="onnx")
+    assert packed_aot._packed_session is not None
+    s_pad = padded.compute_score(pairs, normalize=False)
+    s_aot = packed_aot.compute_score(pairs, normalize=False)
+    np.testing.assert_allclose(np.asarray(s_aot), np.asarray(s_pad),
+                               rtol=1e-4, atol=1e-4)
