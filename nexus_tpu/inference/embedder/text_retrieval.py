@@ -159,9 +159,13 @@ class TextEmbedder:
         if single:
             sentences = [sentences]
         batch_size = batch_size or self.batch_size
-        if self.packing and self.mesh is None and self.model.args.sentence_pooling_method in (
-            "cls", "mean", "last_token",
-        ):
+        if (self.packing and self.mesh is None and self.infer_mode == "normal"
+                and self.model.args.sentence_pooling_method in (
+                    "cls", "mean", "last_token")):
+            # packed encode dispatches its own jitted program; under AOT
+            # (onnx/tensorrt-parity) modes the bucketed session IS the
+            # contract, so packing falls back to it rather than silently
+            # serving a different program than convert_to_serialized exports
             reps = self._encode_packed(sentences, batch_size)
             return reps[0] if single else reps
 
@@ -340,7 +344,7 @@ class TextEmbedder:
         (inference/embedder/text_retrieval/base.py:291-320) with the host
         work hidden behind device time instead of serialized before it."""
         batch_size = batch_size or self.batch_size
-        packed = self.packing and self.mesh is None and (
+        packed = self.packing and self.mesh is None and self.infer_mode == "normal" and (
             self.model.args.sentence_pooling_method in ("cls", "mean", "last_token")
         )
         if not packed and (self.mesh is not None or not isinstance(self.session, NormalSession)):
