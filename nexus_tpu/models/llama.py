@@ -235,7 +235,7 @@ class LlamaLayer(nn.Module):
         head_dim = c.head_dim or c.hidden_size // n_q
         if c.attention_impl == "fused" and c.lora_rank == 0:
             from nexus_tpu.ops.fused_decoder import (
-                fused_decoder_attention, fused_decoder_supported,
+                fused_decoder_block, fused_decoder_supported,
                 iota_rope_tables)
 
             fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv,
@@ -244,11 +244,8 @@ class LlamaLayer(nn.Module):
             fuse = False
         if fuse:
             # one Pallas program per row: input RMSNorm + QKV (+bias) +
-            # qk-norm + RoPE + causal GQA attention + O + residual. Always
-            # the SEGMENT flavor: the 0/1 attention mask doubles as segment
-            # ids for unpacked rows, and the rope tables are gathered from
-            # the REAL positions — so left padding, right padding and
-            # packed rows all match the xla/pallas paths exactly.
+            # qk-norm + RoPE + causal GQA attention + O + residual
+            # (padding/packing semantics centralized in fused_decoder_block)
             wqkv, bqkv, wo, qn, kn = LlamaAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, positions, return_weights=True)
@@ -256,14 +253,12 @@ class LlamaLayer(nn.Module):
             if rope_tables is None:
                 bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
                 rope_tables = (bc[0][positions], bs[0][positions])
-            seg = segment_ids if segment_ids is not None \
-                else attention_mask.astype(jnp.int32)
-            x = fused_decoder_attention(
-                x, wqkv, wo, rms_w, segment_ids=seg,
-                rope_cos=rope_tables[0], rope_sin=rope_tables[1],
-                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=head_dim,
-                rope_theta=c.rope_theta, eps=c.rms_norm_eps,
-                bqkv=bqkv, q_norm_w=qn, k_norm_w=kn)
+            x = fused_decoder_block(
+                x, attention_mask, rope_tables[0], rope_tables[1],
+                wqkv=wqkv, wo=wo, rms_w=rms_w, bqkv=bqkv,
+                q_norm_w=qn, k_norm_w=kn, num_q_heads=n_q,
+                num_kv_heads=n_kv, head_dim=head_dim, eps=c.rms_norm_eps,
+                segment_ids=segment_ids)
         else:
             attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),

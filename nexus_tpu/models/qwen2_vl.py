@@ -531,25 +531,22 @@ class Qwen2VLTextLayer(nn.Module):
         hd = c.hidden_size // n_q
         if c.attention_impl == "fused" and c.lora_rank == 0:
             from nexus_tpu.ops.fused_decoder import (
-                fused_decoder_attention, fused_decoder_supported)
+                fused_decoder_block, fused_decoder_supported)
 
             fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv, hd,
                                            x.shape[1])
         else:
             fuse = False
         if fuse:
-            # megakernel with the M-RoPE tables passed straight through;
-            # segment flavor with the 0/1 mask as segment ids — correct for
-            # either padding side (positions ride in via the tables)
+            # megakernel with the M-RoPE tables passed straight through
             wqkv, bqkv, wo = Qwen2VLTextAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, cos, sin, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
-            x = fused_decoder_attention(
-                x, wqkv, wo, rms_w,
-                segment_ids=attention_mask.astype(jnp.int32),
-                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
-                eps=c.rms_norm_eps, bqkv=bqkv, rope_cos=cos, rope_sin=sin)
+            x = fused_decoder_block(
+                x, attention_mask, cos, sin, wqkv=wqkv, wo=wo, rms_w=rms_w,
+                bqkv=bqkv, num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
+                eps=c.rms_norm_eps)
         else:
             x = x + Qwen2VLTextAttention(c, dtype=self.dtype, name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin

@@ -396,7 +396,7 @@ class Qwen3VLTextLayer(nn.Module):
         hd = getattr(c, "head_dim", None) or c.hidden_size // n_q
         if c.attention_impl == "fused" and c.lora_rank == 0:
             from nexus_tpu.ops.fused_decoder import (
-                fused_decoder_attention, fused_decoder_supported)
+                fused_decoder_block, fused_decoder_supported)
 
             fuse = fused_decoder_supported(c.hidden_size, n_q, n_kv, hd,
                                            x.shape[1])
@@ -404,18 +404,15 @@ class Qwen3VLTextLayer(nn.Module):
             fuse = False
         if fuse:
             # megakernel with qk-norm in-kernel and the M-RoPE tables
-            # passed straight through; segment flavor with the 0/1 mask as
-            # segment ids — correct for either padding side
+            # passed straight through
             wqkv, wo, qn, kn = Qwen3VLTextAttention(
                 c, dtype=self.dtype, name="self_attn")(
                 x, attention_mask, cos, sin, return_weights=True)
             rms_w = _RMSParams(name="input_layernorm")(c.hidden_size)
-            x = fused_decoder_attention(
-                x, wqkv, wo, rms_w,
-                segment_ids=attention_mask.astype(jnp.int32),
-                num_q_heads=n_q, num_kv_heads=n_kv, head_dim=hd,
-                eps=c.rms_norm_eps, q_norm_w=qn, k_norm_w=kn,
-                rope_cos=cos, rope_sin=sin)
+            x = fused_decoder_block(
+                x, attention_mask, cos, sin, wqkv=wqkv, wo=wo, rms_w=rms_w,
+                q_norm_w=qn, k_norm_w=kn, num_q_heads=n_q, num_kv_heads=n_kv,
+                head_dim=hd, eps=c.rms_norm_eps)
         else:
             x = x + Qwen3VLTextAttention(c, dtype=self.dtype, name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x), attention_mask, cos, sin

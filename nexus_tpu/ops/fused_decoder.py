@@ -366,6 +366,26 @@ def fused_decoder_attention(
                       seg_mode)
 
 
+def fused_decoder_block(
+    x, attention_mask, rope_cos, rope_sin, *, wqkv, wo, rms_w, bqkv=None,
+    q_norm_w=None, k_norm_w=None, num_q_heads: int, num_kv_heads: int,
+    head_dim: int, eps: float, segment_ids=None,
+):
+    """Model-layer entry point shared by the Llama / Qwen-VL trunks: always
+    the SEGMENT kernel flavor — the 0/1 attention mask doubles as segment
+    ids for unpacked rows, and the rope tables carry the REAL positions —
+    so left padding, right padding and packed rows all match the unfused
+    paths exactly. Centralizing this here keeps the padding-side semantics
+    defined once."""
+    seg = segment_ids if segment_ids is not None \
+        else attention_mask.astype(jnp.int32)
+    return fused_decoder_attention(
+        x, wqkv, wo, rms_w, segment_ids=seg, rope_cos=rope_cos,
+        rope_sin=rope_sin, bqkv=bqkv, q_norm_w=q_norm_w, k_norm_w=k_norm_w,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, eps=eps)
+
+
 _VMEM_BUDGET = 88 * 1024 * 1024
 
 
