@@ -325,3 +325,32 @@ def test_streamed_build_self_kmeans(key):
         len(set(ids_ivf[i]) & set(ids_flat[i])) / 10 for i in range(8)
     ])
     assert recall > 0.9, recall
+
+
+def test_engine_attention_impl_override(tmp_path):
+    """TextEmbedder(attention_impl=...) flips the checkpoint's attention
+    path at serve time; embeddings stay identical across impls on a ragged
+    right-padded batch."""
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "b", "c", "d"]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=128, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=128,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    from nexus_tpu.inference import TextEmbedder
+
+    texts = ["a b c", "a", "d c b a d c b a", "b d"]
+    reps = {}
+    for impl in ("xla", "fused"):
+        e = TextEmbedder(model_name_or_path=str(d), batch_size=4,
+                         max_length=16, attention_impl=impl)
+        assert e.model.bert_config.attention_impl == impl
+        reps[impl] = e.encode(texts)
+    # bf16 checkpoint (from_pretrained default): cross-impl noise ~7e-4
+    np.testing.assert_allclose(reps["xla"], reps["fused"], atol=2e-3)
