@@ -47,9 +47,9 @@ class MultimodalEmbedder:
         if model is None:
             model = BiMultimodalEmbedderModel.from_pretrained(model_name_or_path)
         if attention_impl is not None:
-            tc = getattr(model.vlm_config, "text", None)
-            if tc is not None and hasattr(tc, "attention_impl"):
-                tc.attention_impl = attention_impl
+            from nexus_tpu.inference.embedder.text_retrieval import _override_attention_impl
+
+            _override_attention_impl(model, attention_impl)
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

@@ -30,11 +30,14 @@ DEFAULT_SEQ_BUCKETS = (32, 64, 128, 256, 512)
 
 def _override_attention_impl(model, impl: str) -> None:
     """Serve-time attention-path override: flips attention_impl on whichever
-    net config the wrapped model carries (BertConfig / LlamaConfig). The
-    session re-lowers on the next compile, so the checkpoint stays untouched
-    and the megakernel ('fused') can be enabled without editing config.json."""
-    for attr in ("bert_config", "llama_config"):
-        cfg = getattr(model, attr, None)
+    net config the wrapped model carries (BertConfig / LlamaConfig, or a VLM
+    backbone's text trunk). The session re-lowers on the next compile, so the
+    checkpoint stays untouched and the megakernel ('fused') can be enabled
+    without editing config.json."""
+    vlm = getattr(model, "vlm_config", None)
+    candidates = [getattr(model, a, None) for a in ("bert_config", "llama_config")]
+    candidates.append(getattr(vlm, "text", None))
+    for cfg in candidates:
         if cfg is not None and hasattr(cfg, "attention_impl"):
             cfg.attention_impl = impl
 

@@ -50,9 +50,9 @@ class MultimodalReranker:
     ):
         if attention_impl is not None:
             # serve-time text-trunk attention override ('fused' megakernel)
-            tc = getattr(model.vlm_config, "text", None)
-            if tc is not None and hasattr(tc, "attention_impl"):
-                tc.attention_impl = attention_impl
+            from nexus_tpu.inference.embedder.text_retrieval import _override_attention_impl
+
+            _override_attention_impl(model, attention_impl)
         self.model = model
         self.tokenizer = tokenizer
         self.batch_size = batch_size

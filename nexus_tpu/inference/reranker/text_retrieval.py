@@ -211,7 +211,6 @@ class TextReranker:
         infer_mode != 'normal'). Row count is bucketed (multiples of 8) and
         the per-sequence pool arrays are padded to stable shapes."""
         import jax
-        import numpy as _np
 
         from nexus_tpu.ops.packing import pack_tokenized
 
@@ -220,16 +219,17 @@ class TextReranker:
                             extras=extras)
         n = ids.shape[0]
         if "token_type_ids" not in pk:
-            pk["token_type_ids"] = _np.zeros_like(pk["input_ids"])
+            pk["token_type_ids"] = np.zeros_like(pk["input_ids"])
         if self._packed_session is not None:
-            feed = {k: _np.asarray(pk[k], _np.int32) for k in self._PACKED_NAMES}
-            # pad sequence 0 lengths would gather col -1; keep them >= 1
-            feed["lengths"] = _np.maximum(feed["lengths"], 1)
-            return _np.asarray(self._packed_session.run(None, feed)[0])[:n]
+            # session pads pool arrays with zeros; the nets clamp
+            # max(length, 1) so those phantom entries gather col 0 and are
+            # sliced off by n_valid
+            feed = {k: np.asarray(pk[k], np.int32) for k in self._PACKED_NAMES}
+            return np.asarray(self._packed_session.run(None, feed)[0])[:n]
         npad = -(-n // 32) * 32
 
         def padn(a, fill=0):
-            return _np.pad(a, (0, npad - n), constant_values=fill)
+            return np.pad(a, (0, npad - n), constant_values=fill)
 
         batch = {
             "input_ids": pk["input_ids"],
@@ -243,7 +243,7 @@ class TextReranker:
         if self._packed_fn is None:
             self._packed_fn = jax.jit(
                 lambda v, b: self.model.scores(v, b))
-        out = _np.asarray(
+        out = np.asarray(
             self._packed_fn(self.model.variables,
                             {k: jnp.asarray(v) for k, v in batch.items()}))
         return out[:n]

@@ -40,7 +40,8 @@ class LlamaConfig(AbsArguments):
     pad_token_id: int = 0
     # 'xla' | 'pallas' (blocked flash attention) | 'fused' (the
     # ops/fused_decoder.py megakernel: RMSNorm+QKV+RoPE+attention+O+residual
-    # in one Pallas program per row; requires RIGHT-padded batches and
+    # in one Pallas program per row; padding-side agnostic — the model layer
+    # uses the segment flavor with tables from the real positions — and
     # falls back to flash when the shape gate rejects or LoRA is active)
     attention_impl: str = "xla"
     lora_rank: int = 0
@@ -331,11 +332,15 @@ class LlamaModel(nn.Module):
         if c.attention_impl == "fused" and c.lora_rank == 0:
             # hoist the fused path's rotary tables out of the layer scan:
             # one trig build + one position gather for the whole stack
-            from nexus_tpu.ops.fused_decoder import iota_rope_tables
+            from nexus_tpu.ops.fused_decoder import (
+                fused_decoder_supported, iota_rope_tables)
 
+            n_kv = c.num_key_value_heads or c.num_attention_heads
             head_dim = c.head_dim or c.hidden_size // c.num_attention_heads
-            bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
-            rope_tables = (bc[0][positions], bs[0][positions])
+            if fused_decoder_supported(c.hidden_size, c.num_attention_heads,
+                                       n_kv, head_dim, x.shape[1]):
+                bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
+                rope_tables = (bc[0][positions], bs[0][positions])
         if self.scan_layers:
             layer_cls = nn.remat(_ScannedLlamaLayer) if self.remat else _ScannedLlamaLayer
             Scanned = nn.scan(
