@@ -32,6 +32,7 @@ class TextReranker:
         pair_template: Optional[str] = None,
         attention_impl: Optional[str] = None,
         packing: bool = False,
+        mesh=None,
     ):
         """``pair_template``: LLM-reranker prompt formatting — e.g.
         ``"A: {query}\\nB: {passage}\\nPredict whether passage B answers "
@@ -46,7 +47,12 @@ class TextReranker:
         one right-padded pair each (block-diagonal segment attention, same
         scores) — at realistic pair lengths (~190 tokens vs 512 buckets)
         this removes most pad FLOPs. Identical mechanics to the packed
-        training collator; both cross-encoder families support it."""
+        training collator; both cross-encoder families support it.
+
+        ``mesh``: shard scoring batches across the mesh's data axis — the
+        multi-chip replacement for the reference's per-GPU reranker process
+        pool (abc/inference/reranker/AbsReranker.py:111-188); one compiled
+        program, XLA splits the pair batch over chips."""
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
 
         if model is None:
@@ -72,6 +78,7 @@ class TextReranker:
         self.infer_mode = infer_mode
         self.normalize = normalize
         self.pair_template = pair_template
+        self.mesh = mesh
         self.packing = packing
         self._packed_fn = None
         self._packed_session = None
@@ -97,6 +104,22 @@ class TextReranker:
     def _build_session(self):
         names = ["input_ids", "attention_mask", "token_type_ids"]
         bound = self.model.variables
+        if self.mesh is not None:
+            # multi-chip scoring: params replicated, pair batch sharded on
+            # the data axis; one compiled program over all chips
+            import jax
+
+            from nexus_tpu.parallel.mesh import data_parallel_shardings
+
+            batch_sh, rep_sh = data_parallel_shardings(self.mesh)
+            session = NormalSession(self._score_fn, names,
+                                    bound=jax.device_put(bound, rep_sh))
+            session.fn = jax.jit(
+                self._score_fn,
+                in_shardings=(rep_sh, batch_sh, batch_sh, batch_sh),
+                out_shardings=rep_sh,
+            )
+            return session
         if self.infer_mode == "normal":
             return NormalSession(self._score_fn, names, bound=bound)
         buckets = [
@@ -144,7 +167,7 @@ class TextReranker:
                     return_tensors="np",
                 )
             ids = enc["input_ids"]
-            if self.packing:
+            if self.packing and self.mesh is None:
                 tt = enc.get("token_type_ids")
                 out = self._score_packed(
                     ids.astype(np.int32),
@@ -155,6 +178,11 @@ class TextReranker:
                 continue
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
+            pad_rows = 0
+            if self.mesh is not None:
+                from nexus_tpu.parallel.mesh import DATA_AXIS
+
+                pad_rows = (-len(ids)) % self.mesh.shape[DATA_AXIS]
             feed = {}
             for name in ("input_ids", "attention_mask", "token_type_ids"):
                 arr = enc.get(name)
@@ -162,6 +190,8 @@ class TextReranker:
                     arr = np.zeros_like(ids)
                 if bucket_len > L:
                     arr = np.pad(arr, ((0, 0), (0, bucket_len - L)))
+                if pad_rows:
+                    arr = np.pad(arr, ((0, pad_rows), (0, 0)))
                 feed[name] = arr.astype(np.int32)
             out = np.asarray(self.session.run(None, feed)[0])[: len(idx)]
             scores[idx] = out

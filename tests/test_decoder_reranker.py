@@ -479,3 +479,36 @@ def test_packed_scoring_aot_session_parity(bert_tok_dir):
     s_aot = packed_aot.compute_score(pairs, normalize=False)
     np.testing.assert_allclose(np.asarray(s_aot), np.asarray(s_pad),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_multichip_sharded_reranker(bert_tok_dir):
+    """Mesh-sharded reranker scoring parity (replaces the reference's
+    per-GPU reranker process pool): same pairs score identically through a
+    single-device session and a batch-sharded 8-device mesh session."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+    from nexus_tpu.parallel.mesh import get_default_mesh
+
+    cfg = LlamaConfig(**TINY)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    pairs = [
+        ("query about dog", "dog dog document runs fast"),
+        ("query about sky", "blue sky"),
+        ("query about cat", "cat sits slow"),
+        ("a", "the"),
+        ("query about red", "red red red"),  # 5 pairs: exercises row padding
+    ]
+    single = TextReranker(model=model, tokenizer=tok, batch_size=8, max_length=32)
+    sharded = TextReranker(model=model, tokenizer=tok, batch_size=8,
+                           max_length=32, mesh=get_default_mesh())
+    s1 = single.compute_score(pairs, normalize=False)
+    s2 = sharded.compute_score(pairs, normalize=False)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
