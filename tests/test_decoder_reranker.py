@@ -512,3 +512,42 @@ def test_multichip_sharded_reranker(bert_tok_dir):
     s2 = sharded.compute_score(pairs, normalize=False)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_export_roundtrip(tmp_path, bert_tok_dir):
+    """convert_to_serialized with packing=True exports the PACKED program;
+    the deserialized artifact reproduces the live packed scores through
+    run(input_feed) — the ONNX-file-parity contract for the served path."""
+    from transformers import AutoTokenizer
+
+    from nexus_tpu.inference.reranker.text_retrieval import (
+        BaseRerankerInferenceEngine,
+    )
+    from nexus_tpu.inference.session import AOTSession
+    from nexus_tpu.ops.packing import pack_tokenized
+
+    cfg = LlamaConfig(**TINY)
+    model = DecoderCrossEncoderModel(cfg, dtype="float32")
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    tok = AutoTokenizer.from_pretrained(bert_tok_dir)
+    engine = BaseRerankerInferenceEngine(
+        model=model, tokenizer=tok, batch_size=8, max_length=32,
+        packing=True, infer_mode="onnx")
+    pairs = [("query about dog", "dog dog document"),
+             ("query about sky", "blue sky unrelated"),
+             ("a", "the red cat")]
+    live = engine.compute_score(pairs, normalize=False)
+
+    path = str(tmp_path / "packed.shlo")
+    engine.convert_to_serialized(path)
+    restored = AOTSession.deserialize(open(path, "rb").read())
+
+    enc = tok([p[0] for p in pairs], [p[1] for p in pairs], padding=True,
+              truncation=True, max_length=32, return_tensors="np")
+    pk = pack_tokenized(enc["input_ids"].astype(np.int32),
+                        enc["attention_mask"].astype(np.int32), row_len=32,
+                        row_bucket=8,
+                        extras={"token_type_ids": enc["token_type_ids"].astype(np.int32)})
+    feed = {k: np.asarray(pk[k], np.int32) for k in engine._PACKED_NAMES}
+    out = np.asarray(restored.run(None, feed)[0])[: len(pairs)]
+    np.testing.assert_allclose(out, np.asarray(live), rtol=1e-4, atol=1e-4)
