@@ -82,10 +82,10 @@ MODES = {
                           fused_qkv=True),
     "passage_flash": dict(mean=58.0, sigma=0.55, row_len=128, rows=256,
                           attention_impl="pallas"),
-    # lengths fast path (flash_attention_padded): the model is driven by the
-    # attention MASK (no segment ids), so right-padded rows take the per-row
-    # dynamic-bound kernel — full blocks run mask-free, dead padding blocks
-    # are skipped outright
+    # lengths fast path (flash_attention_padded): right-padded rows take the
+    # per-row-length kernel whose mask is a register iota compare (no
+    # segment-id loads; static masked loop — dead-block skipping measured
+    # WORSE, see ops/flash_attention.py header)
     "dense512_padfast": dict(dense=512, rows=64, attention_impl="pallas",
                              padded=True),
     # realistic unpacked corpus encode: one passage per row, right-padded to

@@ -233,6 +233,10 @@ def run_reranker(pack: bool, accum: int = 1) -> float:
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
         attention_impl="pallas",
     )
+    assert BS % accum == 0, (
+        f"accum={accum} must divide BS={BS}: a truncating micro-batch would "
+        f"silently drop pairs and inflate the reported samples/s"
+    )
     micro_bs = BS // accum
     model = CrossEncoderModel(config, train_group_size=GROUP, dtype="bfloat16",
                               remat=accum == 1)

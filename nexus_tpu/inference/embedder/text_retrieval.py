@@ -292,6 +292,8 @@ class TextEmbedder:
             if out is None:
                 out = np.empty((total, reps.shape[-1]), reps.dtype)
             out[off : off + n] = reps
+        if out is None:  # empty input: an empty [0, d]-shaped result, not None
+            return np.empty((0, 0), np.float32)
         return out
 
     def _encode_packed(self, sentences: List[str], batch_size: int) -> np.ndarray:

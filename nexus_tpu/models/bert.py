@@ -46,6 +46,12 @@ class BertConfig(AbsArguments):
     # Pallas program — the fastest encode path; falls back to flash/xla when
     # dropout is active in training or shapes are unsupported)
     fused_qkv: bool = False  # one [h, 3h] projection instead of 3 [h, h]
+    # the pallas/fused fast paths reduce a padding-only attention mask to
+    # per-row lengths (right-contiguous masks — the tokenizer default the
+    # engines/collators enforce; +17% at seq 512). Set False for left-padded
+    # or non-contiguous masks: attention then uses the full mask as segment
+    # ids, correct for any layout.
+    right_padded_masks: bool = True
     # RoBERTa/XLM-R (BGE-M3's trunk): non-pad token positions start at
     # padding_idx + 1 (HF create_position_ids_from_input_ids). 0 = BERT.
     position_offset: int = 0
@@ -154,15 +160,16 @@ class BertSelfAttention(nn.Module):
             # Mosaic tiling rules — BENCH_NOTES r3 records the attempt.)
             blk = min(512, max(128, l))
             qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-            if segment_ids is None:
-                # padding-only mask, and BERT batches are right-padded
-                # (tokenizer default; the sessions enforce it): the lengths
-                # fast path skips dead key blocks and runs full blocks
-                # mask-free.
+            if segment_ids is None and c.right_padded_masks:
+                # padding-only RIGHT-contiguous mask (tokenizer default; the
+                # sessions enforce it): the lengths fast path masks with a
+                # register iota compare instead of segment-id loads (+17% at
+                # seq 512). right_padded_masks=False handles any layout.
                 lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
                 ctx = flash_attention_padded(qt, kt, vt, lengths, blk, blk)
             else:
-                ctx = flash_attention(qt, kt, vt, segment_ids, blk, blk)
+                seg = segment_ids if segment_ids is not None else attention_mask
+                ctx = flash_attention(qt, kt, vt, seg.astype(jnp.int32), blk, blk)
             return ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
         scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
@@ -215,8 +222,12 @@ class BertLayer(nn.Module):
             kw = dict(heads=c.num_attention_heads, eps=c.layer_norm_eps)
             if segment_ids is not None:
                 kw["segment_ids"] = segment_ids
-            else:
+            elif c.right_padded_masks:
                 kw["lengths"] = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+            else:
+                # non-right-contiguous masks: the 0/1 mask doubles as
+                # segment ids (correct for any padding layout)
+                kw["segment_ids"] = attention_mask.astype(jnp.int32)
         if fuse_layer:
             wup, bup = _DenseParams(c.intermediate_size, name="intermediate_dense")(
                 h, self.dtype)

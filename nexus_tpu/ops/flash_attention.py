@@ -244,10 +244,13 @@ def flash_attention_padded(q, k, v, lengths, block_q: int = 128, block_k: int = 
     [B] int (#valid tokens per row; tokens attend to positions < length).
 
     Semantically equal to `flash_attention` with segment ids
-    `arange(L) < lengths[:, None]`, but the forward skips dead key blocks via
-    a per-row dynamic loop bound and runs full blocks mask-free — the right
-    call for corpus encode and padded cross-encoder scoring. NOT valid for
-    left-padded or packed inputs (use `flash_attention`)."""
+    `arange(L) < lengths[:, None]`, but the mask is an iota-vs-scalar
+    compare computed in registers — no segment-id VMEM loads or [B*H, L]
+    id replication in HBM (~17% faster at seq 512; see the header comment:
+    a dynamic loop bound that would SKIP dead key blocks was measured at
+    ~13% WORSE, so the kernel deliberately runs a static masked loop).
+    The right call for corpus encode and padded cross-encoder scoring.
+    NOT valid for left-padded or packed inputs (use `flash_attention`)."""
     return _flash_forward_padded(q, k, v, lengths, block_q, block_k)
 
 

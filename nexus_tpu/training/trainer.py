@@ -410,6 +410,10 @@ class RecTrainer:
         for batch in data_iter:
             nvalid = int(batch.pop("_nvalid", 0)) or None
             device_batch = shard_batch(batch, self.mesh)
+            # re-read per batch: TDE eval loaders swap cache rows into the
+            # state as the iterator admits evicted ids (transform_batch) —
+            # a one-time snapshot would score stale embedding rows
+            variables = self._state.variables
             pred, target = self._eval_step(variables, device_batch, array_ctx)
             pred, target = np.asarray(pred), np.asarray(target)
             if nvalid:

@@ -430,3 +430,55 @@ def test_tde_reranker_serving_engine(tmp_path):
     out = engine.batch_inference([1], candidates)
     assert out["item_ids"].shape == (1, 3)
     assert set(out["item_ids"][0]) <= set(cand_ids[0])
+
+
+def test_eval_rereads_state_per_batch():
+    """RecTrainer.evaluate must re-read trainer._state per batch: TDE eval
+    loaders swap PS-spilled cache rows into the state as the iterator admits
+    evicted ids; a one-time snapshot would score stale embedding rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.trainer import RecTrainer
+
+    class _ProbeModel:
+        """eval_step returns the current value of params['w'] — so the test
+        observes WHICH state snapshot each batch was scored with."""
+
+        def init_variables(self, rng):
+            return {"params": {"w": jnp.zeros((1,), jnp.float32)}}
+
+        def loss_fn(self, variables, batch, rng):
+            return jnp.sum(variables["params"]["w"]), {"batch_stats": None}
+
+        def eval_step(self, variables, batch):
+            v = variables["params"]["w"][0]
+            return jnp.full((1,), v), batch["y"][:1]
+
+        def eval_context(self, variables):
+            return {}
+
+        def compute_metrics(self, pred, target):
+            return {"pred_sum": float(np.sum(pred))}
+
+    trainer = RecTrainer(_ProbeModel(), TrainingArguments.from_dict(dict(
+        output_dir="/tmp/nx_probe_eval", num_train_epochs=1,
+        per_device_train_batch_size=1, learning_rate=0.1,
+        evaluation_strategy="no")))
+    trainer.init_state()
+
+    class _MutatingLoader:
+        """Bumps params['w'] before each yielded batch (the TDE
+        transform_batch pattern)."""
+
+        def __iter__(self):
+            for i in range(3):
+                st = trainer._state
+                new_params = {"w": jnp.full((1,), float(i + 1))}
+                trainer._state = st.replace(params=new_params)
+                yield {"y": np.zeros((1,), np.float32)}
+
+    m = trainer.evaluate(_MutatingLoader())
+    # per-batch re-read sees w = 1, 2, 3 -> sum 6; a stale snapshot sees 0
+    assert m["pred_sum"] == 6.0, m

@@ -297,3 +297,29 @@ def test_fused_gate_and_train_fallback(key):
     # different dropout rngs change the output -> the unfused dropout path ran
     assert np.abs(np.asarray(a["last_hidden_state"])
                   - np.asarray(b["last_hidden_state"])).max() > 1e-6
+
+
+def test_left_padded_masks_knob(key):
+    """right_padded_masks=False routes pallas/fused attention through the
+    full mask (segment ids) instead of the lengths reduction — LEFT-padded
+    batches then match the xla path on valid rows."""
+    ids = np.zeros((2, 48), np.int32)
+    rng = np.random.default_rng(6)
+    ids[0, :] = rng.integers(1, 90, 48)
+    ids[1, 48 - 11:] = rng.integers(1, 90, 11)  # LEFT-padded row
+    mask = (ids != 0).astype(np.int32)
+    outs = {}
+    for impl in ("xla", "pallas", "fused"):
+        cfg = BertConfig(vocab_size=97, hidden_size=H, num_hidden_layers=1,
+                         num_attention_heads=HEADS, intermediate_size=256,
+                         max_position_embeddings=64, hidden_dropout_prob=0.0,
+                         attention_probs_dropout_prob=0.0,
+                         attention_impl=impl, right_padded_masks=False)
+        net = BertEncoderModel(cfg, dtype=jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+        outs[impl] = np.asarray(net.apply(
+            v, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"])
+    valid = mask.astype(bool)
+    for impl in ("pallas", "fused"):
+        diff = np.abs(outs["xla"] - outs[impl])[valid].max()
+        assert diff < 2e-4, (impl, diff)
