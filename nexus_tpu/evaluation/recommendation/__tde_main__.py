@@ -7,16 +7,10 @@ recommendation/__tde_main__.py).
 """
 
 import argparse
+
+from nexus_tpu.dynamic_embedding import parse_tde_features
 import json
 import os
-
-
-def parse_tde(pairs):
-    out = {}
-    for p in pairs:
-        name, cap = p.split("=")
-        out[name] = int(cap)
-    return out
 
 
 def main():
@@ -41,7 +35,7 @@ def main():
     ps = MemoryKVStore.load(ps_path) if ps_path and os.path.exists(ps_path) else None
     out = TDERecommenderEvalRunner(
         ns.data_config,
-        tde_features=parse_tde(ns.tde_feature),
+        tde_features=parse_tde_features(ns.tde_feature),
         ps=ps,
         retriever_ckpt_path=ns.retriever_ckpt_path,
         ranker_ckpt_path=ns.ranker_ckpt_path,

@@ -9,9 +9,7 @@ spaces — the device table holds a cache, spilled rows live in the PS.
 
 import argparse
 
-
-def parse_tde(pairs):
-    return {p.split("=")[0]: int(p.split("=")[1]) for p in pairs}
+from nexus_tpu.dynamic_embedding import parse_tde_features
 
 
 def main():
@@ -38,7 +36,7 @@ def main():
     runner = TDERetrieverRunner(
         ns.model_config, ns.data_config, ns.train_config,
         model_class=get_model_cls(ns.model_class),
-        tde_features=parse_tde(ns.tde_feature), ps=ps,
+        tde_features=parse_tde_features(ns.tde_feature), ps=ps,
     )
     runner.run()
     print("id transformer stats:", runner.tde.transformer_group.stats)
