@@ -62,6 +62,20 @@ def main():
     engine_aot.convert_to_serialized(out_path)
     print("serialized ->", out_path)
 
+    # 4. packed scoring: many pairs per row (block-diagonal segment
+    # attention — identical scores, no pad FLOPs at realistic pair lengths)
+    engine_packed = BaseRerankerInferenceEngine(
+        model_name_or_path=model_path, infer_mode="normal", batch_size=32,
+        packing=True)
+    s_packed = np.asarray(engine_packed.inference(qa_pairs, normalize=False))
+    print("packed    :", s_packed)
+    assert np.allclose(s_normal, s_packed, atol=1e-4)
+
+    # on a real checkpoint also consider attention_impl='fused' (the
+    # decoder/encoder megakernels) — a serve-time override, no config edits:
+    #   BaseRerankerInferenceEngine(model_name_or_path=..., packing=True,
+    #                               attention_impl="fused")
+
     # normalized scores (sigmoid), like the reference's normalize=True
     print("normalized:", np.asarray(engine.inference(qa_pairs, normalize=True)))
 
