@@ -61,12 +61,9 @@ class TextRerankerRunner:
             train_data, train_group_size=train_group_size, seed=training_args.seed,
             knowledge_distillation=knowledge_distillation,
         )
-        from nexus_tpu.training.reranker.text_retrieval.modeling import CrossEncoderModel
-
-        if pack_pairs and not isinstance(self.model, CrossEncoderModel):
-            # packed pooling is CLS-gather — decoder (last-token) backbones
-            # keep the padded layout
-            pack_pairs = False
+        # both cross-encoder families score packed rows (BERT: CLS gather;
+        # decoder: per-segment last-token gather), so pack_pairs applies to
+        # either backbone
         self.collator = TextRerankerCollator(
             self.tokenizer, max_len=max_len, pack=pack_pairs,
             pair_template=pair_template,

@@ -386,3 +386,42 @@ def test_decoder_embedder_packed_encode_parity(tmp_path):
     b = packed.encode(texts)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=3e-5)
+
+
+def test_packed_decoder_reranker_training_parity():
+    """pack_pairs for the DECODER cross-encoder: loss_fn over a packed
+    pairs batch equals the padded batch, including gradients (the runner
+    now allows packed collation for LLM backbones)."""
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.ops.packing import pack_tokenized
+    from nexus_tpu.training.reranker.text_retrieval.decoder_only import (
+        DecoderCrossEncoderModel,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    model = DecoderCrossEncoderModel(cfg, train_group_size=3, dtype="float32")
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(9)
+    n, L = 6, 24  # 2 groups x 3 pairs
+    ids = np.zeros((n, L), np.int32)
+    for i in range(n):
+        ln = int(rng.integers(4, L))
+        ids[i, :ln] = rng.integers(2, 127, ln)
+    mask = (ids != 0).astype(np.int32)
+    padded = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+    packed = {k: jnp.asarray(v)
+              for k, v in pack_tokenized(ids, mask, row_len=L, row_bucket=2).items()}
+
+    key = jax.random.PRNGKey(1)
+    loss_pad, _ = model.loss_fn(variables, padded, key)
+    loss_pk, _ = model.loss_fn(variables, packed, key)
+    np.testing.assert_allclose(float(loss_pad), float(loss_pk), rtol=2e-5)
+
+    from jax.flatten_util import ravel_pytree as _rp
+
+    g_pad = _rp(jax.grad(lambda v: model.loss_fn(v, padded, key)[0])(variables))[0]
+    g_pk = _rp(jax.grad(lambda v: model.loss_fn(v, packed, key)[0])(variables))[0]
+    np.testing.assert_allclose(np.asarray(g_pad), np.asarray(g_pk), atol=5e-5)
