@@ -41,8 +41,9 @@ class LlamaConfig(AbsArguments):
     # 'xla' | 'pallas' (blocked flash attention) | 'fused' (the
     # ops/fused_decoder.py megakernel: RMSNorm+QKV+RoPE+attention+O+residual
     # in one Pallas program per row; padding-side agnostic — the model layer
-    # uses the segment flavor with tables from the real positions — and
-    # falls back to flash when the shape gate rejects or LoRA is active)
+    # uses the segment flavor with tables from the real positions; LoRA
+    # adapters merge into the effective kernels outside the megakernel —
+    # and falls back to flash when the shape/VMEM gate rejects)
     attention_impl: str = "xla"
     lora_rank: int = 0
     lora_alpha: float = 16.0
@@ -118,6 +119,41 @@ class _RMSParams(nn.Module):
                           jnp.float32)
 
 
+class _LoRADenseParams(nn.Module):
+    """Materializes LoRADense's param tree (base/kernel[,bias] + lora_A/B)
+    and returns the EFFECTIVE kernel `base + (alpha/r)·A@B` — the fused
+    megakernel consumes one merged weight while the adapters stay separate
+    trainable leaves (gradients flow through the merge by plain autodiff;
+    the kernel's custom-vjp only sees the merged operand)."""
+
+    features: int
+    use_bias: bool
+    lora_rank: int
+    lora_alpha: float
+
+    @nn.compact
+    def __call__(self, in_features: int, dtype):
+        base = _DenseParams(self.features, self.use_bias, name="base")
+        k, b = base(in_features, dtype)
+        a = self.param("lora_A", nn.initializers.normal(stddev=0.02),
+                       (in_features, self.lora_rank), jnp.float32)
+        bb = self.param("lora_B", nn.initializers.zeros,
+                        (self.lora_rank, self.features), jnp.float32)
+        scale = self.lora_alpha / self.lora_rank
+        k_eff = k.astype(jnp.float32) + a @ bb * scale
+        return k_eff.astype(dtype), b
+
+
+def _fused_dense_factory(config):
+    """Param-materializer factory for the fused megakernel paths: plain
+    Dense trees, or LoRADense trees with the adapters merged into the
+    effective kernel when config.lora_rank > 0."""
+    if getattr(config, "lora_rank", 0) > 0:
+        return lambda f, bias, name: _LoRADenseParams(
+            f, bias, config.lora_rank, config.lora_alpha, name=name)
+    return _DenseParams
+
+
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -138,19 +174,22 @@ class LlamaAttention(nn.Module):
         if return_weights:
             # fused megakernel path: materialize the identical param tree
             # and hand the raw packed [H, (nq+2nkv)d] projection + o_proj
-            # to the kernel (GQA K/V never repeated in HBM)
+            # to the kernel (GQA K/V never repeated in HBM). With LoRA the
+            # EFFECTIVE merged kernels feed the megakernel while adapters
+            # stay separate trainable leaves.
             h = c.hidden_size
             n_q = c.num_attention_heads
             n_kv = c.num_key_value_heads or n_q
             head_dim = c.head_dim or h // n_q
-            wq, bq = _DenseParams(n_q * head_dim, c.attention_bias,
-                                  name="q_proj")(h, self.dtype)
-            wk, bk = _DenseParams(n_kv * head_dim, c.attention_bias,
-                                  name="k_proj")(h, self.dtype)
-            wv, bv = _DenseParams(n_kv * head_dim, c.attention_bias,
-                                  name="v_proj")(h, self.dtype)
-            wo, _ = _DenseParams(h, False, name="o_proj")(n_q * head_dim,
-                                                          self.dtype)
+            dense = _fused_dense_factory(c)
+            wq, bq = dense(n_q * head_dim, c.attention_bias,
+                           name="q_proj")(h, self.dtype)
+            wk, bk = dense(n_kv * head_dim, c.attention_bias,
+                           name="k_proj")(h, self.dtype)
+            wv, bv = dense(n_kv * head_dim, c.attention_bias,
+                           name="v_proj")(h, self.dtype)
+            wo, _ = dense(h, False, name="o_proj")(n_q * head_dim,
+                                                   self.dtype)
             wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
             bqkv = (jnp.concatenate([bq, bk, bv]) if c.attention_bias
                     else None)
@@ -234,7 +273,7 @@ class LlamaLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         head_dim = c.head_dim or c.hidden_size // n_q
-        if c.attention_impl == "fused" and c.lora_rank == 0:
+        if c.attention_impl == "fused":
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_block, fused_decoder_supported,
                 iota_rope_tables)
@@ -329,7 +368,7 @@ class LlamaModel(nn.Module):
         if override_mask is not None:
             x = jnp.where(override_mask[..., None], override_embeds.astype(x.dtype), x)
         rope_tables = None
-        if c.attention_impl == "fused" and c.lora_rank == 0:
+        if c.attention_impl == "fused":
             # hoist the fused path's rotary tables out of the layer scan:
             # one trig build + one position gather for the whole stack
             from nexus_tpu.ops.fused_decoder import (

@@ -483,16 +483,18 @@ class Qwen2VLTextAttention(nn.Module):
         hd = c.hidden_size // n_q
         if return_weights:
             # fused megakernel path (ops/fused_decoder.py): identical param
-            # tree, raw packed projections handed to the kernel
-            from nexus_tpu.models.llama import _DenseParams
+            # tree, raw packed projections handed to the kernel (LoRA
+            # adapters merge into the effective kernels)
+            from nexus_tpu.models.llama import _fused_dense_factory
 
-            wq, bq = _DenseParams(n_q * hd, True, name="q_proj")(
+            dense = _fused_dense_factory(c)
+            wq, bq = dense(n_q * hd, True, name="q_proj")(
                 c.hidden_size, self.dtype)
-            wk, bk = _DenseParams(n_kv * hd, True, name="k_proj")(
+            wk, bk = dense(n_kv * hd, True, name="k_proj")(
                 c.hidden_size, self.dtype)
-            wv, bv = _DenseParams(n_kv * hd, True, name="v_proj")(
+            wv, bv = dense(n_kv * hd, True, name="v_proj")(
                 c.hidden_size, self.dtype)
-            wo, _ = _DenseParams(c.hidden_size, False, name="o_proj")(
+            wo, _ = dense(c.hidden_size, False, name="o_proj")(
                 n_q * hd, self.dtype)
             return (jnp.concatenate([wq, wk, wv], axis=-1),
                     jnp.concatenate([bq, bk, bv]), wo)
@@ -529,7 +531,7 @@ class Qwen2VLTextLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         hd = c.hidden_size // n_q
-        if c.attention_impl == "fused" and c.lora_rank == 0:
+        if c.attention_impl == "fused":
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_block, fused_decoder_supported)
 

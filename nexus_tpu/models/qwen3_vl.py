@@ -345,16 +345,18 @@ class Qwen3VLTextAttention(nn.Module):
         hd = getattr(c, "head_dim", None) or c.hidden_size // n_q
         if return_weights:
             # fused megakernel path (ops/fused_decoder.py): identical param
-            # tree, raw packed projections handed to the kernel
-            from nexus_tpu.models.llama import _DenseParams, _RMSParams
+            # tree, raw packed projections handed to the kernel (LoRA
+            # adapters merge into the effective kernels)
+            from nexus_tpu.models.llama import _RMSParams, _fused_dense_factory
 
-            wq, _ = _DenseParams(n_q * hd, False, name="q_proj")(
+            dense = _fused_dense_factory(c)
+            wq, _ = dense(n_q * hd, False, name="q_proj")(
                 c.hidden_size, self.dtype)
-            wk, _ = _DenseParams(n_kv * hd, False, name="k_proj")(
+            wk, _ = dense(n_kv * hd, False, name="k_proj")(
                 c.hidden_size, self.dtype)
-            wv, _ = _DenseParams(n_kv * hd, False, name="v_proj")(
+            wv, _ = dense(n_kv * hd, False, name="v_proj")(
                 c.hidden_size, self.dtype)
-            wo, _ = _DenseParams(c.hidden_size, False, name="o_proj")(
+            wo, _ = dense(c.hidden_size, False, name="o_proj")(
                 n_q * hd, self.dtype)
             qn = _RMSParams(name="q_norm")(hd)
             kn = _RMSParams(name="k_norm")(hd)
@@ -394,7 +396,7 @@ class Qwen3VLTextLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         hd = getattr(c, "head_dim", None) or c.hidden_size // n_q
-        if c.attention_impl == "fused" and c.lora_rank == 0:
+        if c.attention_impl == "fused":
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_block, fused_decoder_supported)
 

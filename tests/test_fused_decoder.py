@@ -320,13 +320,73 @@ def test_packed_reranker_scores_with_fused_kernel(key):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_llama_fused_with_lora_adapters(key):
+    """attention_impl='fused' with lora_rank > 0: the adapters merge into
+    the effective kernels OUTSIDE the megakernel — same param tree as the
+    unfused LoRA net, same outputs, and adapter gradients match xla."""
+    kw = dict(vocab_size=211, hidden_size=H, intermediate_size=256,
+              num_hidden_layers=2, num_attention_heads=NQ,
+              num_key_value_heads=NKV, max_position_embeddings=64,
+              lora_rank=4)
+    rng = np.random.default_rng(8)
+    ids = np.zeros((2, 48), np.int32)
+    for i, n in enumerate([48, 21]):
+        ids[i, :n] = rng.integers(1, 211, n)
+    mask = (ids != 0).astype(np.int32)
+
+    def randomize_lora(v):
+        # lora_B inits to zeros (effective == base); give it real values so
+        # the parity check actually exercises the merge
+        def walk(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: walk(x, path + (k,)) for k, x in tree.items()}
+            if path and path[-1] == "lora_B":
+                k = jax.random.fold_in(jax.random.PRNGKey(3), hash(path) % 2**31)
+                return jax.random.normal(k, tree.shape) * 0.05
+            return tree
+        return walk(v)
+
+    outs, trees, grads = {}, {}, {}
+    for impl in ("xla", "fused"):
+        net = LlamaModel(LlamaConfig(attention_impl=impl, **kw),
+                         dtype=jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+        v = randomize_lora(v)
+        trees[impl] = jax.tree_util.tree_structure(v)
+        outs[impl] = np.asarray(net.apply(
+            v, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"])
+        m = jnp.asarray(mask, jnp.float32)[..., None]
+
+        def loss(vv):
+            y = net.apply(vv, jnp.asarray(ids), jnp.asarray(mask))["last_hidden_state"]
+            return jnp.sum((y * m) ** 2)
+
+        g = jax.grad(loss)(v)
+        from nexus_tpu.models.lora import lora_param_filter
+
+        lmask = lora_param_filter(g["params"])
+        grads[impl] = np.concatenate([
+            np.asarray(leaf).ravel()
+            for leaf, keep in zip(jax.tree_util.tree_leaves(g["params"]),
+                                  jax.tree_util.tree_leaves(lmask)) if keep
+        ])
+    assert trees["xla"] == trees["fused"]
+    valid = mask.astype(bool)
+    assert np.abs(outs["xla"] - outs["fused"])[valid].max() < 2e-3
+    # squared loss => value-dependent cotangents amplify kernel-vs-einsum
+    # forward noise; the adapter grads are tiny (max ~7e-4 here), so check
+    # a combined absolute+relative tolerance
+    np.testing.assert_allclose(grads["fused"], grads["xla"],
+                               rtol=0.1, atol=5e-5)
+
+
 def test_fused_decoder_gate():
     assert fused_decoder_supported(2048, 16, 8, 128, 512)
     assert not fused_decoder_supported(2048, 16, 8, 128, 2048)  # L too long
     assert not fused_decoder_supported(4096, 32, 8, 128, 1024)  # VMEM
     assert not fused_decoder_supported(2048, 16, 3, 128, 512)   # ragged GQA
-    # LoRA gates fused off inside LlamaLayer (tree incompatibility): the
-    # model must still run and produce the flash/xla result
+    # LoRA + fused: adapters merge into the effective kernels (see
+    # test_llama_fused_with_lora_adapters for the parity check)
     cfg = LlamaConfig(vocab_size=97, hidden_size=H, intermediate_size=256,
                       num_hidden_layers=1, num_attention_heads=NQ,
                       num_key_value_heads=NKV, attention_impl="fused",
