@@ -290,6 +290,71 @@ def llm_rerank() -> None:
     }), flush=True)
 
 
+def llm_embed() -> None:
+    """Decoder (LLM) embedder encode throughput — last-token pooling over a
+    causal trunk at the Llama-1B shape, MS-MARCO-style length mix.
+    argv[2] = attention_impl (fused default); argv[3] = batch; extra args:
+    'packed' (many texts per 512-token row), 'tiny' (CPU smoke)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nexus_tpu.inference.embedder.text_retrieval import TextEmbedder
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+    from nexus_tpu.utils.benchstats import measure_trials
+
+    impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    extra = sys.argv[4:]
+    tiny = "tiny" in extra
+    packed = "packed" in extra
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=256 if tiny else 2048,
+        intermediate_size=512 if tiny else 8192,
+        num_hidden_layers=2 if tiny else 16,
+        num_attention_heads=4 if tiny else 32,
+        num_key_value_heads=2 if tiny else 8,
+        max_position_embeddings=512, attention_impl=impl,
+    )
+    model = BiDecoderOnlyEmbedderModel(cfg, TextEmbedderModelArguments(
+        dtype="bfloat16", sentence_pooling_method="last_token"))
+    model.variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+        model.init_variables(jax.random.PRNGKey(0)),
+    )
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="nx_bench_llmemb_")
+    tok, sentences = _fake_corpus_and_tokenizer(tmp, bs * 8, rng)
+    emb = TextEmbedder(model=model, tokenizer=tok, batch_size=bs,
+                       max_length=128, seq_buckets=(128,), packing=packed)
+    emb.encode(sentences)  # warm
+
+    def one_trial() -> float:
+        t0 = time.perf_counter()
+        reps = emb.encode(sentences)
+        assert np.isfinite(reps).all()
+        return len(sentences) / (time.perf_counter() - t0)
+
+    stats = measure_trials(one_trial)
+    print(json.dumps({
+        "metric": "llm_embedder_embeddings_per_sec",
+        "value": round(stats["value"], 2), "unit": "embeddings/s",
+        "n": stats["n"], "iqr": round(stats["iqr"], 2),
+        "attention_impl": impl, "batch_size": bs, "packing": packed,
+        "model": ("tiny-smoke" if tiny
+                  else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
@@ -297,5 +362,7 @@ if __name__ == "__main__":
         text_stream()
     elif len(sys.argv) > 1 and sys.argv[1] == "llm_rerank":
         llm_rerank()
+    elif len(sys.argv) > 1 and sys.argv[1] == "llm_embed":
+        llm_embed()
     else:
         main()
