@@ -4,6 +4,9 @@ from nexus_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     data_parallel_shardings,
+    embedding_shardings,
+    tensor_parallel_shardings,
+    zero1_shardings,
 )
 from nexus_tpu.parallel.collectives import gather_with_grad  # noqa: F401
 from nexus_tpu.parallel.bootstrap import BootstrapError, initialize_distributed  # noqa: F401

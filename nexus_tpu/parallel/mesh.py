@@ -102,6 +102,64 @@ def embedding_shardings(params, mesh: Mesh, min_rows: int = 1024):
     return jtu.tree_map_with_path(spec_for, params)
 
 
+# Megatron-style tensor-parallel layout for the transformer trunks built in
+# models/{bert,llama,qwen*}.py. Column-parallel modules shard their output
+# features over the `model` axis; the row-parallel modules that consume them
+# shard the matching input dim, so XLA inserts exactly one all-reduce per
+# block (after o_proj / down_proj) — the classic TP recipe expressed as
+# param shardings + GSPMD propagation instead of hand-written collectives.
+# (The reference has no TP at all — its scaling story stops at ZeRO-1 DP,
+# SURVEY §2.4; this goes beyond it.)
+_TP_COLUMN = frozenset({
+    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",  # llama/qwen
+    "query", "key", "value", "intermediate_dense",  # bert
+})
+_TP_ROW = frozenset({
+    "o_proj", "down_proj",  # llama/qwen
+    "attention_output_dense", "output_dense",  # bert
+})
+
+
+def tensor_parallel_shardings(params, mesh: Mesh):
+    """Tensor-parallel NamedShardings for a transformer param tree.
+
+    Rules (matched on exact path-component names, so LoRA subtrees like
+    ``q_proj/base/kernel`` follow their parent module):
+      - column-parallel kernels/biases shard the LAST dim over `model`
+      - row-parallel kernels shard the second-to-last dim (their biases
+        replicate — added after the all-reduce)
+      - scan-stacked leading layer dims stay unsharded
+      - any dim not divisible by the `model` axis size replicates
+      - everything else (embeddings, norms, heads, lora_A/B) replicates
+
+    Heads must divide the axis for an efficient layout (num_attention_heads
+    and num_key_value_heads % tp == 0); GSPMD stays *correct* regardless.
+    Note the fused megakernels assume full-width weights per program — use
+    ``attention_impl='xla'|'pallas'`` under TP.
+    """
+    if MODEL_AXIS not in mesh.shape:
+        raise ValueError("mesh has no 'model' axis; build with make_mesh({'data':d,'model':m})")
+    tp = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def spec_for(path, x):
+        names = [getattr(k, "key", None) for k in path]
+        leaf = names[-1] if names else None
+        shape = getattr(x, "shape", ())
+        nd = len(shape)
+        if any(n in _TP_COLUMN for n in names):
+            if leaf in ("kernel", "bias") and nd >= 1 and shape[-1] % tp == 0:
+                return NamedSharding(mesh, P(*([None] * (nd - 1)), MODEL_AXIS))
+        elif any(n in _TP_ROW for n in names):
+            if leaf == "kernel" and nd >= 2 and shape[-2] % tp == 0:
+                return NamedSharding(mesh, P(*([None] * (nd - 2)), MODEL_AXIS, None))
+        return rep
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(spec_for, params)
+
+
 def zero1_shardings(tree, mesh: Mesh):
     """ZeRO-1-style sharding spec for an optimizer-state pytree: each array
     leaf is sharded along its largest divisible axis over the data axis

@@ -37,10 +37,14 @@ class TextEmbedderRunner:
         training_args: TrainingArguments,
         mesh=None,
         model=None,
+        trainer_kwargs=None,
     ):
         """``model``: a pre-built embedder model (e.g. a
         BiDecoderOnlyEmbedderModel with LoRA adapters) — when omitted, the
-        BERT-family BiTextEmbedderModel loads from model_name_or_path."""
+        BERT-family BiTextEmbedderModel loads from model_name_or_path.
+        ``trainer_kwargs``: extra RecTrainer options (e.g.
+        ``shard_opt_state=True`` for ZeRO-1, ``shard_tensor_parallel=True``
+        for a Megatron-style trunk layout over a `model` mesh axis)."""
         self.model_args = model_args
         self.data_args = data_args
         self.training_args = training_args
@@ -52,7 +56,8 @@ class TextEmbedderRunner:
         self.model.no_in_batch_neg_flag = data_args.no_in_batch_neg_flag
         self.dataset = TextEmbedderTrainDataset(data_args, seed=training_args.seed)
         self.collator = TextEmbedderCollator(self.tokenizer, data_args)
-        self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh)
+        self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh,
+                                  **(trainer_kwargs or {}))
 
     def run(self, resume_from_checkpoint: Optional[str] = None):
         from nexus_tpu.parallel.mesh import DATA_AXIS

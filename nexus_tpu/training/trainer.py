@@ -7,7 +7,9 @@ Replaces the reference's HF Trainer + Accelerate + DeepSpeed stack
   batch sharded along the mesh `data` axis and parameters replicated
   (ZeRO-1-style optimizer-state sharding comes from passing
   ``shard_opt_state=True`` — optimizer moments are sharded over the data
-  axis, the JAX equivalent of DeepSpeed stage 1);
+  axis, the JAX equivalent of DeepSpeed stage 1; ``shard_tensor_parallel=
+  True`` additionally lays the transformer trunk out Megatron-style over a
+  `model` mesh axis — beyond the reference, whose scaling stops at ZeRO-1);
 - gradients are averaged across devices BY XLA (the sharded batch + replicated
   params make the psum implicit in the lowering);
 - host side stays a plain `for batch in dataset` loop with callbacks.
@@ -105,6 +107,7 @@ class RecTrainer:
         callbacks: Optional[list] = None,
         shard_opt_state: bool = False,
         shard_embedding_tables: bool = False,
+        shard_tensor_parallel: bool = False,
     ):
         self.model = model
         self.args = training_args
@@ -151,6 +154,7 @@ class RecTrainer:
         self.tx = tx
         self.shard_opt_state = shard_opt_state
         self.shard_embedding_tables = shard_embedding_tables
+        self.shard_tensor_parallel = shard_tensor_parallel
 
         self.callbacks: list[Callback] = callbacks or []
         # throughput first so its on_train_end summary exists for the logger
@@ -202,27 +206,37 @@ class RecTrainer:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=batch_stats, opt_state=opt_state,
         )
-        if self.shard_opt_state or self.shard_embedding_tables:
-            from nexus_tpu.parallel.mesh import embedding_shardings, zero1_shardings
+        if self.shard_opt_state or self.shard_embedding_tables or self.shard_tensor_parallel:
+            from nexus_tpu.parallel.mesh import (
+                embedding_shardings,
+                tensor_parallel_shardings,
+                zero1_shardings,
+            )
 
+            param_sh = jax.tree_util.tree_map(lambda _: rep_sh, params)
             if self.shard_embedding_tables:
                 # model-parallel row sharding for big embedding tables
-                # (TorchRec row-wise parity); optimizer moments mirror the
-                # param layout (same-shape leaves share the spec)
+                # (TorchRec row-wise parity)
                 param_sh = embedding_shardings(params, self.mesh)
-                sharded_shapes = {
-                    tuple(p.shape)
-                    for p, s in zip(
-                        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(param_sh)
-                    )
-                    if not s.is_fully_replicated
-                }
-                spec_by_shape = {
-                    tuple(p.shape): s
-                    for p, s in zip(
-                        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(param_sh)
-                    )
-                }
+            if self.shard_tensor_parallel:
+                # Megatron-style column/row layout for the transformer trunk
+                # (beyond-reference: its scaling stops at ZeRO-1 DP)
+                tp_sh = tensor_parallel_shardings(params, self.mesh)
+                param_sh = jax.tree_util.tree_map(
+                    lambda base, tp: base if tp.is_fully_replicated else tp,
+                    param_sh, tp_sh,
+                )
+            p_leaves = jax.tree_util.tree_leaves(params)
+            s_leaves = jax.tree_util.tree_leaves(param_sh)
+            sharded_shapes = {
+                tuple(p.shape)
+                for p, s in zip(p_leaves, s_leaves)
+                if not s.is_fully_replicated
+            }
+            if sharded_shapes:
+                # optimizer moments mirror the param layout (same-shape
+                # leaves share the spec)
+                spec_by_shape = {tuple(p.shape): s for p, s in zip(p_leaves, s_leaves)}
                 opt_sh = jax.tree_util.tree_map(
                     lambda x: spec_by_shape.get(tuple(getattr(x, "shape", ())), rep_sh)
                     if tuple(getattr(x, "shape", ())) in sharded_shapes
@@ -230,7 +244,6 @@ class RecTrainer:
                     opt_state,
                 )
             else:
-                param_sh = jax.tree_util.tree_map(lambda _: rep_sh, params)
                 opt_sh = rep_sh
             if self.shard_opt_state:
                 # ZeRO-1: optimizer moments sharded over the data axis
