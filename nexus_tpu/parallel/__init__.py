@@ -9,4 +9,5 @@ from nexus_tpu.parallel.mesh import (  # noqa: F401
     zero1_shardings,
 )
 from nexus_tpu.parallel.collectives import gather_with_grad  # noqa: F401
+from nexus_tpu.parallel.pipeline import pipeline_layers, stage_shardings  # noqa: F401
 from nexus_tpu.parallel.bootstrap import BootstrapError, initialize_distributed  # noqa: F401

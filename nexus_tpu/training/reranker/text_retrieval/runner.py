@@ -33,11 +33,15 @@ class TextRerankerRunner:
         pair_template: Optional[str] = None,
         remat: bool = True,
         mesh=None,
+        trainer_kwargs=None,
     ):
         """``remat=False`` turns gradient checkpointing off — pair it with
         ``training_args.gradient_accumulation_steps`` to bound activation
         memory by the micro-batch instead of recompute (the group-CE loss
-        accumulates to EXACTLY the full-batch gradient)."""
+        accumulates to EXACTLY the full-batch gradient).
+        ``trainer_kwargs``: extra RecTrainer options (``shard_opt_state=True``
+        for ZeRO-1, ``shard_tensor_parallel=True`` for a Megatron-style trunk
+        layout over a `model` mesh axis)."""
         from transformers import AutoTokenizer
 
         from nexus_tpu.training.reranker.text_retrieval.decoder_only import load_reranker_model
@@ -68,7 +72,8 @@ class TextRerankerRunner:
             self.tokenizer, max_len=max_len, pack=pack_pairs,
             pair_template=pair_template,
         )
-        self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh)
+        self.trainer = RecTrainer(self.model, training_args, mesh=self.mesh,
+                                  **(trainer_kwargs or {}))
 
     def run(self, resume_from_checkpoint: Optional[str] = None):
         from nexus_tpu.parallel.mesh import DATA_AXIS
