@@ -9,7 +9,8 @@ Headline config matches the reference's single-GPU logs (BASELINE.md):
   Reference: 39.7 samples/s on one A100 (reranker/log/single.log).
 This chip has 197 bf16 TF/s peak vs the A100's 312 fp16.
 
-Variants (argv): 'impl/remat' embedder grid (xla|pallas / full|dots|none),
+Variants (argv): 'impl/remat' embedder grid
+(xla|pallas / full|dots|offload_dots|none|plainK),
 'ragged_padded'|'ragged_packed' embedder, 'reranker_padded'|'reranker_packed'.
 Every variant runs N>=5 timed trials and prints median + IQR
 (utils/benchstats.py — single-run relay numbers are not evidence).
@@ -65,7 +66,7 @@ def run(attention_impl: str, remat: str) -> float:
     margs = TextEmbedderModelArguments(
         temperature=0.02, dtype="bfloat16",
         gradient_checkpointing=remat != "none",
-        remat_policy=None if remat != "dots" else "dots",
+        remat_policy=remat if remat in ("dots", "offload_dots") else None,
         remat_plain_layers=plain,  # 'plainK': last K layers skip remat
         attention_impl=attention_impl,
     )

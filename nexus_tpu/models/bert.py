@@ -288,7 +288,11 @@ class BertEncoderModel(nn.Module):
     scan_layers: bool = True
     remat: bool = False  # gradient checkpointing: recompute layer activations in backward
     remat_policy: Optional[str] = None  # None=full remat | 'dots' = save matmul
-    # outputs, recompute only elementwise (cheaper backward, more memory)
+    # outputs, recompute only elementwise (cheaper backward, more memory) |
+    # 'offload_dots' = park matmul outputs in HOST memory instead of
+    # recomputing OR keeping them in HBM — the escape hatch from the 16 GB
+    # HBM wall that forces full-layer remat at seq-512 (v5e hosts carry
+    # 100s of GB of RAM; XLA overlaps the DMA with compute)
     remat_plain_layers: int = 0  # PARTIAL remat: the last k layers skip remat
     # (their activations are saved), trading memory back for ~k/L of the
     # recompute FLOPs; params split into 'layers' (rematted) + 'layers_plain'
@@ -326,6 +330,9 @@ class BertEncoderModel(nn.Module):
                 remat_kw = {"static_argnums": (4,)}
                 if self.remat_policy == "dots":
                     remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                elif self.remat_policy == "offload_dots":
+                    remat_kw["policy"] = jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                        "device", "pinned_host")
                 layer_cls = nn.remat(_ScannedLayer, **remat_kw)
             else:
                 layer_cls = _ScannedLayer

@@ -333,6 +333,8 @@ class LlamaModel(nn.Module):
     scan_layers: bool = True
     with_lm_head: bool = False
     remat: bool = False  # gradient checkpointing over the layer scan
+    remat_policy: Optional[str] = None  # None=full | 'dots' = save matmul
+    # outputs | 'offload_dots' = park them in host RAM (see models/bert.py)
 
     @nn.compact
     def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
@@ -381,7 +383,16 @@ class LlamaModel(nn.Module):
                 bc, bs = iota_rope_tables(x.shape[1], head_dim, c.rope_theta)
                 rope_tables = (bc[0][positions], bs[0][positions])
         if self.scan_layers:
-            layer_cls = nn.remat(_ScannedLlamaLayer) if self.remat else _ScannedLlamaLayer
+            if self.remat:
+                remat_kw = {}
+                if self.remat_policy == "dots":
+                    remat_kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                elif self.remat_policy == "offload_dots":
+                    remat_kw["policy"] = jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                        "device", "pinned_host")
+                layer_cls = nn.remat(_ScannedLlamaLayer, **remat_kw)
+            else:
+                layer_cls = _ScannedLlamaLayer
             Scanned = nn.scan(
                 layer_cls,
                 variable_axes={"params": 0},

@@ -5,6 +5,7 @@ from nexus_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     data_parallel_shardings,
     embedding_shardings,
+    expert_parallel_shardings,
     tensor_parallel_shardings,
     zero1_shardings,
 )

@@ -160,6 +160,31 @@ def tensor_parallel_shardings(params, mesh: Mesh):
     return jtu.tree_map_with_path(spec_for, params)
 
 
+def expert_parallel_shardings(params, mesh: Mesh, expert_names=("experts",)):
+    """Expert parallelism for the vmapped expert stacks (MMoE/MultiExperts,
+    modules/feature_interaction.py): every leaf under a module named in
+    ``expert_names`` carries the expert axis FIRST (the nn.vmap layout), so
+    sharding axis 0 over `model` puts n_experts/tp experts per chip — each
+    device runs its experts' batched matmul and GSPMD all-gathers the [B, E,
+    H] outputs for the gates. Dense routing (all experts active, as in MMoE)
+    makes this the whole story; indivisible expert counts replicate."""
+    if MODEL_AXIS not in mesh.shape:
+        raise ValueError("mesh has no 'model' axis; build with make_mesh({'data':d,'model':m})")
+    tp = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def spec_for(path, x):
+        names = [getattr(k, "key", None) for k in path]
+        shape = getattr(x, "shape", ())
+        if any(n in expert_names for n in names) and len(shape) >= 1 and shape[0] % tp == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS, *([None] * (len(shape) - 1))))
+        return rep
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(spec_for, params)
+
+
 def zero1_shardings(tree, mesh: Mesh):
     """ZeRO-1-style sharding spec for an optimizer-state pytree: each array
     leaf is sharded along its largest divisible axis over the data axis

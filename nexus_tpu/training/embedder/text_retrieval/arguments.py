@@ -20,7 +20,8 @@ class TextEmbedderModelArguments(AbsArguments):
     sub_batch_size: Optional[int] = None
     dtype: str = "bfloat16"  # compute dtype on TPU
     gradient_checkpointing: bool = False  # remat the layer scan (reference default for fine-tunes)
-    remat_policy: Optional[str] = None  # None = full remat | 'dots' = save matmul outputs
+    remat_policy: Optional[str] = None  # None = full remat | 'dots' = save matmul
+    # outputs | 'offload_dots' = park matmul outputs in host RAM (models/bert.py)
     remat_plain_layers: int = 0  # partial remat: last k layers skip remat
     attention_impl: str = "auto"  # auto | xla | pallas (flash kernel; the
     # flash-attn-2 parity for long-seq training — O(L) memory fwd AND bwd)

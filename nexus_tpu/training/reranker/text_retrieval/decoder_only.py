@@ -51,6 +51,7 @@ class DecoderCrossEncoderNet(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    remat_policy: Optional[str] = None  # 'dots' | 'offload_dots' (models/bert.py)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, train: bool = False,
@@ -62,7 +63,8 @@ class DecoderCrossEncoderNet(nn.Module):
         each segment's LAST token (col = pool_col + length - 1)."""
         c = self.config
         if segment_ids is not None:
-            out = LlamaModel(c, dtype=self.dtype, remat=self.remat, name="model")(
+            out = LlamaModel(c, dtype=self.dtype, remat=self.remat,
+                             remat_policy=self.remat_policy, name="model")(
                 input_ids, attention_mask=(segment_ids != 0).astype(jnp.int32),
                 positions=position_ids, segment_ids=segment_ids, train=train,
             )
@@ -72,7 +74,8 @@ class DecoderCrossEncoderNet(nn.Module):
         else:
             if attention_mask is None:
                 attention_mask = (input_ids != c.pad_token_id).astype(jnp.int32)
-            out = LlamaModel(c, dtype=self.dtype, remat=self.remat, name="model")(
+            out = LlamaModel(c, dtype=self.dtype, remat=self.remat,
+                             remat_policy=self.remat_policy, name="model")(
                 input_ids, attention_mask=attention_mask, train=train
             )
             hidden = out["last_hidden_state"].astype(jnp.float32)  # [B, L, H]
@@ -98,6 +101,7 @@ class DecoderCrossEncoderModel:
         use_kd: bool = False,
         dtype: str = "bfloat16",
         remat: bool = False,
+        remat_policy: Optional[str] = None,
         variables: Optional[dict] = None,
     ):
         self.llama_config = llama_config
@@ -108,7 +112,7 @@ class DecoderCrossEncoderModel:
         self.net = DecoderCrossEncoderNet(
             llama_config,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-            remat=remat,
+            remat=remat, remat_policy=remat_policy,
         )
         self.variables = variables
         self.ce = CrossEntropyLoss()

@@ -39,6 +39,7 @@ class CrossEncoderNet(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # gradient checkpointing over the layer scan
+    remat_policy: Optional[str] = None  # 'dots' | 'offload_dots' (models/bert.py)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, train: bool = False,
@@ -47,7 +48,8 @@ class CrossEncoderNet(nn.Module):
         ``position_ids`` / ``pool_rows`` / ``pool_cols`` from pack_tokenized)
         to score many pairs per 512-token row — same params, no pad FLOPs."""
         pool_gather = None if pool_rows is None else (pool_rows, pool_cols)
-        out = BertEncoderModel(self.config, dtype=self.dtype, remat=self.remat, name="bert")(
+        out = BertEncoderModel(self.config, dtype=self.dtype, remat=self.remat,
+                               remat_policy=self.remat_policy, name="bert")(
             input_ids, attention_mask=attention_mask, token_type_ids=token_type_ids,
             train=train, position_ids=position_ids, segment_ids=segment_ids,
             pool_gather=pool_gather,
@@ -72,6 +74,7 @@ class CrossEncoderModel:
         use_kd: bool = False,
         dtype: str = "bfloat16",
         remat: bool = False,
+        remat_policy: Optional[str] = None,
         variables: Optional[dict] = None,
     ):
         self.bert_config = bert_config
@@ -81,7 +84,7 @@ class CrossEncoderModel:
         self.kd_loss_weight = kd_loss_weight
         self.net = CrossEncoderNet(
             bert_config, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-            remat=remat,
+            remat=remat, remat_policy=remat_policy,
         )
         self.variables = variables
         self.ce = CrossEntropyLoss()

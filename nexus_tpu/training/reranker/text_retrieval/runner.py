@@ -32,13 +32,16 @@ class TextRerankerRunner:
         pack_pairs: bool = False,
         pair_template: Optional[str] = None,
         remat: bool = True,
+        remat_policy=None,
         mesh=None,
         trainer_kwargs=None,
     ):
         """``remat=False`` turns gradient checkpointing off — pair it with
         ``training_args.gradient_accumulation_steps`` to bound activation
         memory by the micro-batch instead of recompute (the group-CE loss
-        accumulates to EXACTLY the full-batch gradient).
+        accumulates to EXACTLY the full-batch gradient);
+        ``remat_policy='offload_dots'`` keeps remat but parks matmul outputs
+        in host RAM instead of recomputing them (see models/bert.py).
         ``trainer_kwargs``: extra RecTrainer options (``shard_opt_state=True``
         for ZeRO-1, ``shard_tensor_parallel=True`` for a Megatron-style trunk
         layout over a `model` mesh axis)."""
@@ -60,6 +63,7 @@ class TextRerankerRunner:
             lora_alpha=lora_alpha,
             tokenizer=self.tokenizer,
             remat=remat,
+            remat_policy=remat_policy,
         )
         self.dataset = TextRerankerTrainDataset(
             train_data, train_group_size=train_group_size, seed=training_args.seed,

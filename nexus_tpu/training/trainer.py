@@ -108,6 +108,7 @@ class RecTrainer:
         shard_opt_state: bool = False,
         shard_embedding_tables: bool = False,
         shard_tensor_parallel: bool = False,
+        shard_experts: bool = False,
     ):
         self.model = model
         self.args = training_args
@@ -155,6 +156,7 @@ class RecTrainer:
         self.shard_opt_state = shard_opt_state
         self.shard_embedding_tables = shard_embedding_tables
         self.shard_tensor_parallel = shard_tensor_parallel
+        self.shard_experts = shard_experts
 
         self.callbacks: list[Callback] = callbacks or []
         # throughput first so its on_train_end summary exists for the logger
@@ -206,9 +208,11 @@ class RecTrainer:
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=batch_stats, opt_state=opt_state,
         )
-        if self.shard_opt_state or self.shard_embedding_tables or self.shard_tensor_parallel:
+        if (self.shard_opt_state or self.shard_embedding_tables
+                or self.shard_tensor_parallel or self.shard_experts):
             from nexus_tpu.parallel.mesh import (
                 embedding_shardings,
+                expert_parallel_shardings,
                 tensor_parallel_shardings,
                 zero1_shardings,
             )
@@ -218,14 +222,20 @@ class RecTrainer:
                 # model-parallel row sharding for big embedding tables
                 # (TorchRec row-wise parity)
                 param_sh = embedding_shardings(params, self.mesh)
+
+            def _merge(extra_sh):
+                return jax.tree_util.tree_map(
+                    lambda base, s: base if s.is_fully_replicated else s,
+                    param_sh, extra_sh,
+                )
+
             if self.shard_tensor_parallel:
                 # Megatron-style column/row layout for the transformer trunk
                 # (beyond-reference: its scaling stops at ZeRO-1 DP)
-                tp_sh = tensor_parallel_shardings(params, self.mesh)
-                param_sh = jax.tree_util.tree_map(
-                    lambda base, tp: base if tp.is_fully_replicated else tp,
-                    param_sh, tp_sh,
-                )
+                param_sh = _merge(tensor_parallel_shardings(params, self.mesh))
+            if self.shard_experts:
+                # expert axis of MMoE/MultiExperts stacks over `model`
+                param_sh = _merge(expert_parallel_shardings(params, self.mesh))
             p_leaves = jax.tree_util.tree_leaves(params)
             s_leaves = jax.tree_util.tree_leaves(param_sh)
             sharded_shapes = {

@@ -192,3 +192,39 @@ def test_xlm_roberta_matches_hf(tmp_path):
     )
     valid = mask.astype(bool)
     assert np.abs(ours[valid] - ref[valid]).max() < 5e-4
+
+
+def test_offload_remat_policy_matches_plain_remat():
+    """remat_policy='offload_dots' (matmul outputs parked in host memory
+    instead of recomputed — the 16 GB HBM-wall escape hatch) is numerically
+    identical to plain remat, for BOTH trunk families."""
+    from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+
+    cfg = BertConfig(**TINY, add_pooling_layer=False)
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, 120, (2, 10)), jnp.int32)
+
+    def bert_grads(policy):
+        m = BertEncoderModel(cfg, dtype=jnp.float32, remat=True, remat_policy=policy)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        f = lambda v: jnp.sum(m.apply(v, ids)["last_hidden_state"] ** 2)
+        return jax.jit(jax.value_and_grad(f))(v)
+
+    (l0, g0), (l1, g1) = bert_grads(None), bert_grads("offload_dots")
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    lcfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2, max_position_embeddings=32)
+
+    def llama_grads(policy):
+        m = LlamaModel(lcfg, dtype=jnp.float32, remat=True, remat_policy=policy)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        f = lambda v: jnp.sum(m.apply(v, ids)["last_hidden_state"] ** 2)
+        return jax.jit(jax.value_and_grad(f))(v)
+
+    (l0, g0), (l1, g1) = llama_grads(None), llama_grads("offload_dots")
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
