@@ -1,0 +1,98 @@
+"""Ring attention (sequence/context parallelism) vs a single-device oracle."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.ops.ring_attention import ring_attention
+from nexus_tpu.parallel.mesh import make_mesh
+
+
+def _oracle(q, k, v, seg, causal=False):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    valid = (seg[:, None, :, None] == seg[:, None, None, :]) & (seg[:, None, :, None] > 0)
+    if causal:
+        L = q.shape[2]
+        pos = jnp.arange(L)
+        valid = valid & (pos[:, None] >= pos[None, :])[None, None]
+    s = jnp.where(valid, s, -1e30)
+    p = jnp.where(valid, jax.nn.softmax(s, axis=-1), 0.0)
+    # fully-masked rows: softmax of all -1e30 is uniform — zero them like flash
+    any_valid = jnp.any(valid, axis=-1, keepdims=True)
+    p = jnp.where(any_valid, p, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _mesh(s=4):
+    if len(jax.devices()) < s:
+        pytest.skip("needs multi-device mesh")
+    return make_mesh({"sp": s}, devices=jax.devices()[:s])
+
+
+def _inputs(seed, b=2, h=2, L=32, d=8):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_padded_parity(causal):
+    mesh = _mesh(4)
+    q, k, v = _inputs(0)
+    seg = np.ones((2, 32), np.int32)
+    seg[0, 25:] = 0  # padded tail crossing a chunk boundary
+    seg[1, 10:] = 0  # a whole trailing chunk of padding
+    seg = jnp.asarray(seg)
+    ref = _oracle(q, k, v, seg, causal)
+    out = ring_attention(q, k, v, seg, mesh=mesh, causal=causal)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_packed_segments():
+    mesh = _mesh(4)
+    q, k, v = _inputs(1)
+    rng = np.random.default_rng(2)
+    seg = np.zeros((2, 32), np.int32)
+    for b in range(2):  # ragged packed segments, pad tail
+        off = 0
+        for sid in range(1, 5):
+            ln = int(rng.integers(3, 10))
+            seg[b, off : off + ln] = sid
+            off += ln
+            if off >= 30:
+                break
+    seg = jnp.asarray(seg)
+    ref = _oracle(q, k, v, seg)
+    out = ring_attention(q, k, v, seg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_ring_attention_grad_parity():
+    mesh = _mesh(4)
+    q, k, v = _inputs(3)
+    seg = jnp.asarray(np.ones((2, 32), np.int32))
+    tgt = jnp.asarray(np.random.default_rng(4).standard_normal(q.shape), jnp.float32)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, seg, mesh=mesh, causal=True) * tgt)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, seg, causal=True) * tgt)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_ring_attention_validates_divisibility():
+    mesh = _mesh(4)
+    q, k, v = _inputs(5, L=30)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_attention(q, k, v, jnp.ones((2, 30), jnp.int32), mesh=mesh)
