@@ -107,6 +107,13 @@ MODES = {
                            padded=True),
     "corpus512_unpacked_fused": dict(padded_var=(380.0, 0.35), rows=64,
                                      attention_impl="fused"),
+    # int8 W8A8 serving path (models/quantize.py): projection/FFN GEMMs run
+    # int8 on the MXU at 2x bf16 peak; attention stays flash/xla. Embedding
+    # cosine vs fp > 0.999 (tests/test_quantize.py)
+    "headline_int8": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
+                          attention_impl="pallas", quantized=True),
+    "dense512_int8": dict(dense=512, rows=64, attention_impl="pallas",
+                          quantized=True),
 }
 
 
@@ -144,6 +151,7 @@ def main(mode: str = "headline") -> None:
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         attention_impl=params.get("attention_impl", "xla"),
         fused_qkv=params.get("fused_qkv", False),
+        quantized=params.get("quantized", False),
     )
     model = BertEncoderModel(config, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

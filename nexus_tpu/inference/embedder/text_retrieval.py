@@ -61,6 +61,7 @@ class TextEmbedder:
         packing: bool = False,
         output_dtype: str = "float32",
         attention_impl: Optional[str] = None,
+        quantized: bool = False,
     ):
         """``mesh``: shard encode batches across the mesh's data axis — the
         multi-chip replacement for the reference's per-GPU process pool
@@ -69,13 +70,27 @@ class TextEmbedder:
 
         ``attention_impl``: override the checkpoint's attention path —
         'fused' (megakernel, fastest encode) | 'pallas' (flash) | 'xla';
-        None keeps what the checkpoint's config recorded."""
+        None keeps what the checkpoint's config recorded.
+
+        ``quantized``: int8 W8A8 encode (BERT-family checkpoints): kernels
+        convert to per-channel int8 at load, activations quantize per token
+        inline, GEMMs run int8 on the MXU at 2x bf16 peak (embedding cosine
+        vs the fp path > 0.999; models/quantize.py)."""
         from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
 
         if model is None:
             model = BiTextEmbedderModel.from_pretrained(model_name_or_path)
         if attention_impl is not None:
             _override_attention_impl(model, attention_impl)
+        if quantized:
+            cfg = getattr(model, "bert_config", None)
+            if cfg is None:
+                raise ValueError("quantized=True needs a BERT-family checkpoint "
+                                 "(int8 decoder serving not implemented)")
+            from nexus_tpu.models.quantize import quantize_bert_params
+
+            cfg.quantized = True
+            model.variables = quantize_bert_params(model.variables)
         self.mesh = mesh
         self.model = model
         if tokenizer is None:

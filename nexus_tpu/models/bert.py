@@ -55,6 +55,12 @@ class BertConfig(AbsArguments):
     # RoBERTa/XLM-R (BGE-M3's trunk): non-pad token positions start at
     # padding_idx + 1 (HF create_position_ids_from_input_ids). 0 = BERT.
     position_offset: int = 0
+    # int8 W8A8 serving path: projection/FFN kernels are int8 (converted by
+    # models/quantize.py:quantize_bert_params), activations quantize
+    # per-token inline, GEMMs accumulate int32 on the MXU at 2x bf16 peak.
+    # Inference-only; composes with 'pallas' flash attention (the fused
+    # megakernel needs raw bf16 weights and gates off).
+    quantized: bool = False
 
     @classmethod
     def from_hf(cls, hf_config) -> "BertConfig":
@@ -113,6 +119,15 @@ class _LNParams(nn.Module):
         return g, b
 
 
+
+def _proj_dense(c, features, name, dtype):
+    """nn.Dense, or the int8 QuantDense when config.quantized (serving)."""
+    if c.quantized:
+        from nexus_tpu.models.quantize import QuantDense
+
+        return QuantDense(features, out_dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
@@ -136,12 +151,12 @@ class BertSelfAttention(nn.Module):
         if c.fused_qkv:
             # one [h, 3h] matmul keeps the MXU on a single fat GEMM instead
             # of three slim ones (measurably better at short sequences)
-            qkv = nn.Dense(3 * h, dtype=self.dtype, name="qkv")(hidden)
+            qkv = _proj_dense(c, 3 * h, "qkv", self.dtype)(hidden)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = nn.Dense(h, dtype=self.dtype, name="query")(hidden)
-            k = nn.Dense(h, dtype=self.dtype, name="key")(hidden)
-            v = nn.Dense(h, dtype=self.dtype, name="value")(hidden)
+            q = _proj_dense(c, h, "query", self.dtype)(hidden)
+            k = _proj_dense(c, h, "key", self.dtype)(hidden)
+            v = _proj_dense(c, h, "value", self.dtype)(hidden)
         b, l = hidden.shape[:2]
         q = q.reshape(b, l, n_heads, head_dim)
         k = k.reshape(b, l, n_heads, head_dim)
@@ -205,12 +220,13 @@ class BertLayer(nn.Module):
         no_dropout = not (train and (c.attention_probs_dropout_prob > 0
                                      or c.hidden_dropout_prob > 0))
         fuse_layer = (
-            c.attention_impl == "fused" and no_dropout
+            c.attention_impl == "fused" and no_dropout and not c.quantized
             and fused_layer_supported(h, c.num_attention_heads, hidden.shape[1],
                                       c.intermediate_size, c.hidden_act)
         )
         fuse_attn = (
-            c.attention_impl == "fused" and no_dropout and not fuse_layer
+            c.attention_impl == "fused" and no_dropout and not c.quantized
+            and not fuse_layer
             and fused_supported(h, c.num_attention_heads, hidden.shape[1])
         )
         if fuse_layer or fuse_attn:
@@ -244,15 +260,15 @@ class BertLayer(nn.Module):
             attn = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(
                 hidden, attention_mask, train, segment_ids
             )
-            attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output_dense")(attn)
+            attn = _proj_dense(c, c.hidden_size, "attention_output_dense", self.dtype)(attn)
             attn = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(attn)
             hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attention_output_LayerNorm")(
                 hidden + attn
             ).astype(self.dtype)
-        inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
+        inter = _proj_dense(c, c.intermediate_size, "intermediate_dense", self.dtype)(hidden)
         act = {"gelu": nn.gelu, "relu": nn.relu, "gelu_new": nn.gelu}[c.hidden_act]
         inter = act(inter)
-        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(inter)
+        out = _proj_dense(c, c.hidden_size, "output_dense", self.dtype)(inter)
         out = nn.Dropout(c.hidden_dropout_prob, deterministic=not train)(out)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="output_LayerNorm")(
             hidden + out

@@ -1,0 +1,101 @@
+"""Int8 W8A8 quantized inference for the BERT-family encoders.
+
+The v5e MXU runs int8 x int8 -> int32 at 394 TOPS — 2x its bf16 peak — so
+a post-training-quantized encode path raises the serving throughput ceiling
+above anything bf16 can reach (the reference has no quantized path; its
+TensorRT engines COULD, but the shipped configs run fp16 —
+Nexus/inference/embedder/text_retrieval/base.py builds fp16 sessions).
+
+Recipe (the standard dynamic W8A8):
+- weights: per-output-channel symmetric int8 (`scale = amax/127` over the
+  input axis), converted OFFLINE by `quantize_bert_params`;
+- activations: per-token dynamic symmetric int8, computed inline (one
+  abs-max + rescale per projection — cheap VPU work XLA fuses into the
+  surrounding elementwise ops);
+- accumulation in int32, dequantized as `y * s_act * s_w` in f32;
+- everything that is not a projection GEMM (embeddings, LayerNorms,
+  attention softmax, pooler) stays in the model dtype.
+
+Only the six projection/FFN Denses quantize (query/key/value | fused qkv,
+attention_output_dense, intermediate_dense, output_dense) — they carry
+~2/3 of encode FLOPs at L=128. Quantized mode runs the xla/pallas
+attention paths (the fused megakernel consumes raw bf16 weights).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# module names whose 'kernel' leaves quantize (BertSelfAttention/BertLayer)
+QUANT_DENSE_NAMES = frozenset({
+    "query", "key", "value", "qkv",
+    "attention_output_dense", "intermediate_dense", "output_dense",
+})
+
+
+class QuantDense(nn.Module):
+    """Drop-in Dense with an int8 kernel + per-channel scale: int8 dynamic
+    activation quant -> int8 x int8 MXU GEMM -> int32 -> f32 dequant."""
+
+    features: int
+    out_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w = self.param("kernel", nn.initializers.zeros,
+                       (in_features, self.features), jnp.int8)
+        s_w = self.param("scale", nn.initializers.ones,
+                         (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        s_a = jnp.maximum(amax, 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * s_a * s_w + b).astype(self.out_dtype)
+
+
+def _quantize_kernel(w: np.ndarray):
+    """[.., in, out] f32 kernel -> (int8 kernel, [.., out] f32 scale).
+    Per-output-channel symmetric; stacked layer dims pass through."""
+    w = np.asarray(w, np.float32)
+    amax = np.max(np.abs(w), axis=-2)
+    scale = np.maximum(amax, 1e-12) / 127.0
+    wq = np.clip(np.round(w / scale[..., None, :]), -127, 127).astype(np.int8)
+    return wq, scale.astype(np.float32)
+
+
+def quantize_bert_params(variables) -> dict:
+    """Offline conversion: an fp BertEncoderModel variables tree -> the
+    QuantDense tree (int8 kernels + scales; biases/everything else kept).
+    Works on scanned (stacked) and unscanned layouts."""
+    from flax.core import unfreeze
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if (
+                name in QUANT_DENSE_NAMES
+                and isinstance(child, dict)
+                and "kernel" in child
+            ):
+                wq, scale = _quantize_kernel(np.asarray(child["kernel"]))
+                q = {"kernel": jnp.asarray(wq), "scale": jnp.asarray(scale)}
+                if "bias" in child:
+                    q["bias"] = jnp.asarray(np.asarray(child["bias"], np.float32))
+                out[name] = q
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(unfreeze(variables))

@@ -1,0 +1,110 @@
+"""Int8 W8A8 quantized encode path (models/quantize.py).
+
+Quality contract: per-channel int8 weights + per-token dynamic int8
+activations keep embedding cosine vs the fp path > 0.999 and preserve
+nearest-neighbor ordering on a smoke corpus.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nexus_tpu.models.bert import BertConfig, BertEncoderModel
+from nexus_tpu.models.quantize import quantize_bert_params
+
+
+def _tiny(add_pool=False):
+    return BertConfig(
+        vocab_size=200, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, add_pooling_layer=add_pool,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+
+def test_quantized_encoder_close_to_fp():
+    cfg = _tiny()
+    model = BertEncoderModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 200, (4, 24)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    ref = model.apply(variables, ids)["last_hidden_state"]
+
+    vq = quantize_bert_params(variables)
+    # scanned kernels became int8 with a per-(layer, channel) scale
+    kq = vq["params"]["layers"]["layer"]["intermediate_dense"]["kernel"]
+    assert kq.dtype == jnp.int8 and kq.shape == (4, 64, 128)
+    assert vq["params"]["layers"]["layer"]["intermediate_dense"]["scale"].shape == (4, 128)
+    # non-projection leaves untouched
+    assert vq["params"]["embeddings"]["word_embeddings"]["embedding"].dtype != jnp.int8
+
+    mq = BertEncoderModel(dataclasses.replace(cfg, quantized=True), dtype=jnp.float32)
+    out = mq.apply(vq, ids)["last_hidden_state"]
+    a = np.asarray(ref).reshape(-1, 64)
+    b = np.asarray(out).reshape(-1, 64)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_quantized_flash_attention_composes():
+    cfg = dataclasses.replace(_tiny(), attention_impl="pallas", quantized=True)
+    ref_cfg = _tiny()
+    model = BertEncoderModel(ref_cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(2, 200, (2, 16)), jnp.int32)
+    mask = jnp.asarray((rng.random((2, 16)) < 0.8), jnp.int32).at[:, 0].set(1)
+    # right-contiguous mask for the lengths fast path
+    mask = jnp.sort(mask, axis=1)[:, ::-1]
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    ref = model.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+    mq = BertEncoderModel(cfg, dtype=jnp.float32)
+    out = mq.apply(quantize_bert_params(variables), ids, attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    a, b = np.asarray(ref)[valid], np.asarray(out)[valid]
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+
+
+@pytest.fixture()
+def tiny_ckpt(tmp_path):
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC
+    from transformers import BertModel, BertTokenizerFast
+
+    d = tmp_path / "bert"
+    d.mkdir()
+    words = ["the", "dog", "cat", "runs", "sits", "fast", "slow", "red", "blue", "sky"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=4, intermediate_size=64,
+                  max_position_embeddings=64)).save_pretrained(str(d))
+    return str(d)
+
+
+def test_text_embedder_quantized_serving(tiny_ckpt):
+    """TextEmbedder(quantized=True): int8 engine, neighbor-order parity."""
+    from nexus_tpu.inference.embedder.text_retrieval import TextEmbedder
+
+    texts = ["the dog runs fast", "a red cat sits", "blue sky", "the slow dog",
+             "cat runs", "red and blue", "dog sits slow", "fast sky"]
+    fp = TextEmbedder(tiny_ckpt, batch_size=8, max_length=16, seq_buckets=(16,))
+    q = TextEmbedder(tiny_ckpt, batch_size=8, max_length=16, seq_buckets=(16,),
+                     quantized=True)
+    e_fp = fp.encode(texts)
+    e_q = q.encode(texts)
+    cos = np.sum(e_fp * e_q, -1)  # both L2-normalized
+    assert cos.min() > 0.999, cos.min()
+    # retrieval quality: the int8 engine's chosen neighbor scores within
+    # 2e-3 of the fp optimum under the FP metric (exact-argmax is unstable
+    # for a random tiny model whose similarities are near-tied)
+    s_fp = e_fp @ e_fp.T
+    np.fill_diagonal(s_fp, -1)
+    s_q = e_q @ e_q.T
+    np.fill_diagonal(s_q, -1)
+    chosen = s_fp[np.arange(len(texts)), s_q.argmax(-1)]
+    assert (s_fp.max(-1) - chosen < 2e-3).all(), s_fp.max(-1) - chosen
