@@ -241,6 +241,7 @@ def llm_rerank() -> None:
     extra = sys.argv[4:]
     tiny = "tiny" in extra  # CPU smoke shape
     packed = "packed" in extra  # many pairs per 512-token row
+    int8 = "int8" in extra  # W8A8 quantized scoring (models/quantize.py)
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=256 if tiny else 2048,
         intermediate_size=512 if tiny else 8192,
@@ -269,7 +270,7 @@ def llm_rerank() -> None:
 
     rr = TextReranker(model=model, tokenizer=tok, batch_size=bs,
                       max_length=512, seq_buckets=(256, 512),
-                      packing=packed)
+                      packing=packed, quantized=int8)
     rr.compute_score(pairs)  # warm every bucket
 
     def one_trial() -> float:
@@ -284,6 +285,7 @@ def llm_rerank() -> None:
         "value": round(stats["value"], 2), "unit": "pairs/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
         "attention_impl": impl, "batch_size": bs, "packing": packed,
+        "int8": int8,
         "model": ("tiny-smoke" if tiny
                   else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
         "includes": "tokenization + length bucketing + jit score",
@@ -316,6 +318,7 @@ def llm_embed() -> None:
     extra = sys.argv[4:]
     tiny = "tiny" in extra
     packed = "packed" in extra
+    int8 = "int8" in extra
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=256 if tiny else 2048,
         intermediate_size=512 if tiny else 8192,
@@ -335,7 +338,8 @@ def llm_embed() -> None:
     tmp = tempfile.mkdtemp(prefix="nx_bench_llmemb_")
     tok, sentences = _fake_corpus_and_tokenizer(tmp, bs * 8, rng)
     emb = TextEmbedder(model=model, tokenizer=tok, batch_size=bs,
-                       max_length=128, seq_buckets=(128,), packing=packed)
+                       max_length=128, seq_buckets=(128,), packing=packed,
+                       quantized=int8)
     emb.encode(sentences)  # warm
 
     def one_trial() -> float:
@@ -350,6 +354,7 @@ def llm_embed() -> None:
         "value": round(stats["value"], 2), "unit": "embeddings/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
         "attention_impl": impl, "batch_size": bs, "packing": packed,
+        "int8": int8,
         "model": ("tiny-smoke" if tiny
                   else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
     }), flush=True)

@@ -83,14 +83,22 @@ class TextEmbedder:
         if attention_impl is not None:
             _override_attention_impl(model, attention_impl)
         if quantized:
-            cfg = getattr(model, "bert_config", None)
-            if cfg is None:
-                raise ValueError("quantized=True needs a BERT-family checkpoint "
-                                 "(int8 decoder serving not implemented)")
-            from nexus_tpu.models.quantize import quantize_bert_params
+            from nexus_tpu.models.quantize import (
+                quantize_bert_params,
+                quantize_llama_params,
+            )
 
+            cfg = getattr(model, "bert_config", None)
+            if cfg is not None:
+                convert = quantize_bert_params
+            else:
+                cfg = getattr(model, "llama_config", None)
+                convert = quantize_llama_params
+            if cfg is None:
+                raise ValueError("quantized=True needs a BERT-family or "
+                                 "decoder (Llama/Qwen) checkpoint")
             cfg.quantized = True
-            model.variables = quantize_bert_params(model.variables)
+            model.variables = convert(model.variables)
         self.mesh = mesh
         self.model = model
         if tokenizer is None:

@@ -33,6 +33,7 @@ class TextReranker:
         attention_impl: Optional[str] = None,
         packing: bool = False,
         mesh=None,
+        quantized: bool = False,
     ):
         """``pair_template``: LLM-reranker prompt formatting — e.g.
         ``"A: {query}\\nB: {passage}\\nPredict whether passage B answers "
@@ -62,6 +63,24 @@ class TextReranker:
             from nexus_tpu.inference.embedder.text_retrieval import _override_attention_impl
 
             _override_attention_impl(model, attention_impl)
+        if quantized:
+            # int8 W8A8 scoring (models/quantize.py): per-channel int8
+            # kernels + per-token dynamic activations; both families
+            from nexus_tpu.models.quantize import (
+                quantize_bert_params,
+                quantize_llama_params,
+            )
+
+            cfg = getattr(model, "bert_config", None)
+            if cfg is not None:
+                model.variables = quantize_bert_params(model.variables)
+            else:
+                cfg = getattr(model, "llama_config", None)
+                if cfg is None:
+                    raise ValueError("quantized=True needs a BERT or decoder "
+                                     "cross-encoder checkpoint")
+                model.variables = quantize_llama_params(model.variables)
+            cfg.quantized = True
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

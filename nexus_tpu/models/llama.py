@@ -45,6 +45,10 @@ class LlamaConfig(AbsArguments):
     # adapters merge into the effective kernels outside the megakernel —
     # and falls back to flash when the shape/VMEM gate rejects)
     attention_impl: str = "xla"
+    # int8 W8A8 serving (models/quantize.py:quantize_llama_params): halves
+    # weight bytes and doubles MXU rate; inference-only, LoRA must be merged
+    # first, the fused megakernel gates off (it reads raw bf16 weights)
+    quantized: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
 
@@ -252,11 +256,14 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.config
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(
-            nn.silu(gate) * up
-        )
+        from nexus_tpu.models.lora import lora_dense
+
+        gate = lora_dense(c, c.intermediate_size, "gate_proj", False, self.dtype,
+                          plain=True)(x)
+        up = lora_dense(c, c.intermediate_size, "up_proj", False, self.dtype,
+                        plain=True)(x)
+        return lora_dense(c, c.hidden_size, "down_proj", False, self.dtype,
+                          plain=True)(nn.silu(gate) * up)
 
 
 class LlamaLayer(nn.Module):
@@ -273,7 +280,7 @@ class LlamaLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         head_dim = c.head_dim or c.hidden_size // n_q
-        if c.attention_impl == "fused":
+        if c.attention_impl == "fused" and not c.quantized:
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_block, fused_decoder_supported,
                 iota_rope_tables)
@@ -370,7 +377,7 @@ class LlamaModel(nn.Module):
         if override_mask is not None:
             x = jnp.where(override_mask[..., None], override_embeds.astype(x.dtype), x)
         rope_tables = None
-        if c.attention_impl == "fused":
+        if c.attention_impl == "fused" and not c.quantized:
             # hoist the fused path's rotary tables out of the layer scan:
             # one trig build + one position gather for the whole stack
             from nexus_tpu.ops.fused_decoder import (

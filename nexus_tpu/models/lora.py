@@ -79,12 +79,23 @@ def merge_lora_params(params: dict, alpha: float = 16.0) -> dict:
     return walk(params)
 
 
-def lora_dense(config, features: int, name: str, use_bias: bool, dtype) -> nn.Module:
+def lora_dense(config, features: int, name: str, use_bias: bool, dtype,
+               plain: bool = False) -> nn.Module:
     """Dense factory shared by the Llama / Qwen-VL text trunks: returns a
-    LoRADense when ``config.lora_rank > 0`` (adapter training), else a plain
-    Dense. ``config`` is any object with lora_rank / lora_alpha attributes
-    (LlamaConfig)."""
-    rank = getattr(config, "lora_rank", 0)
+    LoRADense when ``config.lora_rank > 0`` (adapter training), an int8
+    QuantDense when ``config.quantized`` (serving), else a plain Dense.
+    ``config`` is any object with lora_rank / lora_alpha attributes
+    (LlamaConfig). ``plain=True`` opts out of LoRA (MLP projections keep
+    their historical adapter-free tree) but still honors quantized."""
+    rank = 0 if plain else getattr(config, "lora_rank", 0)
+    if getattr(config, "quantized", False):
+        if getattr(config, "lora_rank", 0) > 0:
+            raise ValueError(
+                "quantized serving is incompatible with live LoRA adapters — "
+                "export a merged checkpoint first (save_merged_model)")
+        from nexus_tpu.models.quantize import QuantDense
+
+        return QuantDense(features, out_dtype=dtype, use_bias=use_bias, name=name)
     if rank > 0:
         return LoRADense(features, use_bias=use_bias, dtype=dtype,
                          lora_rank=rank, lora_alpha=config.lora_alpha, name=name)

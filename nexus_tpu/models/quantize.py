@@ -29,10 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-# module names whose 'kernel' leaves quantize (BertSelfAttention/BertLayer)
-QUANT_DENSE_NAMES = frozenset({
+# module names whose 'kernel' leaves quantize, per trunk family
+QUANT_DENSE_NAMES = frozenset({  # BertSelfAttention/BertLayer
     "query", "key", "value", "qkv",
     "attention_output_dense", "intermediate_dense", "output_dense",
+})
+QUANT_LLAMA_NAMES = frozenset({  # LlamaAttention/LlamaMLP (+ Qwen trunks)
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
 })
 
 
@@ -42,6 +46,7 @@ class QuantDense(nn.Module):
 
     features: int
     out_dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -50,8 +55,8 @@ class QuantDense(nn.Module):
                        (in_features, self.features), jnp.int8)
         s_w = self.param("scale", nn.initializers.ones,
                          (self.features,), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros,
-                       (self.features,), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32) if self.use_bias else 0.0)
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         s_a = jnp.maximum(amax, 1e-6) / 127.0
@@ -73,10 +78,7 @@ def _quantize_kernel(w: np.ndarray):
     return wq, scale.astype(np.float32)
 
 
-def quantize_bert_params(variables) -> dict:
-    """Offline conversion: an fp BertEncoderModel variables tree -> the
-    QuantDense tree (int8 kernels + scales; biases/everything else kept).
-    Works on scanned (stacked) and unscanned layouts."""
+def _quantize_tree(variables, names) -> dict:
     from flax.core import unfreeze
 
     def walk(node):
@@ -84,11 +86,7 @@ def quantize_bert_params(variables) -> dict:
             return node
         out = {}
         for name, child in node.items():
-            if (
-                name in QUANT_DENSE_NAMES
-                and isinstance(child, dict)
-                and "kernel" in child
-            ):
+            if name in names and isinstance(child, dict) and "kernel" in child:
                 wq, scale = _quantize_kernel(np.asarray(child["kernel"]))
                 q = {"kernel": jnp.asarray(wq), "scale": jnp.asarray(scale)}
                 if "bias" in child:
@@ -99,3 +97,16 @@ def quantize_bert_params(variables) -> dict:
         return out
 
     return walk(unfreeze(variables))
+
+
+def quantize_bert_params(variables) -> dict:
+    """Offline conversion: an fp BertEncoderModel variables tree -> the
+    QuantDense tree (int8 kernels + scales; biases/everything else kept).
+    Works on scanned (stacked) and unscanned layouts."""
+    return _quantize_tree(variables, QUANT_DENSE_NAMES)
+
+
+def quantize_llama_params(variables) -> dict:
+    """Same conversion for the Llama/Qwen decoder trunks (halves the weight
+    bytes of an LLM reranker/embedder on top of the 2x MXU rate)."""
+    return _quantize_tree(variables, QUANT_LLAMA_NAMES)

@@ -108,3 +108,68 @@ def test_text_embedder_quantized_serving(tiny_ckpt):
     np.fill_diagonal(s_q, -1)
     chosen = s_fp[np.arange(len(texts)), s_q.argmax(-1)]
     assert (s_fp.max(-1) - chosen < 2e-3).all(), s_fp.max(-1) - chosen
+
+
+def test_quantized_llama_close_to_fp():
+    """Decoder trunk int8: last-hidden cosine vs fp > 0.998 (GQA + RoPE;
+    the pre-norm residual stream amplifies quant noise slightly more than
+    the post-norm BERT stack)."""
+    from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+    from nexus_tpu.models.quantize import quantize_llama_params
+
+    cfg = LlamaConfig(vocab_size=200, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=3, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(2, 200, (2, 20)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    ref = model.apply(variables, ids)["last_hidden_state"]
+
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    mq = LlamaModel(qcfg, dtype=jnp.float32)
+    out = mq.apply(quantize_llama_params(variables), ids)["last_hidden_state"]
+    a = np.asarray(ref).reshape(-1, 64)
+    b = np.asarray(out).reshape(-1, 64)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.998, cos.min()
+
+
+def test_quantized_decoder_reranker_scores():
+    """TextReranker(quantized=True) on a decoder cross-encoder: int8 scores
+    track the fp scores closely enough to preserve pair ordering."""
+    from types import SimpleNamespace
+
+    from nexus_tpu.inference.reranker.text_retrieval import TextReranker
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.reranker.text_retrieval.decoder_only import (
+        DecoderCrossEncoderModel,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=32)
+
+    proto = DecoderCrossEncoderModel(dataclasses.replace(cfg), dtype="float32")
+    variables = proto.init_variables(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(5)
+    ids = np.zeros((6, 16), np.int32)
+    for i in range(6):
+        ln = int(rng.integers(4, 16))
+        ids[i, :ln] = rng.integers(2, 127, ln)
+    feed = {"input_ids": ids, "attention_mask": (ids != 0).astype(np.int32),
+            "token_type_ids": np.zeros_like(ids)}
+
+    def scores(quant):
+        m = DecoderCrossEncoderModel(dataclasses.replace(cfg), dtype="float32")
+        m.variables = variables
+        rr = TextReranker(model=m, tokenizer=SimpleNamespace(pad_token="[PAD]"),
+                          batch_size=6, max_length=16, quantized=quant)
+        return np.asarray(rr.session.run(None, feed)[0])
+
+    s_fp = scores(False)
+    s_q = scores(True)
+    # scores are unbounded logits: compare on scale of the observed spread
+    spread = s_fp.max() - s_fp.min() + 1e-6
+    assert np.max(np.abs(s_fp - s_q)) / spread < 0.05, (s_fp, s_q)
