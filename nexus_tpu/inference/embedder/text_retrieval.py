@@ -83,22 +83,9 @@ class TextEmbedder:
         if attention_impl is not None:
             _override_attention_impl(model, attention_impl)
         if quantized:
-            from nexus_tpu.models.quantize import (
-                quantize_bert_params,
-                quantize_llama_params,
-            )
+            from nexus_tpu.models.quantize import quantize_model
 
-            cfg = getattr(model, "bert_config", None)
-            if cfg is not None:
-                convert = quantize_bert_params
-            else:
-                cfg = getattr(model, "llama_config", None)
-                convert = quantize_llama_params
-            if cfg is None:
-                raise ValueError("quantized=True needs a BERT-family or "
-                                 "decoder (Llama/Qwen) checkpoint")
-            cfg.quantized = True
-            model.variables = convert(model.variables)
+            quantize_model(model)
         self.mesh = mesh
         self.model = model
         if tokenizer is None:

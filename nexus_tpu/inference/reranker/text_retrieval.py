@@ -66,21 +66,9 @@ class TextReranker:
         if quantized:
             # int8 W8A8 scoring (models/quantize.py): per-channel int8
             # kernels + per-token dynamic activations; both families
-            from nexus_tpu.models.quantize import (
-                quantize_bert_params,
-                quantize_llama_params,
-            )
+            from nexus_tpu.models.quantize import quantize_model
 
-            cfg = getattr(model, "bert_config", None)
-            if cfg is not None:
-                model.variables = quantize_bert_params(model.variables)
-            else:
-                cfg = getattr(model, "llama_config", None)
-                if cfg is None:
-                    raise ValueError("quantized=True needs a BERT or decoder "
-                                     "cross-encoder checkpoint")
-                model.variables = quantize_llama_params(model.variables)
-            cfg.quantized = True
+            quantize_model(model)
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

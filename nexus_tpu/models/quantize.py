@@ -110,3 +110,30 @@ def quantize_llama_params(variables) -> dict:
     """Same conversion for the Llama/Qwen decoder trunks (halves the weight
     bytes of an LLM reranker/embedder on top of the 2x MXU rate)."""
     return _quantize_tree(variables, QUANT_LLAMA_NAMES)
+
+
+def quantize_model(model) -> None:
+    """Engine-side dispatch: convert a wrapped embedder/reranker model to
+    int8 IN PLACE (variables + config.quantized). Dispatches on the actual
+    config CLASS, not attribute names — BiDecoderOnlyEmbedderModel aliases
+    ``bert_config`` to its LlamaConfig for the save path, so attribute
+    probing alone mis-routes decoders to the BERT converter."""
+    from nexus_tpu.models.bert import BertConfig
+    from nexus_tpu.models.llama import LlamaConfig
+
+    cfg = getattr(model, "llama_config", None)
+    if cfg is None:
+        cfg = getattr(model, "bert_config", None)
+    if isinstance(cfg, LlamaConfig):
+        if getattr(cfg, "lora_rank", 0) > 0:
+            raise ValueError(
+                "quantized serving is incompatible with live LoRA adapters — "
+                "export a merged checkpoint first (save_merged_model)")
+        model.variables = quantize_llama_params(model.variables)
+    elif isinstance(cfg, BertConfig):
+        model.variables = quantize_bert_params(model.variables)
+    else:
+        raise ValueError(
+            "quantized=True needs a BERT-family or decoder (Llama/Qwen) "
+            f"checkpoint; model carries config {type(cfg).__name__}")
+    cfg.quantized = True

@@ -113,6 +113,11 @@ def embedding_shardings(params, mesh: Mesh, min_rows: int = 1024):
 _TP_COLUMN = frozenset({
     "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",  # llama/qwen
     "query", "key", "value", "intermediate_dense",  # bert
+    # fused_qkv=True BERT packs q|k|v into one [h, 3h] kernel; column
+    # sharding it is still correct (GSPMD reshards at the head split) and
+    # keeps the attention weights distributed rather than silently
+    # replicated
+    "qkv",
 })
 _TP_ROW = frozenset({
     "o_proj", "down_proj",  # llama/qwen

@@ -236,22 +236,32 @@ class RecTrainer:
             if self.shard_experts:
                 # expert axis of MMoE/MultiExperts stacks over `model`
                 param_sh = _merge(expert_parallel_shardings(params, self.mesh))
-            p_leaves = jax.tree_util.tree_leaves(params)
-            s_leaves = jax.tree_util.tree_leaves(param_sh)
-            sharded_shapes = {
-                tuple(p.shape)
-                for p, s in zip(p_leaves, s_leaves)
-                if not s.is_fully_replicated
-            }
-            if sharded_shapes:
-                # optimizer moments mirror the param layout (same-shape
-                # leaves share the spec)
-                spec_by_shape = {tuple(p.shape): s for p, s in zip(p_leaves, s_leaves)}
+            any_sharded = any(
+                not s.is_fully_replicated for s in jax.tree_util.tree_leaves(param_sh)
+            )
+            if any_sharded:
+                # optimizer moments mirror the param layout STRUCTURALLY:
+                # any opt-state subtree shaped like the param tree (adam
+                # mu/nu, MultiSteps acc_grads, ...) takes the param specs
+                # wholesale. (Shape-keyed matching collides under TP, where
+                # column q/k/v_proj and row o_proj share one shape.)
+                p_struct = jax.tree_util.tree_structure(params)
+                p_shapes = [p.shape for p in jax.tree_util.tree_leaves(params)]
+
+                def is_param_tree(node):
+                    try:
+                        if jax.tree_util.tree_structure(node) != p_struct:
+                            return False
+                        return [
+                            getattr(l, "shape", None)
+                            for l in jax.tree_util.tree_leaves(node)
+                        ] == p_shapes
+                    except Exception:
+                        return False
+
                 opt_sh = jax.tree_util.tree_map(
-                    lambda x: spec_by_shape.get(tuple(getattr(x, "shape", ())), rep_sh)
-                    if tuple(getattr(x, "shape", ())) in sharded_shapes
-                    else rep_sh,
-                    opt_state,
+                    lambda node: param_sh if is_param_tree(node) else rep_sh,
+                    opt_state, is_leaf=is_param_tree,
                 )
             else:
                 opt_sh = rep_sh

@@ -143,10 +143,13 @@ def test_partial_remat_split_matches_full():
     gpp = g_part["params"]["layers_plain"]["layer"]
     flat_a, _ = _ravel_pytree(jax.tree_util.tree_map(lambda x: x[:2], gl))
     flat_b, _ = _ravel_pytree(gp)
-    np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b), atol=1e-5)
+    # atol 3e-5: oneDNN thread nondeterminism under a loaded host puts
+    # occasional near-zero grad elements ~1.2e-5 apart (seen in full-suite
+    # runs; standalone runs pass at 1e-5)
+    np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b), atol=3e-5)
     flat_c, _ = _ravel_pytree(jax.tree_util.tree_map(lambda x: x[2:], gl))
     flat_d, _ = _ravel_pytree(gpp)
-    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flat_c), np.asarray(flat_d), atol=3e-5)
 
 
 def test_xlm_roberta_matches_hf(tmp_path):

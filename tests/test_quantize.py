@@ -173,3 +173,57 @@ def test_quantized_decoder_reranker_scores():
     # scores are unbounded logits: compare on scale of the observed spread
     spread = s_fp.max() - s_fp.min() + 1e-6
     assert np.max(np.abs(s_fp - s_q)) / spread < 0.05, (s_fp, s_q)
+
+
+def test_quantized_decoder_embedder_encode():
+    """Regression (review finding): BiDecoderOnlyEmbedderModel aliases
+    bert_config to its LlamaConfig — quantize_model must dispatch on the
+    config CLASS and route decoders to the llama converter."""
+    from types import SimpleNamespace
+
+    from nexus_tpu.inference.embedder.text_retrieval import TextEmbedder
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+
+    cfg = LlamaConfig(vocab_size=120, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=32)
+    margs = TextEmbedderModelArguments(dtype="float32",
+                                       sentence_pooling_method="last_token")
+
+    def build():
+        m = BiDecoderOnlyEmbedderModel(dataclasses.replace(cfg), margs)
+        m.variables = variables
+        return m
+
+    proto = BiDecoderOnlyEmbedderModel(dataclasses.replace(cfg), margs)
+    variables = proto.init_variables(jax.random.PRNGKey(0))
+
+    class Tok:
+        pad_token = "[PAD]"
+
+        def __call__(self, texts, **kw):
+            rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+            ids = np.zeros((len(texts), 16), np.int64)
+            for i, t in enumerate(texts):
+                ln = 4 + (len(t) % 10)
+                ids[i, :ln] = rng.integers(2, 119, ln)
+            return {"input_ids": ids, "attention_mask": (ids != 0).astype(np.int64)}
+
+    texts = ["alpha beta", "gamma delta epsilon", "zeta", "eta theta"]
+    fp = TextEmbedder(model=build(), tokenizer=Tok(), batch_size=4,
+                      max_length=16, seq_buckets=(16,))
+    q = TextEmbedder(model=build(), tokenizer=Tok(), batch_size=4,
+                     max_length=16, seq_buckets=(16,), quantized=True)
+    e_fp, e_q = fp.encode(texts), q.encode(texts)
+    assert np.isfinite(e_q).all()
+    cos = np.sum(e_fp * e_q, -1)
+    assert cos.min() > 0.99, cos
+    # and the trunk really is int8
+    k = q.model.variables["params"]["layers"]["layer"]["self_attn"]["q_proj"]["kernel"]
+    assert k.dtype == jnp.int8

@@ -166,3 +166,32 @@ def test_trainer_tp_step_parity(tiny_bert_dir, tmp_path):
     p_tp = run(True, "tp")
     for a, b in zip(jax.tree_util.tree_leaves(p_rep), jax.tree_util.tree_leaves(p_tp)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_optimizer_moments_mirror_param_specs(tiny_bert_dir, tmp_path):
+    """Regression (review finding): moment shardings must mirror params
+    STRUCTURALLY — shape-keyed matching collides under TP, where column
+    q/k/v and row o projections share one shape."""
+    mesh = _tp_mesh()
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
+    from nexus_tpu.training.trainer import RecTrainer
+
+    model = BiTextEmbedderModel.from_pretrained(tiny_bert_dir)
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path / "o"), num_train_epochs=1, max_steps=1,
+        per_device_train_batch_size=4, learning_rate=1e-3, logging_steps=10,
+        optimizer="adam", evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs, mesh=mesh, shard_tensor_parallel=True)
+    state = trainer.init_state()
+
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    # adam: opt_state[0].mu / .nu are param-shaped trees
+    mu_leaves = jax.tree_util.tree_leaves(state.opt_state[0].mu)
+    nu_leaves = jax.tree_util.tree_leaves(state.opt_state[0].nu)
+    assert len(mu_leaves) == len(p_leaves)
+    for p, mu, nu in zip(p_leaves, mu_leaves, nu_leaves):
+        assert mu.sharding.spec == p.sharding.spec, (p.shape, p.sharding.spec, mu.sharding.spec)
+        assert nu.sharding.spec == p.sharding.spec
+    assert any(not p.sharding.is_fully_replicated for p in p_leaves)
