@@ -227,3 +227,18 @@ def test_quantized_decoder_embedder_encode():
     # and the trunk really is int8
     k = q.model.variables["params"]["layers"]["layer"]["self_attn"]["q_proj"]["kernel"]
     assert k.dtype == jnp.int8
+
+
+def test_quantized_aot_session_parity(tiny_ckpt):
+    """int8 composes with the bucketed AOT session path (infer_mode='aot'):
+    same embeddings as the jit engine."""
+    from nexus_tpu.inference.embedder.text_retrieval import TextEmbedder
+
+    texts = ["the dog runs", "red cat", "blue sky sits", "fast slow"]
+    q_jit = TextEmbedder(tiny_ckpt, batch_size=4, max_length=16,
+                         seq_buckets=(16,), quantized=True)
+    q_aot = TextEmbedder(tiny_ckpt, batch_size=4, max_length=16,
+                         seq_buckets=(16,), quantized=True, infer_mode="aot")
+    a = q_jit.encode(texts)
+    b = q_aot.encode(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5)
