@@ -161,6 +161,7 @@ def _fused_dense_factory(config):
 class LlamaAttention(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
+    ring_mesh: Optional[object] = None  # Mesh for attention_impl='ring'
 
     def _dense(self, features, name, use_bias):
         from nexus_tpu.models.lora import lora_dense
@@ -219,7 +220,19 @@ class LlamaAttention(nn.Module):
             rep = n_q // n_kv
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        if c.attention_impl in ("pallas", "fused"):
+        if c.attention_impl == "ring" and self.ring_mesh is not None:
+            # sequence parallelism: attention over an L sharded across the
+            # `sp` mesh axis (ops/ring_attention.py) — fine-tune contexts
+            # beyond one chip's activation memory through the same stack
+            from nexus_tpu.ops.ring_attention import ring_attention
+
+            seg = attention_mask if segment_ids is None else segment_ids
+            ctx = ring_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), seg.astype(jnp.int32),
+                mesh=self.ring_mesh, causal=True,
+            ).transpose(0, 2, 1, 3)
+        elif c.attention_impl in ("pallas", "fused"):
             # 'fused' lands here only when the megakernel gate rejected
             # (shape/VMEM/LoRA/packed rows) — flash is the graceful fallback.
             # The 0/1 attention mask doubles as segment ids for the unpacked
@@ -269,6 +282,7 @@ class LlamaMLP(nn.Module):
 class LlamaLayer(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
+    ring_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, attention_mask, positions, segment_ids=None,
@@ -307,7 +321,8 @@ class LlamaLayer(nn.Module):
                 num_kv_heads=n_kv, head_dim=head_dim, eps=c.rms_norm_eps,
                 segment_ids=segment_ids)
         else:
-            attn = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
+            attn = LlamaAttention(c, dtype=self.dtype, ring_mesh=self.ring_mesh,
+                                  name="self_attn")(
                 RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),
                 attention_mask, positions, segment_ids=segment_ids,
             )
@@ -321,11 +336,13 @@ class LlamaLayer(nn.Module):
 class _ScannedLlamaLayer(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.bfloat16
+    ring_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, _, attention_mask, positions, segment_ids,
                  rope_tables):
-        return LlamaLayer(self.config, dtype=self.dtype, name="layer")(
+        return LlamaLayer(self.config, dtype=self.dtype,
+                          ring_mesh=self.ring_mesh, name="layer")(
             x, attention_mask, positions, segment_ids=segment_ids,
             rope_tables=rope_tables,
         ), None
@@ -342,6 +359,8 @@ class LlamaModel(nn.Module):
     remat: bool = False  # gradient checkpointing over the layer scan
     remat_policy: Optional[str] = None  # None=full | 'dots' = save matmul
     # outputs | 'offload_dots' = park them in host RAM (see models/bert.py)
+    ring_mesh: Optional[object] = None  # Mesh with an 'sp' axis: with
+    # config.attention_impl='ring', attention runs sequence-sharded over it
 
     @nn.compact
     def __call__(self, input_ids: Optional[Array] = None, attention_mask: Optional[Array] = None,
@@ -408,11 +427,13 @@ class LlamaModel(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
                          nn.broadcast, nn.broadcast),
             )
-            x, _ = Scanned(c, dtype=self.dtype, name="layers")(
+            x, _ = Scanned(c, dtype=self.dtype, ring_mesh=self.ring_mesh,
+                           name="layers")(
                 x, None, attention_mask, positions, segment_ids, rope_tables)
         else:
             for i in range(c.num_hidden_layers):
-                x = LlamaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                x = LlamaLayer(c, dtype=self.dtype, ring_mesh=self.ring_mesh,
+                               name=f"layer_{i}")(
                     x, attention_mask, positions, segment_ids=segment_ids,
                     rope_tables=rope_tables)
         x = RMSNorm(c.rms_norm_eps, name="norm")(x)

@@ -118,3 +118,49 @@ def test_ring_attention_grad_parity_packed():
         _oracle(q, k, v, seg) * tgt), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_ring):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_llama_ring_attention_impl_matches_xla():
+    """attention_impl='ring' + LlamaModel(ring_mesh=...): the full decoder
+    stack runs with its sequence sharded over the sp axis and matches the
+    xla attention path, forward and gradient."""
+    import dataclasses
+
+    from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+
+    mesh = _mesh(4)
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(2, 96, (2, 32)), jnp.int32)
+    mask = np.ones((2, 32), np.int32)
+    mask[0, 28:] = 0
+    mask = jnp.asarray(mask)
+
+    ref_model = LlamaModel(cfg, dtype=jnp.float32)
+    variables = ref_model.init(jax.random.PRNGKey(0), ids)
+    ref = ref_model.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+
+    ring_model = LlamaModel(dataclasses.replace(cfg, attention_impl="ring"),
+                            dtype=jnp.float32, ring_mesh=mesh)
+    out = ring_model.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+    # pad-row convention differs (ring zeroes fully-masked query rows like
+    # flash; xla lets pad queries attend) — compare the valid positions
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(ref)[valid], np.asarray(out)[valid],
+                               rtol=2e-5, atol=2e-6)
+
+    tgt = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+
+    def loss(model):
+        return lambda v: jnp.sum(
+            model.apply(v, ids, attention_mask=mask)["last_hidden_state"]
+            * tgt * mask[..., None])
+
+    g_ref = jax.grad(loss(ref_model))(variables)
+    g_ring = jax.grad(loss(ring_model))(variables)
+    # chunked online-softmax rescaling reorders the f32 reductions; through
+    # a 2-layer stack the noise reaches ~6e-5 on grads of magnitude ~2e-2
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_ring)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
