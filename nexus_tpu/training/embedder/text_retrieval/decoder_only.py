@@ -47,7 +47,12 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
         llama_config: LlamaConfig,
         model_args: Optional[TextEmbedderModelArguments] = None,
         variables: Optional[dict] = None,
+        ring_mesh=None,
     ):
+        """``ring_mesh``: a Mesh with an `sp` axis — with
+        ``attention_impl='ring'`` the trunk's attention runs sequence-sharded
+        over it (ops/ring_attention.py), for fine-tune contexts beyond one
+        chip's activation memory."""
         self.bert_config = llama_config  # name kept for base-class save path
         self.llama_config = llama_config
         args = model_args or TextEmbedderModelArguments()
@@ -59,7 +64,7 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
             llama_config.attention_impl = args.attention_impl
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        self.net = LlamaModel(llama_config, dtype=dtype)
+        self.net = LlamaModel(llama_config, dtype=dtype, ring_mesh=ring_mesh)
         self.variables = variables
         from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
 

@@ -164,3 +164,52 @@ def test_llama_ring_attention_impl_matches_xla():
     # a 2-layer stack the noise reaches ~6e-5 on grads of magnitude ~2e-2
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_ring)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_decoder_embedder_ring_loss_matches_default():
+    """BiDecoderOnlyEmbedderModel(ring_mesh=...) with attention_impl='ring':
+    the contrastive loss_fn matches the default (xla-attention) model on the
+    same batch — the sequence-parallel trunk is transparent to the embedder
+    training objective."""
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+
+    mesh = _mesh(4)
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    margs = TextEmbedderModelArguments(
+        temperature=0.05, dtype="float32",
+        sentence_pooling_method="last_token")
+
+    ref = BiDecoderOnlyEmbedderModel(
+        LlamaConfig.from_dict(cfg.to_dict()), margs)
+    variables = ref.init_variables(jax.random.PRNGKey(0))
+
+    ring_cfg = LlamaConfig.from_dict(cfg.to_dict())
+    import dataclasses as _dc
+    ring_margs = _dc.replace(margs, attention_impl="ring")
+    ring = BiDecoderOnlyEmbedderModel(ring_cfg, ring_margs, ring_mesh=mesh)
+    assert ring_cfg.attention_impl == "ring"
+
+    rng = np.random.default_rng(11)
+    b, g, L = 2, 2, 32
+    batch = {}
+    for side, n in (("query", b), ("passage", b * g)):
+        ids = rng.integers(2, 96, (n, L)).astype(np.int32)
+        mask = np.ones((n, L), np.int32)
+        for i in range(n):
+            mask[i, int(rng.integers(L // 2, L)):] = 0
+        ids = ids * mask
+        batch[f"{side}_input_ids"] = jnp.asarray(ids)
+        batch[f"{side}_attention_mask"] = jnp.asarray(mask)
+
+    key = jax.random.PRNGKey(3)
+    loss_ref, _ = ref.loss_fn(variables, batch, key)
+    loss_ring, _ = ring.loss_fn(variables, batch, key)
+    np.testing.assert_allclose(float(loss_ref), float(loss_ring), rtol=1e-4)
