@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import re
+import zlib
 from collections import OrderedDict
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -281,7 +282,12 @@ class ShardedDataset:
 
     def _file_batches(self, path: str, carry: dict) -> Iterator[Dict[str, np.ndarray]]:
         token = _date_token(path)
-        rng = np.random.default_rng(self.seed + self.epoch * 1000 + hash(path) % 100000)
+        # per-file shuffle stream; zlib.crc32 (not hash()) so the stream is
+        # identical across processes — a preemption-resumed run on a fresh VM
+        # must replay the exact same batch order (PYTHONHASHSEED salts str
+        # hashes per process, which silently broke cross-process resume)
+        rng = np.random.default_rng(
+            self.seed + self.epoch * 1000 + zlib.crc32(path.encode()) % 100000)
         streamable = (
             self._filters is None
             and hasattr(self.client, "is_parquet")

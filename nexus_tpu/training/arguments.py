@@ -49,6 +49,11 @@ class TrainingArguments(AbsArguments):
     profile_step_end: Optional[int] = None
     item_batch_size: int = 2048
     disable_tqdm: bool = True  # accepted for config parity; no tqdm used
+    # spot/maintenance SIGTERM -> finish the step, write a full resume
+    # checkpoint + PREEMPTED.json into output_dir, stop cleanly; train()
+    # with resume_from_checkpoint=None then auto-resumes from the marker
+    # (training/preemption.py). Zero cost until a signal actually arrives.
+    preemption_safe: bool = True
 
     def __post_init__(self):
         if self.train_batch_size and not self.per_device_train_batch_size:

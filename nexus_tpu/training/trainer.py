@@ -358,6 +358,18 @@ class RecTrainer:
     ) -> TrainState:
         if self._state is None:
             self.init_state()
+        if getattr(self.args, "preemption_safe", False):
+            from nexus_tpu.training.preemption import (
+                PreemptionGuard,
+                find_preemption_checkpoint,
+            )
+
+            if not any(isinstance(cb, PreemptionGuard) for cb in self.callbacks):
+                self.callbacks.append(PreemptionGuard(self.args.output_dir))
+            if resume_from_checkpoint is None:
+                # a PREEMPTED.json marker in output_dir means the previous
+                # run of this job was killed by the platform — continue it
+                resume_from_checkpoint = find_preemption_checkpoint(self.args.output_dir)
         if resume_from_checkpoint:
             self.load_model(resume_from_checkpoint)
         self._maybe_init_sampler()

@@ -99,6 +99,74 @@ def test_no_marker_means_no_resume(tmp_path):
     assert find_preemption_checkpoint(str(tmp_path)) is None
 
 
+def test_auto_resume_via_preemption_safe_default(tmp_path):
+    """With preemption_safe=True (the default), train() installs the guard
+    itself and a rerun with NO resume argument picks up the marker."""
+    t_full, ds = _make(tmp_path, "full2")
+    ref = t_full.train(ds)
+    total_steps = int(ref.step)
+
+    out_name = "auto"
+    guard_probe = {}
+
+    class _Kill(Callback):
+        def on_step_end(self, trainer, step):
+            if step == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    t_a, ds_a = _make(tmp_path, out_name, callbacks=[_Kill()])
+    state_a = t_a.train(ds_a)
+    assert int(state_a.step) == 3
+    # guard was auto-installed by the trainer (not passed by the user)
+    assert any(type(cb).__name__ == "PreemptionGuard" for cb in t_a.callbacks)
+    assert os.path.exists(os.path.join(t_a.args.output_dir, MARKER))
+
+    # replacement run: same command, no resume argument
+    t_b, ds_b = _make(tmp_path, out_name)
+    final_b = t_b.train(ds_b)
+    assert int(final_b.step) == total_steps
+    assert not os.path.exists(os.path.join(t_b.args.output_dir, MARKER))
+
+    flat_ref, _ = _ravel_pytree(jax.tree_util.tree_map(np.asarray, ref.params))
+    flat_got, _ = _ravel_pytree(jax.tree_util.tree_map(np.asarray, final_b.params))
+    np.testing.assert_allclose(np.asarray(flat_got), np.asarray(flat_ref), atol=1e-6)
+
+
+def test_batch_stream_is_hash_salt_independent(tmp_path):
+    """Cross-process exactness: the shuffled batch stream must not depend on
+    PYTHONHASHSEED (a resumed run lives in a NEW process on a NEW VM).
+    Regression for dataset.py seeding per-file shuffles with str hash()."""
+    import subprocess
+    import sys
+
+    from nexus_tpu.data.synthetic import generate_synthetic_recflow
+
+    data_dir = str(tmp_path / "hashdata")
+    generate_synthetic_recflow(data_dir, n_days=1, rows_per_day=64, seq_len=4)
+    snippet = (
+        "import json, numpy as np\n"
+        "from nexus_tpu.data.processor import ConfigProcessor\n"
+        "from nexus_tpu.data.dataset import ShardedDataset\n"
+        "from nexus_tpu.data.synthetic import generate_synthetic_recflow\n"
+        f"cfg = generate_synthetic_recflow({data_dir!r}, n_days=1, rows_per_day=64, seq_len=4)\n"
+        "train_cfg, _ = ConfigProcessor(cfg).split_config()\n"
+        "ds = ShardedDataset(train_cfg, batch_size=16, drop_last=True, shuffle=True, seed=3)\n"
+        "b = next(iter(ds))\n"
+        "print(json.dumps(sorted((k, float(np.sum(v))) for k, v in b.items()"
+        " if isinstance(v, np.ndarray))))\n"
+    )
+    outs = []
+    for salt in ("1", "2"):
+        env = {**os.environ, "PYTHONHASHSEED": salt, "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": os.pathsep.join(
+                   [p for p in (os.environ.get("PYTHONPATH", ""),) if p] + ["/root/repo"])}
+        r = subprocess.run([sys.executable, "-c", snippet], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1]
+
+
 def test_programmatic_trigger_saves_once(tmp_path):
     """request_preemption() (worker-thread/cluster-agent path) saves exactly
     one checkpoint even though on_step_end keeps firing until the loop
