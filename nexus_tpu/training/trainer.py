@@ -46,31 +46,63 @@ logger = get_logger("nexus_tpu.trainer")
 
 def _prefetch(iterator, size: int = 2):
     """Host-side async prefetch: a daemon thread keeps `size` batches ahead
-    (parquet reads + side-table joins overlap device compute)."""
+    (parquet reads + side-table joins overlap device compute).
+
+    Abandonment-safe: when the consumer stops early (early-stop callback,
+    preemption, an exception in the step) the generator's ``finally`` sets a
+    stop event and drains the queue so the worker exits instead of blocking
+    in ``put`` forever — a leaked worker pins its in-flight batches in
+    memory for the life of the process (observed as dozens of blocked
+    threads across a long test run)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
     err: list = []
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the training loop
             err.append(e)
         finally:
-            q.put(sentinel)
+            # guaranteed delivery while the consumer is live; a stopped
+            # consumer no longer needs the sentinel
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
 
 
 class TrainState(struct.PyTreeNode):

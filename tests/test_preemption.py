@@ -132,6 +132,53 @@ def test_auto_resume_via_preemption_safe_default(tmp_path):
     np.testing.assert_allclose(np.asarray(flat_got), np.asarray(flat_ref), atol=1e-6)
 
 
+def test_prefetch_worker_exits_on_abandonment():
+    """An early-stopped training loop (preemption, early-stop, exception)
+    abandons the _prefetch generator mid-stream; the worker thread must
+    exit instead of blocking in queue.put forever holding batch memory."""
+    import threading
+    import time
+
+    from nexus_tpu.training.trainer import _prefetch
+
+    before = set(threading.enumerate())
+
+    def infinite():
+        i = 0
+        while True:
+            yield np.zeros(1024) + i
+            i += 1
+
+    gen = _prefetch(infinite(), size=2)
+    assert float(next(gen)[0]) == 0.0
+    assert float(next(gen)[0]) == 1.0
+    gen.close()  # what GC does when the loop breaks
+
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
+
+    # normal completion still delivers everything + propagates errors
+    def short():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    got = []
+    try:
+        for x in _prefetch(short(), size=2):
+            got.append(x)
+    except RuntimeError as e:
+        assert str(e) == "boom"
+    else:  # pragma: no cover
+        raise AssertionError("error was not propagated")
+    assert got == [1, 2]
+
+
 def test_batch_stream_is_hash_salt_independent(tmp_path):
     """Cross-process exactness: the shuffled batch stream must not depend on
     PYTHONHASHSEED (a resumed run lives in a NEW process on a NEW VM).
