@@ -248,10 +248,7 @@ def main(mode: str = "headline") -> None:
     }))
 
 
-if __name__ == "__main__":
-    import sys
-
-    arg = sys.argv[1] if len(sys.argv) > 1 else "headline"
+def _run_bench(arg: str) -> None:
     if arg == "grid":
         # all workload modes in one process: pay relay/backend startup once
         for m in MODES:
@@ -261,3 +258,56 @@ if __name__ == "__main__":
                 print(json.dumps({"metric": f"bge_{m}", "error": str(e)[:160]}))
     else:
         main(arg)
+
+
+def _watchdog(arg: str) -> None:
+    """Bounded execution: the TPU relay backing this host has had multi-hour
+    full outages where any device touch hangs in native code (uninterruptible
+    from Python). Run the real bench in a child process under a deadline,
+    retry a couple of times (stalls of minutes are routine), and if the
+    device never answers print an honest machine-readable failure line
+    instead of hanging the caller forever."""
+    import os
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("NEXUS_BENCH_ATTEMPTS", "3"))
+    # generous per-attempt budget: first-ever remote compile can take minutes
+    per_attempt = float(os.environ.get("NEXUS_BENCH_TIMEOUT_S", "2400"))
+    env = {**os.environ, "NEXUS_BENCH_CHILD": "1"}
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), arg],
+                               env=env, timeout=per_attempt,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last = f"attempt {i + 1}: no device response in {per_attempt:.0f}s"
+            print(last, file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr)
+        json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and json_lines:
+            for l in json_lines:
+                print(l)
+            return
+        last = f"attempt {i + 1}: exit={r.returncode} tail={r.stdout[-200:]!r}"
+        print(last, file=sys.stderr)
+    print(json.dumps({
+        "metric": "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_bf16",
+        "value": None, "unit": "embeddings/s", "vs_baseline": None,
+        "error": f"TPU unreachable after {attempts} attempts ({last}); "
+                 "see BENCH_NOTES.md for the last measured numbers",
+    }))
+    raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    arg = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    if os.environ.get("NEXUS_BENCH_CHILD") == "1":
+        _run_bench(arg)
+    else:
+        _watchdog(arg)
