@@ -158,12 +158,21 @@ class InferenceService(_ServiceBase):
 
 class TextRetrievalService(_ServiceBase):
     """Retrieve -> rerank text search
-    (parity: serve/inference_service_text_retrieval.py)."""
+    (parity: serve/inference_service_text_retrieval.py).
+
+    TPU addition: concurrent /search requests are dynamically micro-batched
+    (serve/batching.py) — queries board one encode + one index search + one
+    rerank scoring call instead of paying the ~25 ms dispatch floor each.
+    ``batch_wait_ms=0`` still sweeps already-queued requests with zero added
+    latency; the default few-ms boarding window trades a hair of p50 for an
+    up-to-``max_batch``x concurrent-throughput multiplier.
+    """
 
     def __init__(self, embedder_engine, corpus: Dict[str, str], reranker_engine=None,
-                 index=None, **kw):
+                 index=None, max_batch: int = 32, batch_wait_ms: float = 4.0, **kw):
         super().__init__(**kw)
         from nexus_tpu.inference.index import ItemIndex
+        from nexus_tpu.serve.batching import MicroBatcher
 
         self.embedder = embedder_engine
         self.reranker = reranker_engine
@@ -173,27 +182,57 @@ class TextRetrievalService(_ServiceBase):
             doc_embs = np.asarray(self.embedder.encode_corpus([corpus[d] for d in self.doc_ids]))
             index = ItemIndex.build(doc_embs, index_type="flat")
         self.index = index
+        self._batcher = MicroBatcher(
+            self._search_many, max_batch=max_batch, max_wait_ms=batch_wait_ms,
+            name="search")
+
+    def _search_many(self, payloads: List[Dict]) -> List[Dict]:
+        """One departing batch: every device stage runs ONCE for all boarded
+        requests (encode [B,D], index search [B,k], rerank over the
+        concatenated candidate pairs)."""
+        queries = [p["query"] for p in payloads]
+        top_ks = [int(p.get("top_k", 10)) for p in payloads]
+        q = np.asarray(self.embedder.encode_queries(queries))
+        k = min(max(top_ks) * 5, len(self.doc_ids))
+        scores, rows = self.index.search(q, k)
+        cand_lists = [[self.doc_ids[int(r)] for r in rows[i]] for i in range(len(queries))]
+        if self.reranker is not None:
+            pairs = [(queries[i], self.corpus[d])
+                     for i, cands in enumerate(cand_lists) for d in cands]
+            flat = np.asarray(self.reranker.compute_score(pairs))
+            out, off = [], 0
+            for i, cands in enumerate(cand_lists):
+                rr = flat[off:off + len(cands)]
+                off += len(cands)
+                order = np.argsort(rr)[::-1][: top_ks[i]]
+                hits = [
+                    {"doc_id": cands[j], "score": float(rr[j]), "text": self.corpus[cands[j]]}
+                    for j in order
+                ]
+                out.append({"query": queries[i], "hits": hits})
+            return out
+        return [
+            {
+                "query": queries[i],
+                "hits": [
+                    {"doc_id": d, "score": float(s), "text": self.corpus[d]}
+                    for d, s in zip(cand_lists[i][: top_ks[i]], scores[i][: top_ks[i]])
+                ],
+            }
+            for i in range(len(queries))
+        ]
 
     def search(self, payload: Dict) -> Dict:
-        query = payload["query"]
-        top_k = int(payload.get("top_k", 10))
-        q = np.asarray(self.embedder.encode_queries([query]))
-        scores, rows = self.index.search(q, min(top_k * 5, len(self.doc_ids)))
-        candidates = [self.doc_ids[int(r)] for r in rows[0]]
-        if self.reranker is not None:
-            pairs = [(query, self.corpus[d]) for d in candidates]
-            rr = self.reranker.compute_score(pairs)
-            order = np.argsort(rr)[::-1][:top_k]
-            hits = [
-                {"doc_id": candidates[i], "score": float(rr[i]), "text": self.corpus[candidates[i]]}
-                for i in order
-            ]
-        else:
-            hits = [
-                {"doc_id": d, "score": float(s), "text": self.corpus[d]}
-                for d, s in zip(candidates[:top_k], scores[0][:top_k])
-            ]
-        return {"query": query, "hits": hits}
+        if "query" not in payload:  # validate BEFORE boarding a batch — a
+            raise KeyError("query")  # bad request must not fail co-boarders
+        return self._batcher(payload)
+
+    def stats(self, payload: Dict) -> Dict:
+        return {"search_batcher": self._batcher.stats}
+
+    def stop(self):
+        super().stop()
+        self._batcher.close()
 
     def routes(self):
-        return {"/search": self.search}
+        return {"/search": self.search, "/stats": self.stats}

@@ -58,3 +58,124 @@ def test_text_retrieval_service(tmp_path):
             assert e.code == 500
     finally:
         svc.stop()
+
+
+def test_micro_batcher_coalesces_and_orders():
+    """Concurrent submits ride one batch_fn call; results map back in order."""
+    import threading
+    import time
+
+    from nexus_tpu.serve.batching import MicroBatcher
+
+    calls = []
+    gate = threading.Event()
+
+    def batch_fn(items):
+        gate.wait(5)  # hold the first batch so followers pile up
+        calls.append(list(items))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(batch_fn, max_batch=8, max_wait_ms=50, name="t")
+    try:
+        futs = [mb.submit(i) for i in range(6)]
+        time.sleep(0.05)
+        gate.set()
+        assert [f.result(timeout=5) for f in futs] == [i * 10 for i in range(6)]
+        # first call may depart with only item 0 aboard; everything queued
+        # behind the gate must coalesce rather than run one-by-one
+        assert len(calls) <= 3
+        assert sorted(x for c in calls for x in c) == list(range(6))
+        assert mb.stats["items"] == 6
+    finally:
+        mb.close()
+
+
+def test_micro_batcher_error_and_length_contract():
+    from nexus_tpu.serve.batching import MicroBatcher
+
+    def boom(items):
+        raise ValueError("bad batch")
+
+    mb = MicroBatcher(boom, max_batch=4, max_wait_ms=1)
+    try:
+        f = mb.submit(1)
+        try:
+            f.result(timeout=5)
+            assert False
+        except ValueError:
+            pass
+        assert mb.stats["errors"] == 1
+    finally:
+        mb.close()
+
+    def short(items):
+        return items[:-1] if len(items) > 1 else items
+
+    mb2 = MicroBatcher(short, max_batch=4, max_wait_ms=1)
+    try:
+        assert mb2(7) == 7  # singleton passes the length check
+    finally:
+        mb2.close()
+
+
+def test_search_requests_micro_batch(tmp_path):
+    """N concurrent /search requests produce correct per-request hits while
+    the embedder sees FEWER encode calls than requests."""
+    import threading
+
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    words = ["the", "dog", "cat", "runs", "sits", "fast", "sky", "red"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+
+    from nexus_tpu.inference import TextEmbedder
+    from nexus_tpu.serve import TextRetrievalService
+
+    emb = TextEmbedder(model_name_or_path=str(d), batch_size=8, max_length=16)
+    corpus = {"d1": "the dog runs fast", "d2": "the cat sits", "d3": "red sky"}
+    svc = TextRetrievalService(emb, corpus, port=0, batch_wait_ms=30).start()
+
+    n_calls = {"encode": 0}
+    real_encode = svc.embedder.encode_queries
+
+    def counting_encode(qs, **kw):
+        n_calls["encode"] += 1
+        return real_encode(qs, **kw)
+
+    svc.embedder.encode_queries = counting_encode
+    try:
+        queries = ["dog runs", "cat sits", "red sky", "the dog", "fast dog",
+                   "sky red", "sits cat", "runs fast"]
+        results = [None] * len(queries)
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = _post(svc.port, "/search", {"query": queries[i], "top_k": 2})
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        for i, r in enumerate(results):
+            assert r["query"] == queries[i]
+            assert len(r["hits"]) == 2
+            assert all(h["doc_id"] in corpus for h in r["hits"])
+        assert n_calls["encode"] < len(queries), n_calls
+        stats = _post(svc.port, "/stats", {})["search_batcher"]
+        assert stats["items"] == len(queries)
+        assert stats["batches"] < len(queries)
+    finally:
+        svc.stop()
