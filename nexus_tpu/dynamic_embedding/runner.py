@@ -62,7 +62,7 @@ class _TDERunnerMixin:
         )
         import os
 
-        self.trainer.save_model(self.train_args.output_dir)
+        self.trainer.save_model(self.train_args.output_dir, blocking=True)
         self.tde.tde_save(os.path.join(self.train_args.output_dir, "tde_state.pkl"), state.variables)
         if hasattr(self.tde.ps, "save"):
             # in-process PS: persist spilled rows next to the checkpoint so a

@@ -54,6 +54,11 @@ class TrainingArguments(AbsArguments):
     # with resume_from_checkpoint=None then auto-resumes from the marker
     # (training/preemption.py). Zero cost until a signal actually arrives.
     preemption_safe: bool = True
+    # overlap checkpoint serialization + file writes with training on a
+    # background thread (device->host snapshot stays on the train thread;
+    # one save in flight, errors re-raised at the next save). The final
+    # save at train end and preemption saves are always synchronous.
+    async_checkpoint: bool = False
 
     def __post_init__(self):
         if self.train_batch_size and not self.per_device_train_batch_size:

@@ -87,7 +87,7 @@ class MultimodalEmbedderRunner:
         global_bs = self.training_args.per_device_train_batch_size * self.mesh.shape[DATA_AXIS]
         it = make_batch_iterator(self.dataset, self.collator, global_bs)
         state = self.trainer.train(it, resume_from_checkpoint=resume_from_checkpoint)
-        self.trainer.save_model(self.training_args.output_dir)
+        self.trainer.save_model(self.training_args.output_dir, blocking=True)
         self.tokenizer.save_pretrained(self.training_args.output_dir)
         logger.info("multimodal embedder saved to %s", self.training_args.output_dir)
         return state

@@ -83,6 +83,6 @@ class RetrieverRunner:
         )
         # refresh + persist item vectors alongside the checkpoint
         self.model.update_item_vectors(state.variables)
-        self.trainer.save_model(self.train_args.output_dir)
+        self.trainer.save_model(self.train_args.output_dir, blocking=True)
         logger.info("model + item vectors saved to %s", self.train_args.output_dir)
         return state

@@ -66,7 +66,7 @@ class TextEmbedderRunner:
         batch_iter = make_batch_iterator(self.dataset, self.collator, global_bs)
         state = self.trainer.train(batch_iter, resume_from_checkpoint=resume_from_checkpoint)
         out = self.training_args.output_dir
-        self.trainer.save_model(out)
+        self.trainer.save_model(out, blocking=True)
         self.tokenizer.save_pretrained(out)
         logger.info("embedder saved to %s", out)
         return state

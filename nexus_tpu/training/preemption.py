@@ -104,7 +104,10 @@ class PreemptionGuard(Callback):
             return
         t0 = time.monotonic()
         path = os.path.join(self.output_dir, "checkpoint-preempt")
-        trainer.save_model(path)
+        # the process is about to die: the checkpoint must be durable before
+        # the marker is written, so force a synchronous save even when
+        # async_checkpoint is on
+        trainer.save_model(path, blocking=True)
         with open(os.path.join(self.output_dir, MARKER), "w") as f:
             json.dump({"checkpoint": path, "step": int(step),
                        "saved_at": time.time()}, f)

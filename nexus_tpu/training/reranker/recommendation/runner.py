@@ -74,6 +74,6 @@ class RankerRunner:
         state = self.trainer.train(
             train_ds, eval_ds, resume_from_checkpoint=resume_from_checkpoint,
         )
-        self.trainer.save_model(self.train_args.output_dir)
+        self.trainer.save_model(self.train_args.output_dir, blocking=True)
         logger.info("model saved to %s", self.train_args.output_dir)
         return state

@@ -85,7 +85,7 @@ class TextRerankerRunner:
         global_bs = self.training_args.per_device_train_batch_size * self.mesh.shape[DATA_AXIS]
         it = make_batch_iterator(self.dataset, self.collator, global_bs)
         state = self.trainer.train(it, resume_from_checkpoint=resume_from_checkpoint)
-        self.trainer.save_model(self.training_args.output_dir)
+        self.trainer.save_model(self.training_args.output_dir, blocking=True)
         if getattr(self.model, "uses_lora", False):
             # LoRA runs: the adapters alone can't serve — also export the
             # merged standalone model (ref save_merged_model parity)

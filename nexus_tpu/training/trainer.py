@@ -213,6 +213,9 @@ class RecTrainer:
 
         self._train_step = None
         self._eval_step = None
+        from nexus_tpu.training.async_checkpoint import AsyncCheckpointer
+
+        self._checkpointer = AsyncCheckpointer()
 
     # -- setup ------------------------------------------------------------
 
@@ -471,6 +474,9 @@ class RecTrainer:
 
         for cb in self.callbacks:
             cb.on_train_end(self)
+        # an async checkpoint still in flight must land before train()
+        # returns (callers read/serve the output dir immediately after)
+        self._checkpointer.wait()
         return self._state
 
     def evaluate(self, eval_data: Callable[[], Iterable[dict]] | Iterable[dict]) -> Dict[str, float]:
@@ -505,28 +511,46 @@ class RecTrainer:
 
     # -- persistence ------------------------------------------------------
 
-    def save_model(self, output_dir: Optional[str] = None) -> None:
-        """Model weights (+ full trainer state for exact resume)."""
+    def save_model(self, output_dir: Optional[str] = None,
+                   blocking: Optional[bool] = None) -> None:
+        """Model weights (+ full trainer state for exact resume).
+
+        With ``TrainingArguments.async_checkpoint`` the device->host snapshot
+        happens here (before the next step donates the state buffers) and the
+        serialization + file writes overlap training on a background thread —
+        one save in flight, errors re-raised at the next save/wait
+        (training/async_checkpoint.py). ``blocking=True`` forces a durable
+        synchronous save regardless (preemption, final save)."""
         output_dir = output_dir or self.args.output_dir
         os.makedirs(output_dir, exist_ok=True)
-        self.model.save(output_dir, self._state.variables)
-        self._save_trainer_state(output_dir)
+        use_async = self.args.async_checkpoint if blocking is None else not blocking
+        # join any in-flight save first: ordered checkpoints, and a second
+        # save to the same dir must not interleave file writes with the first
+        self._checkpointer.wait()
+        if not use_async:
+            self.model.save(output_dir, self._state.variables)
+            self._save_trainer_state(output_dir)
+            return
+        host_vars = jax.device_get(self._state.variables)
+        state_host = jax.device_get(
+            {"step": self._state.step, "opt_state": self._state.opt_state}
+        )
+        cursor = getattr(self, "_data_cursor", None)
+        model, seed = self.model, self.args.seed
+
+        def write():
+            model.save(output_dir, host_vars)
+            _write_trainer_state(output_dir, state_host, cursor, seed)
+
+        self._checkpointer.submit(write, target=output_dir)
 
     def _save_trainer_state(self, output_dir: str) -> None:
-        import json
-
-        from flax import serialization
-
         state_host = jax.tree_util.tree_map(
             lambda x: np.asarray(x), {"step": self._state.step, "opt_state": self._state.opt_state}
         )
-        with open(os.path.join(output_dir, "trainer_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(state_host))
-        cursor = getattr(self, "_data_cursor", None)
-        if cursor is not None:
-            with open(os.path.join(output_dir, "data_cursor.json"), "w") as f:
-                json.dump({"epoch": cursor[0], "batch_in_epoch": cursor[1],
-                           "seed": self.args.seed}, f)
+        _write_trainer_state(
+            output_dir, state_host, getattr(self, "_data_cursor", None), self.args.seed
+        )
 
     def load_model(self, checkpoint_dir: str) -> None:
         """Restore model weights; when trainer_state.msgpack is present,
@@ -539,6 +563,8 @@ class RecTrainer:
         the rec checkpoint loader is the fallback."""
         from flax import serialization
 
+        # a checkpoint still being written must be durable before reading it
+        self._checkpointer.wait()
         if self._state is None:
             self.init_state()
         if hasattr(self.model, "load_variables"):
@@ -588,3 +614,20 @@ class RecTrainer:
                     "mid-epoch resume: epoch %d, fast-forwarding %d batches",
                     cur["epoch"], cur["batch_in_epoch"],
                 )
+
+
+def _write_trainer_state(output_dir: str, state_host: dict, cursor, seed: int) -> None:
+    """Write trainer_state.msgpack + data_cursor.json from host snapshots.
+
+    Shared by the synchronous path and the async background writer (which
+    must not touch device arrays — see training/async_checkpoint.py)."""
+    import json
+
+    from flax import serialization
+
+    with open(os.path.join(output_dir, "trainer_state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state_host))
+    if cursor is not None:
+        with open(os.path.join(output_dir, "data_cursor.json"), "w") as f:
+            json.dump({"epoch": cursor[0], "batch_in_epoch": cursor[1],
+                       "seed": seed}, f)
