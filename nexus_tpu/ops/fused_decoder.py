@@ -105,7 +105,9 @@ def _dec_seg_kernel(seg_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, rms_ref,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
     allowed = (kpos <= qpos) & (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
-    q_valid = (seg > 0)[:, None]
+    # reshape the i32 BEFORE comparing: Mosaic can't insert a minor dim on
+    # an i1 vector ("only supported for 32-bit types" — hit on real TPU)
+    q_valid = seg[:, None] > 0
     y_ref[:] = _dec_core(
         x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], rms_ref[0], qn_ref[0],
         kn_ref[0], cos_ref[:], sin_ref[:], allowed, q_valid,

@@ -23,12 +23,18 @@ Masking comes in the same two flavors as ops/flash_attention.py:
   - ``lengths`` [B] int32 — right-padded rows (keys at pos >= length hidden);
   - ``segment_ids`` [B, L] int — packed rows (attend within own segment only).
 
-The op is differentiable via custom_vjp: the backward RECOMPUTES the
-unfused forward (flash-attention kernels, O(L·D) memory — no [L, L]
-tensor) and backprops through it, so training can use the fast fused
-forward with flash-grade memory in the backward. Note dropout cannot run
-inside the kernel; callers gate the fused path on dropout == 0 (the
-flash-attn training convention) — models/bert.py does.
+The op is differentiable via custom_vjp. The backward is ITSELF a
+megakernel (`_pallas_fused_bwd`): one program per batch row recomputes
+the forward in VMEM (from the saved layer input only — remat-grade
+O(L·H) residuals) and produces dx plus ALL weight gradients, with the
+weight-grad accumulators living in VMEM across the sequential TPU grid
+(constant-index output blocks, initialized at program 0). This removes
+the XLA fusion boundaries and HBM transposes from the backward as well —
+previously the bwd fell back to re-running the UNFUSED flash graph under
+jax.vjp, which capped training throughput at the unfused rate and is
+kept only as the fallback for shapes the bwd VMEM gate rejects. Note
+dropout cannot run inside the kernel; callers gate the fused path on
+dropout == 0 (the flash-attn training convention) — models/bert.py does.
 
 Reference role parity: the attention compute path of the HF encoder the
 reference fine-tunes (Nexus/training/embedder/text_retrieval/runner.py:94).
@@ -217,6 +223,222 @@ def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
     return y.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# fused BACKWARD megakernel: one program per row recomputes the forward in
+# VMEM and emits dx + all weight grads (VMEM-resident accumulators across the
+# sequential grid). Gradient semantics follow the flash-backward convention:
+# probabilities are zeroed where masked (a fully-masked query row contributes
+# nothing), matching the jax.vjp-of-flash-recompute definition this replaces.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_body(x, dy, wqkv, bqkv, wo, bo, gamma, allowed, q_valid, *,
+                   heads, eps):
+    """Per-row backward math. x: [L, H]; dy: [L, H] cotangent; returns
+    (dx [L, H] f32, dwqkv [H, 3H] f32, dbqkv [1, 3H], dwo [H, H],
+    dbo/dgamma/dbeta [1, H]). Two passes over heads bound the live [L, L]
+    tiles to one head's worth: pass 1 recomputes ctx exactly as the forward,
+    pass 2 recomputes p per head and forms the attention grads."""
+    l, h = x.shape
+    d = h // heads
+    scale = 1.0 / math.sqrt(d)
+    cdot = functools.partial(jax.lax.dot_general,
+                             preferred_element_type=jnp.float32)
+    tdot = lambda a, b: cdot(a, b, (((0,), (0,)), ((), ())))  # aᵀ @ b  # noqa: E731
+    ndot = lambda a, b: cdot(a, b, (((1,), (1,)), ((), ())))  # a @ bᵀ  # noqa: E731
+
+    def head_probs(qkv, hd):
+        q = qkv[:, hd * d:(hd + 1) * d]
+        k = qkv[:, h + hd * d: h + (hd + 1) * d]
+        v = qkv[:, 2 * h + hd * d: 2 * h + (hd + 1) * d]
+        s = ndot(q, k) * scale
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        pn = e / jnp.sum(e, axis=-1, keepdims=True)
+        return q, k, v, pn
+
+    xf = x.astype(jnp.float32)
+    qkv_f = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv[None, :]
+    qkv = qkv_f.astype(x.dtype)
+    # pass 1: recompute ctx with the forward's exact semantics
+    ctx_parts = []
+    for hd in range(heads):
+        _, _, v, pn = head_probs(qkv, hd)
+        ctx_parts.append(cdot(pn.astype(x.dtype), v, (((1,), (0,)), ((), ()))))
+    ctx = jnp.concatenate(ctx_parts, axis=-1)  # [L, H] f32
+    if q_valid is not None:
+        ctx = jnp.where(q_valid, ctx, 0.0)
+    out = jnp.dot(ctx.astype(x.dtype), wo,
+                  preferred_element_type=jnp.float32) + bo[None, :]
+    res = xf + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (res - mu) * inv
+    # LayerNorm backward (applies at every row — pad rows receive bias/LN
+    # grads exactly as in the unfused graph)
+    dyf = dy.astype(jnp.float32)
+    dgamma = jnp.sum(dyf * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dyf, axis=0, keepdims=True)
+    dxhat = dyf * gamma[None, :]
+    dres = inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                  - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dbo = jnp.sum(dres, axis=0, keepdims=True)
+    dres_b = dres.astype(x.dtype)
+    dwo = tdot(ctx.astype(x.dtype), dres_b)             # [H, H]
+    dctx = ndot(dres_b, wo)                             # dres @ woᵀ, [L, H]
+    if q_valid is not None:
+        dctx = jnp.where(q_valid, dctx, 0.0)
+    # pass 2: per-head attention grads off recomputed probs
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for hd in range(heads):
+        q, k, v, pn = head_probs(qkv, hd)
+        pn = jnp.where(allowed, pn, 0.0)  # flash-bwd convention
+        dctx_h = dctx[:, hd * d:(hd + 1) * d].astype(x.dtype)
+        dpn = ndot(dctx_h, v)                           # [L, L]
+        dv_parts.append(tdot(pn.astype(x.dtype), dctx_h))
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True)) * scale
+        ds_b = ds.astype(x.dtype)
+        dq_parts.append(jnp.dot(ds_b, k, preferred_element_type=jnp.float32))
+        dk_parts.append(tdot(ds_b, q))
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)  # [L, 3H]
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_b = dqkv.astype(x.dtype)
+    dwqkv = tdot(x, dqkv_b)                             # [H, 3H]
+    dx = dres + ndot(dqkv_b, wqkv)                      # + dqkv @ wqkvᵀ
+    return dx, dwqkv, dbqkv, dwo, dbo, dgamma, dbeta
+
+
+def _bwd_write(refs, vals):
+    dx_ref, *acc_refs = refs
+    dx, *accs = vals
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in acc_refs:
+            r[:] = jnp.zeros_like(r)
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    for r, v in zip(acc_refs, accs):
+        r[:] += v
+
+
+def _bwd_padded_kernel(lens_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref,
+                       bo_ref, gamma_ref, *out_refs, heads, eps):
+    x = x_ref[:]
+    l = x.shape[0]
+    length = lens_ref[pl.program_id(0)]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    vals = _attn_bwd_body(
+        x, dy_ref[:], wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
+        gamma_ref[0], kpos < length, qpos < length, heads=heads, eps=eps)
+    _bwd_write(out_refs, vals)
+
+
+def _bwd_segment_kernel(seg_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref,
+                        bo_ref, gamma_ref, *out_refs, heads, eps):
+    x = x_ref[:]
+    seg = seg_ref[0, :]
+    allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
+    vals = _attn_bwd_body(
+        x, dy_ref[:], wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
+        gamma_ref[0], allowed, None, heads=heads, eps=eps)
+    _bwd_write(out_refs, vals)
+
+
+def _pallas_fused_bwd(x, dy, wqkv, bqkv, wo, bo, gamma, mask, heads, eps,
+                      seg_mode):
+    b, l, h = x.shape
+    orig_l = l
+    l_pad = -(-l // 128) * 128
+    if l_pad != l:
+        # dy is zero-padded, so padded rows contribute nothing to any grad
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+        if seg_mode:
+            mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
+        l = l_pad
+    args = (x, dy, wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(gamma))
+    weight_specs = [
+        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # x
+        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # dy
+        pl.BlockSpec((h, 3 * h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, 3 * h), lambda *a: (0, 0)),
+        pl.BlockSpec((h, h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, h), lambda *a: (0, 0)),
+        pl.BlockSpec((1, h), lambda *a: (0, 0)),
+    ]
+    acc = lambda *shape: pl.BlockSpec(shape, lambda *a: (0,) * len(shape))  # noqa: E731
+    out_specs = [
+        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # dx
+        acc(h, 3 * h), acc(1, 3 * h), acc(h, h), acc(1, h), acc(1, h),
+        acc(1, h),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, l, h), x.dtype),
+        jax.ShapeDtypeStruct((h, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+    ]
+    common = dict(
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+    if seg_mode:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_segment_kernel, heads=heads, eps=eps),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
+                      *weight_specs],
+            out_specs=out_specs,
+            **common,
+        )(mask.astype(jnp.int32).reshape(b, 1, l), *args)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_padded_kernel, heads=heads, eps=eps),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=weight_specs,
+                out_specs=out_specs,
+            ),
+            **common,
+        )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), *args)
+    dx, dwqkv, dbqkv, dwo, dbo, dgamma, dbeta = outs
+    return (dx[:, :orig_l, :], dwqkv, dbqkv[0], dwo, dbo[0], dgamma[0],
+            dbeta[0])
+
+
+def _vmem_estimate_bwd(h: int, l: int) -> int:
+    """Resident-VMEM estimate for one bwd program: IO blocks (x/dy/dx,
+    double-buffered bf16), bf16 weights, f32 grad accumulators (live across
+    the whole grid), the f32+bf16 qkv value, f32 ctx/dres/dctx/dqkv rows and
+    one head's transient [L, L] f32 score/prob/dp tiles."""
+    io = 3 * 2 * 2 * l * h
+    weights = 2 * (3 * h * h) + 2 * h * h
+    accum = 4 * (3 * h * h) + 4 * h * h
+    qkv = 18 * l * h
+    mats = 4 * l * h * 4 + 6 * l * 3 * h
+    scores = 16 * l * l
+    return io + weights + accum + qkv + mats + scores
+
+
+def fused_bwd_supported(hidden_size: int, heads: int, seq_len: int) -> bool:
+    """VMEM gate for the backward megakernel; unsupported shapes fall back
+    to jax.vjp through the flash recompute graph."""
+    return (fused_supported(hidden_size, heads, seq_len)
+            and _vmem_estimate_bwd(hidden_size, -(-seq_len // 128) * 128)
+            <= _VMEM_BUDGET)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
     return _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads,
@@ -231,6 +453,13 @@ def _fused_fwd(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
 
 def _fused_bwd(heads, eps, seg_mode, res, g):
     x, wqkv, bqkv, wo, bo, gamma, beta, mask = res
+    if fused_bwd_supported(x.shape[-1], heads, x.shape[1]):
+        dx, dwqkv, dbqkv, dwo, dbo, dgamma, dbeta = _pallas_fused_bwd(
+            x, g, wqkv, bqkv, wo, bo, gamma, mask, heads, eps, seg_mode)
+        return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                dbo.astype(bo.dtype), dgamma.astype(gamma.dtype),
+                dbeta.astype(beta.dtype), None)
     _, vjp = jax.vjp(
         lambda *a: _unfused_reference(*a, mask, heads, eps, seg_mode),
         x, wqkv, bqkv, wo, bo, gamma, beta,
@@ -399,6 +628,33 @@ def _fused_layer_fwd(x, weights, heads, eps, act, seg_mode, mask):
 
 def _fused_layer_bwd(heads, eps, act, seg_mode, res, g):
     x, weights, mask = res
+    wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = weights
+    if fused_bwd_supported(x.shape[-1], heads, x.shape[1]):
+        # composite backward: recompute h1 with the fused FORWARD kernel,
+        # differentiate the FFN half under jax.vjp (clean batched GEMMs XLA
+        # runs near peak), then run the attention-block BACKWARD megakernel.
+        # Recompute-then-differentiate happens inside this rule, so the FFN
+        # intermediates live only for one layer's backward (remat-grade).
+        h1 = _pallas_fused(x, wqkv, bqkv, wo, bo, g1, b1, mask, heads, eps,
+                           seg_mode)
+
+        def ffn_half(h1_, wup_, bup_, wdown_, bdown_, g2_, b2_):
+            up = jnp.dot(h1_, wup_, preferred_element_type=jnp.float32)
+            up = _ACTS[act](up + bup_[None, None, :]).astype(h1_.dtype)
+            dn = jnp.dot(up, wdown_,
+                         preferred_element_type=jnp.float32) + bdown_[None, None, :]
+            y = _ln_f32(h1_.astype(jnp.float32) + dn, g2_, b2_, eps)
+            return y.astype(h1_.dtype)
+
+        _, vjp = jax.vjp(ffn_half, h1, wup, bup, wdown, bdown, g2, b2)
+        dh1, dwup, dbup, dwdown, dbdown, dg2, db2 = vjp(g.astype(h1.dtype))
+        dx, dwqkv, dbqkv, dwo, dbo, dg1, db1 = _pallas_fused_bwd(
+            x, dh1, wqkv, bqkv, wo, bo, g1, mask, heads, eps, seg_mode)
+        cast = lambda t, p: t.astype(p.dtype)  # noqa: E731
+        return (cast(dx, x),
+                (cast(dwqkv, wqkv), cast(dbqkv, bqkv), cast(dwo, wo),
+                 cast(dbo, bo), cast(dg1, g1), cast(db1, b1), dwup, dbup,
+                 dwdown, dbdown, dg2, db2), None)
     _, vjp = jax.vjp(
         lambda x_, w_: _unfused_layer_reference(x_, w_, mask, heads, eps, act,
                                                 seg_mode),
