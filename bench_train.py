@@ -50,16 +50,17 @@ def run(attention_impl: str, remat: str) -> float:
     from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
     from nexus_tpu.training.trainer import RecTrainer
 
-    # the fused megakernel cannot apply dropout inside the block, so its
-    # training variant runs dropout-free (a regularization change vs the
-    # reference convention's hidden dropout 0.1 — labeled in the output);
-    # its custom vjp recomputes the unfused flash graph, so remat='none'
-    # still has remat-grade activation memory (only layer inputs are saved)
+    # all variants train with hidden dropout 0.1 (the reference convention;
+    # the fused megakernel applies it via key-derived mask operands) and
+    # attention-probs dropout 0 (the flash-attn convention). The fused
+    # custom vjp saves only layer inputs (remat-grade memory), so
+    # remat='none' is the natural pairing: one fused fwd + one fused bwd
+    # (which recomputes in VMEM), no XLA-level recompute on top.
     config = BertConfig(
         vocab_size=30522, hidden_size=768, num_hidden_layers=12,
         num_attention_heads=12, intermediate_size=3072,
         max_position_embeddings=512, add_pooling_layer=False,
-        hidden_dropout_prob=0.0 if attention_impl == "fused" else 0.1,
+        hidden_dropout_prob=0.1,
         attention_probs_dropout_prob=0.0,
     )
     plain = int(remat[5:]) if remat.startswith("plain") else 0
@@ -98,7 +99,7 @@ def run(attention_impl: str, remat: str) -> float:
     step_once()
     stats = _timed_trials(step_once, BS)
     print(f"attention={attention_impl:6s} remat={remat:5s}"
-          f"{' (dropout 0)' if attention_impl == 'fused' else ''}: {stats['value']:6.1f} samples/s "
+          f": {stats['value']:6.1f} samples/s "
           f"median of n={stats['n']} (IQR {stats['iqr']:.1f}, "
           f"range {stats['min']:.1f}-{stats['max']:.1f}, loss {holder['loss']:.3f})",
           flush=True)

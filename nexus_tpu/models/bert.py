@@ -214,18 +214,18 @@ class BertLayer(nn.Module):
             fused_supported)
 
         h = c.hidden_size
-        # dropout cannot run inside the kernels: attention-probs dropout and
-        # the hidden dropouts between projections and residuals gate the
-        # fused paths off in training
-        no_dropout = not (train and (c.attention_probs_dropout_prob > 0
-                                     or c.hidden_dropout_prob > 0))
+        # HIDDEN dropout runs through the fused kernels (key-derived mask
+        # operands; the backward regenerates them). Attention-PROBS dropout
+        # cannot ([L, L]-per-head masks don't fit as operands) and gates the
+        # fused paths off — the flash-attn training convention keeps it 0.
+        no_probs_dropout = not (train and c.attention_probs_dropout_prob > 0)
         fuse_layer = (
-            c.attention_impl == "fused" and no_dropout and not c.quantized
+            c.attention_impl == "fused" and no_probs_dropout and not c.quantized
             and fused_layer_supported(h, c.num_attention_heads, hidden.shape[1],
                                       c.intermediate_size, c.hidden_act)
         )
         fuse_attn = (
-            c.attention_impl == "fused" and no_dropout and not c.quantized
+            c.attention_impl == "fused" and no_probs_dropout and not c.quantized
             and not fuse_layer
             and fused_supported(h, c.num_attention_heads, hidden.shape[1])
         )
@@ -236,6 +236,9 @@ class BertLayer(nn.Module):
             wo, bo = _DenseParams(h, name="attention_output_dense")(h, self.dtype)
             gamma, beta = _LNParams(name="attention_output_LayerNorm")(h)
             kw = dict(heads=c.num_attention_heads, eps=c.layer_norm_eps)
+            if train and c.hidden_dropout_prob > 0:
+                kw["dropout_rate"] = c.hidden_dropout_prob
+                kw["dropout_rng"] = self.make_rng("dropout")
             if segment_ids is not None:
                 kw["segment_ids"] = segment_ids
             elif c.right_padded_masks:

@@ -64,13 +64,17 @@ _ACTS = {"gelu": jax.nn.gelu, "gelu_new": jax.nn.gelu, "relu": jax.nn.relu}
 
 
 def _attn_core(x, wqkv, bqkv, wo, bo, gamma, beta, allowed, *, heads, eps,
-               out_dtype, q_valid=None):
+               out_dtype, q_valid=None, drop1=None):
     """Shared kernel body. x: [L, H] bf16 (VMEM value), allowed: [L, L] bool
     key-mask (True = attend). ``q_valid`` [L, 1] bool zeroes the attention
     context at invalid QUERY rows — required in padded mode so the fused
     forward matches the flash recompute graph (flash_attention_padded zeroes
     pad query rows) everywhere, keeping the custom-vjp gradient exact even
-    for cotangents that touch pad positions. Returns y: [L, H]."""
+    for cotangents that touch pad positions. ``drop1`` [L, H] is an inverted
+    dropout multiplier (bernoulli/(1-p), generated OUTSIDE the kernel from a
+    PRNG key so fwd/bwd see identical masks) applied to the attention output
+    before the residual — the position nn.Dropout holds in the unfused
+    layer. Returns y: [L, H]."""
     l, h = x.shape
     d = h // heads
     scale = 1.0 / math.sqrt(d)
@@ -93,25 +97,34 @@ def _attn_core(x, wqkv, bqkv, wo, bo, gamma, beta, allowed, *, heads, eps,
         ctx = jnp.where(q_valid, ctx, 0.0)
     out = jnp.dot(ctx.astype(x.dtype), wo,
                   preferred_element_type=jnp.float32) + bo[None, :]
+    if drop1 is not None:
+        out = out * drop1.astype(jnp.float32)
     y = _ln_f32(x.astype(jnp.float32) + out, gamma, beta, eps)
     return y.astype(out_dtype)
 
 
-def _layer_core(x, w, allowed, *, heads, eps, act, out_dtype, q_valid=None):
+def _layer_core(x, w, allowed, *, heads, eps, act, out_dtype, q_valid=None,
+                drop1=None, drop2=None):
     """Full encoder layer: attention block + FFN + both LayerNorms.
-    w = (wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2)."""
+    w = (wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2);
+    drop1/drop2: [L, H] inverted-dropout multipliers at the two nn.Dropout
+    sites (attention output / FFN output, both before their residual)."""
     wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = w
     h1 = _attn_core(x, wqkv, bqkv, wo, bo, g1, b1, allowed,
-                    heads=heads, eps=eps, out_dtype=x.dtype, q_valid=q_valid)
+                    heads=heads, eps=eps, out_dtype=x.dtype, q_valid=q_valid,
+                    drop1=drop1)
     up = jnp.dot(h1, wup, preferred_element_type=jnp.float32)
     up = _ACTS[act](up + bup[None, :]).astype(x.dtype)
     dn = jnp.dot(up, wdown, preferred_element_type=jnp.float32) + bdown[None, :]
+    if drop2 is not None:
+        dn = dn * drop2.astype(jnp.float32)
     y = _ln_f32(h1.astype(jnp.float32) + dn, g2, b2, eps)
     return y.astype(out_dtype)
 
 
 def _padded_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                   gamma_ref, beta_ref, y_ref, *, heads, eps):
+                   gamma_ref, beta_ref, *rest, heads, eps):
+    *drop_refs, y_ref = rest
     x = x_ref[:]
     l = x.shape[0]
     length = lens_ref[pl.program_id(0)]
@@ -121,11 +134,13 @@ def _padded_kernel(lens_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
         gamma_ref[0], beta_ref[0], kpos < length,
         heads=heads, eps=eps, out_dtype=y_ref.dtype, q_valid=qpos < length,
+        drop1=drop_refs[0][:] if drop_refs else None,
     )
 
 
 def _segment_kernel(seg_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                    gamma_ref, beta_ref, y_ref, *, heads, eps):
+                    gamma_ref, beta_ref, *rest, heads, eps):
+    *drop_refs, y_ref = rest
     x = x_ref[:]
     seg = seg_ref[0, :]  # [L]
     allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
@@ -133,6 +148,7 @@ def _segment_kernel(seg_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         x, wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
         gamma_ref[0], beta_ref[0], allowed,
         heads=heads, eps=eps, out_dtype=y_ref.dtype,
+        drop1=drop_refs[0][:] if drop_refs else None,
     )
 
 
@@ -140,8 +156,22 @@ def _f32row(t):
     return jnp.asarray(t, jnp.float32).reshape(1, -1)
 
 
+def _gen_drops(rng, rate, shape, dtype, n):
+    """n inverted-dropout multiplier arrays (bernoulli/(1-p)) derived from
+    ``rng``. Generated OUTSIDE the kernels and regenerated from the saved
+    key in the backward — fwd and bwd see bit-identical masks with no mask
+    residuals stored."""
+    if not rate or rng is None:
+        return ()
+    keys = jax.random.split(rng, n)
+    return tuple(
+        (jax.random.bernoulli(k, 1.0 - rate, shape).astype(jnp.float32)
+         / (1.0 - rate)).astype(dtype)
+        for k in keys)
+
+
 def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
-                  seg_mode):
+                  seg_mode, drops=()):
     b, l, h = x.shape
     # lane-pad L so the [L, L] score tile is legal; padded keys are masked
     # (iota >= length / segment 0) and padded query rows are sliced off
@@ -149,6 +179,8 @@ def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
     orig_l = l
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        drops = tuple(jnp.pad(d, ((0, 0), (0, l_pad - l), (0, 0)))
+                      for d in drops)
         if seg_mode:
             mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
         l = l_pad
@@ -167,18 +199,21 @@ def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
         pl.BlockSpec((1, h), lambda *a: (0, 0)),
         pl.BlockSpec((1, h), lambda *a: (0, 0)),
     ]
+    row_spec = pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0))
+    drop_specs = [row_spec] * len(drops)
     args = (x, wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(gamma),
-            _f32row(beta))
+            _f32row(beta), *drops)
     if seg_mode:
         out = pl.pallas_call(
             functools.partial(_segment_kernel, heads=heads, eps=eps),
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+                row_spec,
                 *weight_specs,
+                *drop_specs,
             ],
-            out_specs=pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+            out_specs=row_spec,
             **common,
         )(mask.astype(jnp.int32).reshape(b, 1, l), *args)
     else:
@@ -187,11 +222,8 @@ def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
-                    *weight_specs,
-                ],
-                out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+                in_specs=[row_spec, *weight_specs, *drop_specs],
+                out_specs=row_spec,
             ),
             **common,
         )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), *args)
@@ -199,10 +231,10 @@ def _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
 
 
 def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
-                       seg_mode):
+                       seg_mode, drop1=None):
     """The same math through the blocked flash kernels (O(L·D) memory) —
-    used by the custom backward as the recompute graph, and by tests as the
-    numerical oracle."""
+    used by the fallback custom backward as the recompute graph, and by
+    tests as the numerical oracle."""
     from nexus_tpu.ops.flash_attention import (flash_attention,
                                                flash_attention_padded)
 
@@ -219,6 +251,8 @@ def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
         ctx = flash_attention_padded(to4(q), to4(k), to4(v), mask, blk, blk)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
     out = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo[None, None, :]
+    if drop1 is not None:
+        out = out * drop1.astype(jnp.float32)
     y = _ln_f32(x.astype(jnp.float32) + out, gamma, beta, eps)
     return y.astype(x.dtype)
 
@@ -233,12 +267,14 @@ def _unfused_reference(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
 
 
 def _attn_bwd_body(x, dy, wqkv, bqkv, wo, bo, gamma, allowed, q_valid, *,
-                   heads, eps):
+                   heads, eps, drop1=None):
     """Per-row backward math. x: [L, H]; dy: [L, H] cotangent; returns
     (dx [L, H] f32, dwqkv [H, 3H] f32, dbqkv [1, 3H], dwo [H, H],
     dbo/dgamma/dbeta [1, H]). Two passes over heads bound the live [L, L]
     tiles to one head's worth: pass 1 recomputes ctx exactly as the forward,
-    pass 2 recomputes p per head and forms the attention grads."""
+    pass 2 recomputes p per head and forms the attention grads. ``drop1``
+    is the same inverted-dropout multiplier the forward applied (regenerated
+    from the saved PRNG key)."""
     l, h = x.shape
     d = h // heads
     scale = 1.0 / math.sqrt(d)
@@ -271,6 +307,9 @@ def _attn_bwd_body(x, dy, wqkv, bqkv, wo, bo, gamma, allowed, q_valid, *,
         ctx = jnp.where(q_valid, ctx, 0.0)
     out = jnp.dot(ctx.astype(x.dtype), wo,
                   preferred_element_type=jnp.float32) + bo[None, :]
+    drop1f = None if drop1 is None else drop1.astype(jnp.float32)
+    if drop1f is not None:
+        out = out * drop1f
     res = xf + out
     mu = jnp.mean(res, axis=-1, keepdims=True)
     var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
@@ -284,10 +323,13 @@ def _attn_bwd_body(x, dy, wqkv, bqkv, wo, bo, gamma, allowed, q_valid, *,
     dxhat = dyf * gamma[None, :]
     dres = inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
                   - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
-    dbo = jnp.sum(dres, axis=0, keepdims=True)
-    dres_b = dres.astype(x.dtype)
-    dwo = tdot(ctx.astype(x.dtype), dres_b)             # [H, H]
-    dctx = ndot(dres_b, wo)                             # dres @ woᵀ, [L, H]
+    # dres flows unchanged into the x-residual; through the dropout site it
+    # picks up the multiplier
+    dout = dres if drop1f is None else dres * drop1f
+    dbo = jnp.sum(dout, axis=0, keepdims=True)
+    dout_b = dout.astype(x.dtype)
+    dwo = tdot(ctx.astype(x.dtype), dout_b)             # [H, H]
+    dctx = ndot(dout_b, wo)                             # dout @ woᵀ, [L, H]
     if q_valid is not None:
         dctx = jnp.where(q_valid, dctx, 0.0)
     # pass 2: per-head attention grads off recomputed probs
@@ -325,7 +367,8 @@ def _bwd_write(refs, vals):
 
 
 def _bwd_padded_kernel(lens_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref,
-                       bo_ref, gamma_ref, *out_refs, heads, eps):
+                       bo_ref, gamma_ref, *rest, heads, eps, dropped):
+    drop_refs, out_refs = (rest[:1], rest[1:]) if dropped else ((), rest)
     x = x_ref[:]
     l = x.shape[0]
     length = lens_ref[pl.program_id(0)]
@@ -333,23 +376,26 @@ def _bwd_padded_kernel(lens_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
     vals = _attn_bwd_body(
         x, dy_ref[:], wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
-        gamma_ref[0], kpos < length, qpos < length, heads=heads, eps=eps)
+        gamma_ref[0], kpos < length, qpos < length, heads=heads, eps=eps,
+        drop1=drop_refs[0][:] if drop_refs else None)
     _bwd_write(out_refs, vals)
 
 
 def _bwd_segment_kernel(seg_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref,
-                        bo_ref, gamma_ref, *out_refs, heads, eps):
+                        bo_ref, gamma_ref, *rest, heads, eps, dropped):
+    drop_refs, out_refs = (rest[:1], rest[1:]) if dropped else ((), rest)
     x = x_ref[:]
     seg = seg_ref[0, :]
     allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
     vals = _attn_bwd_body(
         x, dy_ref[:], wqkv_ref[:], bqkv_ref[0], wo_ref[:], bo_ref[0],
-        gamma_ref[0], allowed, None, heads=heads, eps=eps)
+        gamma_ref[0], allowed, None, heads=heads, eps=eps,
+        drop1=drop_refs[0][:] if drop_refs else None)
     _bwd_write(out_refs, vals)
 
 
 def _pallas_fused_bwd(x, dy, wqkv, bqkv, wo, bo, gamma, mask, heads, eps,
-                      seg_mode):
+                      seg_mode, drops=()):
     b, l, h = x.shape
     orig_l = l
     l_pad = -(-l // 128) * 128
@@ -357,22 +403,27 @@ def _pallas_fused_bwd(x, dy, wqkv, bqkv, wo, bo, gamma, mask, heads, eps,
         # dy is zero-padded, so padded rows contribute nothing to any grad
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
         dy = jnp.pad(dy, ((0, 0), (0, l_pad - l), (0, 0)))
+        drops = tuple(jnp.pad(d, ((0, 0), (0, l_pad - l), (0, 0)))
+                      for d in drops)
         if seg_mode:
             mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
         l = l_pad
-    args = (x, dy, wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(gamma))
+    args = (x, dy, wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(gamma),
+            *drops)
+    row_spec = pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0))
     weight_specs = [
-        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # x
-        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # dy
+        row_spec,                                              # x
+        row_spec,                                              # dy
         pl.BlockSpec((h, 3 * h), lambda *a: (0, 0)),
         pl.BlockSpec((1, 3 * h), lambda *a: (0, 0)),
         pl.BlockSpec((h, h), lambda *a: (0, 0)),
         pl.BlockSpec((1, h), lambda *a: (0, 0)),
         pl.BlockSpec((1, h), lambda *a: (0, 0)),
+        *([row_spec] * len(drops)),
     ]
     acc = lambda *shape: pl.BlockSpec(shape, lambda *a: (0,) * len(shape))  # noqa: E731
     out_specs = [
-        pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0)),   # dx
+        row_spec,                                              # dx
         acc(h, 3 * h), acc(1, 3 * h), acc(h, h), acc(1, h), acc(1, h),
         acc(1, h),
     ]
@@ -392,9 +443,10 @@ def _pallas_fused_bwd(x, dy, wqkv, bqkv, wo, bo, gamma, mask, heads, eps,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )
+    kern_kw = dict(heads=heads, eps=eps, dropped=bool(drops))
     if seg_mode:
         outs = pl.pallas_call(
-            functools.partial(_bwd_segment_kernel, heads=heads, eps=eps),
+            functools.partial(_bwd_segment_kernel, **kern_kw),
             grid=(b,),
             in_specs=[pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
                       *weight_specs],
@@ -403,7 +455,7 @@ def _pallas_fused_bwd(x, dy, wqkv, bqkv, wo, bo, gamma, mask, heads, eps,
         )(mask.astype(jnp.int32).reshape(b, 1, l), *args)
     else:
         outs = pl.pallas_call(
-            functools.partial(_bwd_padded_kernel, heads=heads, eps=eps),
+            functools.partial(_bwd_padded_kernel, **kern_kw),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
@@ -439,32 +491,40 @@ def fused_bwd_supported(hidden_size: int, heads: int, seq_len: int) -> bool:
             <= _VMEM_BUDGET)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, rng, heads, eps,
+           seg_mode, rate):
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 1)
     return _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads,
-                         eps, seg_mode)
+                         eps, seg_mode, drops)
 
 
-def _fused_fwd(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps, seg_mode):
+def _fused_fwd(x, wqkv, bqkv, wo, bo, gamma, beta, mask, rng, heads, eps,
+               seg_mode, rate):
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 1)
     y = _pallas_fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
-                      seg_mode)
-    return y, (x, wqkv, bqkv, wo, bo, gamma, beta, mask)
+                      seg_mode, drops)
+    # only the KEY is saved — the backward regenerates the identical mask
+    return y, (x, wqkv, bqkv, wo, bo, gamma, beta, mask, rng)
 
 
-def _fused_bwd(heads, eps, seg_mode, res, g):
-    x, wqkv, bqkv, wo, bo, gamma, beta, mask = res
+def _fused_bwd(heads, eps, seg_mode, rate, res, g):
+    x, wqkv, bqkv, wo, bo, gamma, beta, mask, rng = res
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 1)
     if fused_bwd_supported(x.shape[-1], heads, x.shape[1]):
         dx, dwqkv, dbqkv, dwo, dbo, dgamma, dbeta = _pallas_fused_bwd(
-            x, g, wqkv, bqkv, wo, bo, gamma, mask, heads, eps, seg_mode)
+            x, g, wqkv, bqkv, wo, bo, gamma, mask, heads, eps, seg_mode,
+            drops)
         return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
                 dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
                 dbo.astype(bo.dtype), dgamma.astype(gamma.dtype),
-                dbeta.astype(beta.dtype), None)
+                dbeta.astype(beta.dtype), None, None)
+    drop1 = drops[0] if drops else None
     _, vjp = jax.vjp(
-        lambda *a: _unfused_reference(*a, mask, heads, eps, seg_mode),
+        lambda *a: _unfused_reference(*a, mask, heads, eps, seg_mode, drop1),
         x, wqkv, bqkv, wo, bo, gamma, beta,
     )
-    return (*vjp(g.astype(x.dtype)), None)
+    return (*vjp(g.astype(x.dtype)), None, None)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -473,25 +533,37 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 def fused_attention_ln(
     x, wqkv, bqkv, wo, bo, gamma, beta, *,
     lengths=None, segment_ids=None, heads: int, eps: float = 1e-12,
+    dropout_rate: float = 0.0, dropout_rng=None,
 ):
-    """y = LayerNorm(x + (multi_head_attention(x) @ Wo + bo)) in one fused
-    Pallas program per batch row.
+    """y = LayerNorm(x + dropout(multi_head_attention(x) @ Wo + bo)) in one
+    fused Pallas program per batch row.
 
     x: [B, L, H]; wqkv: [H, 3H] (q|k|v column blocks); bqkv: [3H];
     wo: [H, H]; bo/gamma/beta: [H]. Exactly one of ``lengths`` [B] /
     ``segment_ids`` [B, L] selects the mask flavor. LN statistics are f32
     (the standard TPU recipe); biases/LN params are taken in f32.
 
+    ``dropout_rate``/``dropout_rng``: hidden dropout at the attention output
+    (the nn.Dropout site of the unfused layer). The inverted-dropout
+    multiplier is derived from the key in XLA and passed to the kernel as an
+    operand; the backward regenerates it from the saved key, so no mask is
+    stored. Attention-PROBS dropout is not supported (the [L, L] masks would
+    not fit as operands) — callers keep that at 0, the flash-attn training
+    convention.
+
     Constraints (callers should fall back to the flash path otherwise):
     H % 128 == 0, head_dim % 8 == 0, L <= ~1024 (the [L, L] f32 score tile
-    lives in VMEM), and no dropout inside the block.
+    lives in VMEM).
     """
     if (lengths is None) == (segment_ids is None):
         raise ValueError("pass exactly one of lengths= / segment_ids=")
+    if dropout_rate and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
     seg_mode = segment_ids is not None
     mask = segment_ids if seg_mode else lengths
-    return _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask, heads, eps,
-                  seg_mode)
+    return _fused(x, wqkv, bqkv, wo, bo, gamma, beta, mask,
+                  dropout_rng if dropout_rate else None, heads, eps,
+                  seg_mode, float(dropout_rate))
 
 
 def _vmem_estimate(h: int, l: int, ff: int = 0) -> int:
@@ -532,8 +604,13 @@ def fused_supported(hidden_size: int, heads: int, seq_len: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _full_padded_kernel(lens_ref, x_ref, *rest, heads, eps, act):
-    *w_refs, y_ref = rest
+def _full_padded_kernel(lens_ref, x_ref, *rest, heads, eps, act, dropped):
+    if dropped:
+        *w_refs, d1_ref, d2_ref, y_ref = rest
+        d1, d2 = d1_ref[:], d2_ref[:]
+    else:
+        *w_refs, y_ref = rest
+        d1 = d2 = None
     x = x_ref[:]
     l = x.shape[0]
     length = lens_ref[pl.program_id(0)]
@@ -541,32 +618,43 @@ def _full_padded_kernel(lens_ref, x_ref, *rest, heads, eps, act):
     qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
     w = tuple(r[:] if r.shape[0] > 1 else r[0] for r in w_refs)
     y_ref[:] = _layer_core(x, w, kpos < length, heads=heads, eps=eps, act=act,
-                           out_dtype=y_ref.dtype, q_valid=qpos < length)
+                           out_dtype=y_ref.dtype, q_valid=qpos < length,
+                           drop1=d1, drop2=d2)
 
 
-def _full_segment_kernel(seg_ref, x_ref, *rest, heads, eps, act):
-    *w_refs, y_ref = rest
+def _full_segment_kernel(seg_ref, x_ref, *rest, heads, eps, act, dropped):
+    if dropped:
+        *w_refs, d1_ref, d2_ref, y_ref = rest
+        d1, d2 = d1_ref[:], d2_ref[:]
+    else:
+        *w_refs, y_ref = rest
+        d1 = d2 = None
     x = x_ref[:]
     seg = seg_ref[0, :]
     allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
     w = tuple(r[:] if r.shape[0] > 1 else r[0] for r in w_refs)
     y_ref[:] = _layer_core(x, w, allowed, heads=heads, eps=eps, act=act,
-                           out_dtype=y_ref.dtype)
+                           out_dtype=y_ref.dtype, drop1=d1, drop2=d2)
 
 
-def _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode):
+def _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode,
+                        drops=()):
     b, l, h = x.shape
     l_pad = -(-l // 128) * 128
     orig_l = l
     if l_pad != l:
         x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        drops = tuple(jnp.pad(d, ((0, 0), (0, l_pad - l), (0, 0)))
+                      for d in drops)
         if seg_mode:
             mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
         l = l_pad
     wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = weights
     w_args = (wqkv, _f32row(bqkv), wo, _f32row(bo), _f32row(g1), _f32row(b1),
               wup, _f32row(bup), wdown, _f32row(bdown), _f32row(g2), _f32row(b2))
+    row_spec = pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0))
     w_specs = [pl.BlockSpec(a.shape, lambda *i: (0, 0)) for a in w_args]
+    w_specs += [row_spec] * len(drops)
     common = dict(
         out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
         interpret=jax.default_backend() == "cpu",
@@ -574,61 +662,69 @@ def _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )
+    kern_kw = dict(heads=heads, eps=eps, act=act, dropped=bool(drops))
     if seg_mode:
         out = pl.pallas_call(
-            functools.partial(_full_segment_kernel, heads=heads, eps=eps, act=act),
+            functools.partial(_full_segment_kernel, **kern_kw),
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+                row_spec,
                 *w_specs,
             ],
-            out_specs=pl.BlockSpec((None, l, h), lambda i: (i, 0, 0)),
+            out_specs=row_spec,
             **common,
-        )(mask.astype(jnp.int32).reshape(b, 1, l), x, *w_args)
+        )(mask.astype(jnp.int32).reshape(b, 1, l), x, *w_args, *drops)
     else:
         out = pl.pallas_call(
-            functools.partial(_full_padded_kernel, heads=heads, eps=eps, act=act),
+            functools.partial(_full_padded_kernel, **kern_kw),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
-                    *w_specs,
-                ],
-                out_specs=pl.BlockSpec((None, l, h), lambda i, lens: (i, 0, 0)),
+                in_specs=[row_spec, *w_specs],
+                out_specs=row_spec,
             ),
             **common,
-        )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), x, *w_args)
+        )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), x, *w_args, *drops)
     return out[:, :orig_l, :]
 
 
-def _unfused_layer_reference(x, weights, mask, heads, eps, act, seg_mode):
-    """Flash-attention recompute graph for the full layer (backward path +
-    test oracle)."""
+def _unfused_layer_reference(x, weights, mask, heads, eps, act, seg_mode,
+                             drops=()):
+    """Flash-attention recompute graph for the full layer (fallback backward
+    path + test oracle)."""
     wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = weights
+    d1, d2 = drops if drops else (None, None)
     h1 = _unfused_reference(x, wqkv, bqkv, wo, bo, g1, b1, mask, heads, eps,
-                            seg_mode)
+                            seg_mode, d1)
     up = jnp.dot(h1, wup, preferred_element_type=jnp.float32)
     up = _ACTS[act](up + bup[None, None, :]).astype(x.dtype)
     dn = jnp.dot(up, wdown, preferred_element_type=jnp.float32) + bdown[None, None, :]
+    if d2 is not None:
+        dn = dn * d2.astype(jnp.float32)
     y = _ln_f32(h1.astype(jnp.float32) + dn, g2, b2, eps)
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fused_layer(x, weights, heads, eps, act, seg_mode, mask):
-    return _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 8))
+def _fused_layer(x, weights, heads, eps, act, seg_mode, mask, rng, rate):
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 2)
+    return _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode,
+                               drops)
 
 
-def _fused_layer_fwd(x, weights, heads, eps, act, seg_mode, mask):
-    y = _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode)
-    return y, (x, weights, mask)
+def _fused_layer_fwd(x, weights, heads, eps, act, seg_mode, mask, rng, rate):
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 2)
+    y = _pallas_fused_layer(x, weights, mask, heads, eps, act, seg_mode,
+                            drops)
+    return y, (x, weights, mask, rng)
 
 
-def _fused_layer_bwd(heads, eps, act, seg_mode, res, g):
-    x, weights, mask = res
+def _fused_layer_bwd(heads, eps, act, seg_mode, rate, res, g):
+    x, weights, mask, rng = res
     wqkv, bqkv, wo, bo, g1, b1, wup, bup, wdown, bdown, g2, b2 = weights
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 2)
+    d1, d2 = drops if drops else (None, None)
     if fused_bwd_supported(x.shape[-1], heads, x.shape[1]):
         # composite backward: recompute h1 with the fused FORWARD kernel,
         # differentiate the FFN half under jax.vjp (clean batched GEMMs XLA
@@ -636,31 +732,34 @@ def _fused_layer_bwd(heads, eps, act, seg_mode, res, g):
         # Recompute-then-differentiate happens inside this rule, so the FFN
         # intermediates live only for one layer's backward (remat-grade).
         h1 = _pallas_fused(x, wqkv, bqkv, wo, bo, g1, b1, mask, heads, eps,
-                           seg_mode)
+                           seg_mode, drops[:1])
 
         def ffn_half(h1_, wup_, bup_, wdown_, bdown_, g2_, b2_):
             up = jnp.dot(h1_, wup_, preferred_element_type=jnp.float32)
             up = _ACTS[act](up + bup_[None, None, :]).astype(h1_.dtype)
             dn = jnp.dot(up, wdown_,
                          preferred_element_type=jnp.float32) + bdown_[None, None, :]
+            if d2 is not None:
+                dn = dn * d2.astype(jnp.float32)
             y = _ln_f32(h1_.astype(jnp.float32) + dn, g2_, b2_, eps)
             return y.astype(h1_.dtype)
 
         _, vjp = jax.vjp(ffn_half, h1, wup, bup, wdown, bdown, g2, b2)
         dh1, dwup, dbup, dwdown, dbdown, dg2, db2 = vjp(g.astype(h1.dtype))
         dx, dwqkv, dbqkv, dwo, dbo, dg1, db1 = _pallas_fused_bwd(
-            x, dh1, wqkv, bqkv, wo, bo, g1, mask, heads, eps, seg_mode)
+            x, dh1, wqkv, bqkv, wo, bo, g1, mask, heads, eps, seg_mode,
+            drops[:1])
         cast = lambda t, p: t.astype(p.dtype)  # noqa: E731
         return (cast(dx, x),
                 (cast(dwqkv, wqkv), cast(dbqkv, bqkv), cast(dwo, wo),
                  cast(dbo, bo), cast(dg1, g1), cast(db1, b1), dwup, dbup,
-                 dwdown, dbdown, dg2, db2), None)
+                 dwdown, dbdown, dg2, db2), None, None)
     _, vjp = jax.vjp(
         lambda x_, w_: _unfused_layer_reference(x_, w_, mask, heads, eps, act,
-                                                seg_mode),
+                                                seg_mode, drops),
         x, weights,
     )
-    return (*vjp(g.astype(x.dtype)), None)
+    return (*vjp(g.astype(x.dtype)), None, None)
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
@@ -669,23 +768,30 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 def fused_encoder_layer(
     x, weights, *, lengths=None, segment_ids=None, heads: int,
     eps: float = 1e-12, act: str = "gelu",
+    dropout_rate: float = 0.0, dropout_rng=None,
 ):
     """One full post-norm encoder layer (BERT shape) in a single Pallas
     program per batch row:
 
-        h1 = LN1(x + attn(x) @ Wo + bo)
-        y  = LN2(h1 + act(h1 @ Wup + bup) @ Wdown + bdown)
+        h1 = LN1(x + dropout(attn(x) @ Wo + bo))
+        y  = LN2(h1 + dropout(act(h1 @ Wup + bup) @ Wdown + bdown))
 
     ``weights`` = (wqkv, bqkv, wo, bo, gamma1, beta1, wup, bup, wdown,
     bdown, gamma2, beta2). Same mask flavors, dtype rules, custom-vjp
-    recompute backward and shape gates as `fused_attention_ln`, plus
-    intermediate_size % 128 == 0 and act in {'gelu', 'gelu_new', 'relu'}.
+    backward (fused bwd megakernel + XLA FFN vjp), dropout mechanism
+    (key-derived multipliers, regenerated in the backward) and shape gates
+    as `fused_attention_ln`, plus intermediate_size % 128 == 0 and act in
+    {'gelu', 'gelu_new', 'relu'}.
     """
     if (lengths is None) == (segment_ids is None):
         raise ValueError("pass exactly one of lengths= / segment_ids=")
+    if dropout_rate and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
     seg_mode = segment_ids is not None
     mask = segment_ids if seg_mode else lengths
-    return _fused_layer(x, tuple(weights), heads, eps, act, seg_mode, mask)
+    return _fused_layer(x, tuple(weights), heads, eps, act, seg_mode, mask,
+                        dropout_rng if dropout_rate else None,
+                        float(dropout_rate))
 
 
 def fused_layer_supported(hidden_size: int, heads: int, seq_len: int,

@@ -318,9 +318,11 @@ def test_bert_fused_attn_only_fallback(key):
     assert dx.max() < 1e-4, dx.max()
 
 
-def test_fused_gate_and_train_fallback(key):
-    """Unsupported shapes are gated off; training with dropout falls back to
-    the unfused path (dropout must actually apply)."""
+def test_fused_gate_and_train_dropout(key):
+    """Unsupported shapes are gated off; training with HIDDEN dropout runs
+    THROUGH the fused path (key-derived mask operands) and actually applies
+    it — different dropout rngs change the output, and train=False matches
+    the deterministic path."""
     assert not fused_supported(96, 2, 64)      # H % 128
     assert not fused_supported(256, 2, 2048)   # L too long for VMEM scores
     assert fused_supported(768, 12, 512)
@@ -331,9 +333,119 @@ def test_fused_gate_and_train_fallback(key):
     v = model.init(key, ids)
     a = model.apply(v, ids, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     b = model.apply(v, ids, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
-    # different dropout rngs change the output -> the unfused dropout path ran
     assert np.abs(np.asarray(a["last_hidden_state"])
                   - np.asarray(b["last_hidden_state"])).max() > 1e-6
+    # eval mode: no dropout, matches the unfused deterministic path
+    det_f = model.apply(v, ids)["last_hidden_state"]
+    det_x = BertEncoderModel(BertConfig(**dict(
+        FUSED_TINY, hidden_dropout_prob=0.3))).apply(v, ids)["last_hidden_state"]
+    assert np.abs(np.asarray(det_f) - np.asarray(det_x)).max() < 1e-4
+
+
+def test_fused_dropout_matches_oracle_with_same_masks(key):
+    """Fused forward AND custom-vjp grads with dropout equal an XLA oracle
+    applying the IDENTICAL key-derived multipliers (incl. the backward
+    regenerating the mask from the saved key rather than storing it)."""
+    from nexus_tpu.ops.fused_encoder import _gen_drops
+
+    b, l, rate = 2, 64, 0.4
+    p = _params(key)
+    x = jax.random.normal(jax.random.PRNGKey(20), (b, l, H)) * 0.5
+    lengths = jnp.array([64, 39], jnp.int32)
+    rng = jax.random.PRNGKey(77)
+    (drop1,) = _gen_drops(rng, rate, x.shape, x.dtype, 1)
+    valid = (jnp.arange(l)[None, :] < lengths[:, None])[..., None]
+
+    def fwd_fused(x, p):
+        return fused_attention_ln(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                                  p["gamma"], p["beta"], lengths=lengths,
+                                  heads=HEADS, eps=EPS, dropout_rate=rate,
+                                  dropout_rng=rng)
+
+    allowed = jnp.broadcast_to(
+        jnp.arange(l)[None, None, :] < lengths[:, None, None], (b, l, l))
+
+    def fwd_xla(x, p):
+        return _xla_oracle_dropped(x, p, allowed, drop1)
+
+    loss_fused = lambda x, p: jnp.sum(jnp.where(valid, fwd_fused(x, p), 0.0) ** 2)  # noqa: E731
+    loss_xla = lambda x, p: jnp.sum(jnp.where(valid, fwd_xla(x, p), 0.0) ** 2)  # noqa: E731
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx_x, gp_x = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    vm = np.asarray(valid)[..., 0]
+    y_f, y_x = fwd_fused(x, p), fwd_xla(x, p)
+    assert np.abs(np.asarray(y_f) - np.asarray(y_x))[vm].max() < 1e-4
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x),
+                               atol=2e-3, rtol=1e-2)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(gp_f[k]), np.asarray(gp_x[k]),
+                                   atol=2e-3, rtol=1e-2, err_msg=k)
+
+
+def _xla_oracle_dropped(x, p, allowed, drop1):
+    """_xla_oracle with an explicit dropout multiplier at the attention
+    output (before the residual), matching the fused kernel's site."""
+    b, l, h = x.shape
+    d = h // HEADS
+    qkv = jnp.dot(x, p["wqkv"]) + p["bqkv"]
+    q, k, v = jnp.split(qkv.astype(x.dtype), 3, axis=-1)
+    to4 = lambda t: t.reshape(b, l, HEADS, d)  # noqa: E731
+    s = jnp.einsum("bqhd,bkhd->bhqk", to4(q), to4(k)).astype(jnp.float32)
+    s = s / np.sqrt(d)
+    s = jnp.where(allowed[:, None], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", pr, to4(v)).reshape(b, l, h)
+    out = (jnp.dot(ctx, p["wo"]) + p["bo"]) * drop1.astype(jnp.float32)
+    res = x.astype(jnp.float32) + out
+    mu = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean((res - mu) ** 2, axis=-1, keepdims=True)
+    y = (res - mu) * jax.lax.rsqrt(var + EPS)
+    return (y * p["gamma"] + p["beta"]).astype(x.dtype)
+
+
+def test_fused_layer_dropout_grads(key):
+    """Full-layer fused path with dropout: grads match the unfused layer
+    reference given the SAME two masks."""
+    from nexus_tpu.ops.fused_encoder import (_gen_drops,
+                                             _unfused_layer_reference,
+                                             fused_encoder_layer)
+
+    b, l, ff, rate = 2, 64, 256, 0.25
+    ks = jax.random.split(key, 7)
+    s = 0.05
+    p = _params(key)
+    weights = (
+        p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["gamma"], p["beta"],
+        jax.random.normal(ks[0], (H, ff)) * s,
+        jax.random.normal(ks[1], (ff,)) * s,
+        jax.random.normal(ks[2], (ff, H)) * s,
+        jax.random.normal(ks[3], (H,)) * s,
+        1.0 + jax.random.normal(ks[4], (H,)) * 0.1,
+        jax.random.normal(ks[5], (H,)) * 0.1,
+    )
+    x = jax.random.normal(ks[6], (b, l, H)) * 0.5
+    lengths = jnp.array([64, 41], jnp.int32)
+    rng = jax.random.PRNGKey(5)
+    drops = _gen_drops(rng, rate, x.shape, x.dtype, 2)
+    vmask = (jnp.arange(l)[None, :] < lengths[:, None])[..., None]
+
+    def loss_fused(x, w):
+        y = fused_encoder_layer(x, w, lengths=lengths, heads=HEADS, eps=EPS,
+                                dropout_rate=rate, dropout_rng=rng)
+        return jnp.sum(jnp.where(vmask, y, 0.0) ** 2)
+
+    def loss_ref(x, w):
+        y = _unfused_layer_reference(x, w, lengths, HEADS, EPS, "gelu",
+                                     seg_mode=False, drops=drops)
+        return jnp.sum(jnp.where(vmask, y, 0.0) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, weights)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, weights)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-3, rtol=1e-2)
+    for i, (a, bb) in enumerate(zip(gw_f, gw_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-3, rtol=1e-2, err_msg=f"w[{i}]")
 
 
 def test_left_padded_masks_knob(key):
