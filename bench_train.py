@@ -10,8 +10,9 @@ Headline config matches the reference's single-GPU logs (BASELINE.md):
 This chip has 197 bf16 TF/s peak vs the A100's 312 fp16.
 
 Variants (argv): 'impl/remat' embedder grid
-(xla|pallas / full|dots|offload_dots|none|plainK),
-'ragged_padded'|'ragged_packed' embedder, 'reranker_padded'|'reranker_packed'.
+(xla|pallas|fused / full|dots|offload_dots|none|plainK),
+'ragged_padded'|'ragged_packed' embedder, 'reranker_padded'|'reranker_packed'
+(+ optional ':impl' suffix, e.g. reranker_packed:fused).
 Every variant runs N>=5 timed trials and prints median + IQR
 (utils/benchstats.py — single-run relay numbers are not evidence).
 """
@@ -141,8 +142,11 @@ def _ragged_batch(rng, pack: bool):
     return batch
 
 
-def run_ragged(pack: bool) -> float:
-    """Packed-vs-padded contrastive training on a ragged length mix."""
+def run_ragged(pack: bool, impl: str = "pallas") -> float:
+    """Packed-vs-padded contrastive training on a ragged length mix.
+    ``impl``: attention path — pallas (flash, default) | fused (encoder
+    megakernel; pairs with remat OFF since its custom vjp saves only layer
+    inputs) | xla."""
     from nexus_tpu.models.bert import BertConfig
     from nexus_tpu.training.arguments import TrainingArguments
     from nexus_tpu.training.embedder.text_retrieval.arguments import (
@@ -158,8 +162,9 @@ def run_ragged(pack: bool) -> float:
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
     )
     margs = TextEmbedderModelArguments(
-        temperature=0.02, dtype="bfloat16", gradient_checkpointing=True,
-        attention_impl="pallas",
+        temperature=0.02, dtype="bfloat16",
+        gradient_checkpointing=impl != "fused",
+        attention_impl=impl,
     )
     model = BiTextEmbedderModel(config, margs)
     targs = TrainingArguments.from_dict(dict(
@@ -212,7 +217,7 @@ def _reranker_pairs(rng):
     return ids, mask, tt
 
 
-def run_reranker(pack: bool, accum: int = 1) -> float:
+def run_reranker(pack: bool, accum: int = 1, impl: str = "pallas") -> float:
     """Cross-encoder reranker fine-tune throughput (VERDICT r2 item 2):
     bs16, group 8, seq 512, flash attention — padded (the reference's
     layout; 39.7 samples/s on one A100) vs packed rows.
@@ -233,7 +238,7 @@ def run_reranker(pack: bool, accum: int = 1) -> float:
         num_attention_heads=12, intermediate_size=3072,
         max_position_embeddings=512, add_pooling_layer=True,
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.0,
-        attention_impl="pallas",
+        attention_impl=impl,
     )
     assert BS % accum == 0, (
         f"accum={accum} must divide BS={BS}: a truncating micro-batch would "
@@ -241,7 +246,7 @@ def run_reranker(pack: bool, accum: int = 1) -> float:
     )
     micro_bs = BS // accum
     model = CrossEncoderModel(config, train_group_size=GROUP, dtype="bfloat16",
-                              remat=accum == 1)
+                              remat=accum == 1 and impl != "fused")
     targs = TrainingArguments.from_dict(dict(
         output_dir="/tmp/nx_bench_rerank", num_train_epochs=1,
         per_device_train_batch_size=micro_bs, learning_rate=1e-5,
@@ -296,16 +301,20 @@ def run_reranker(pack: bool, accum: int = 1) -> float:
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["xla/full", "pallas/full", "pallas/dots", "pallas/none"]
     for v in variants:
+        # ragged/reranker variants take an optional ':impl' suffix
+        # (e.g. reranker_packed:fused) selecting the attention path
+        v, _, impl_sfx = v.partition(":")
+        impl_kw = {"impl": impl_sfx} if impl_sfx else {}
         if v in ("ragged_padded", "ragged_packed"):
             try:
-                run_ragged(v == "ragged_packed")
+                run_ragged(v == "ragged_packed", **impl_kw)
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue
         if v in ("reranker_padded", "reranker_packed") or v.startswith("reranker_accum"):
             try:
                 accum = int(v[len("reranker_accum"):]) if v.startswith("reranker_accum") else 1
-                run_reranker(v == "reranker_packed", accum=accum)
+                run_reranker(v == "reranker_packed", accum=accum, **impl_kw)
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue
