@@ -114,6 +114,13 @@ MODES = {
                           attention_impl="pallas", quantized=True),
     "dense512_int8": dict(dense=512, rows=64, attention_impl="pallas",
                           quantized=True),
+    # int8 W8A8 + full-layer megakernel composed: the int8 GEMMs run INSIDE
+    # one Pallas program per row (fused_encoder_layer_int8) at the MXU's
+    # 2x int8 peak, attention/LN stay f32 in VMEM
+    "headline_int8_fused": dict(mean=38.0, sigma=0.55, row_len=128, rows=256,
+                                attention_impl="fused", quantized=True),
+    "dense512_int8_fused": dict(dense=512, rows=64, attention_impl="fused",
+                                quantized=True),
 }
 
 

@@ -58,8 +58,8 @@ class BertConfig(AbsArguments):
     # int8 W8A8 serving path: projection/FFN kernels are int8 (converted by
     # models/quantize.py:quantize_bert_params), activations quantize
     # per-token inline, GEMMs accumulate int32 on the MXU at 2x bf16 peak.
-    # Inference-only; composes with 'pallas' flash attention (the fused
-    # megakernel needs raw bf16 weights and gates off).
+    # Inference-only; composes with every attention_impl — 'fused' runs the
+    # int8 full-layer megakernel (fused_encoder_layer_int8).
     quantized: bool = False
 
     @classmethod
@@ -109,6 +109,25 @@ class _DenseParams(nn.Module):
         return k.astype(dtype), b
 
 
+class _QuantDenseParams(nn.Module):
+    """Materializes the SAME param tree as a QuantDense of `features`
+    (int8 'kernel' + f32 'scale'/'bias') without computing — the int8 fused
+    megakernel reads the raw quantized weights while keeping checkpoints
+    byte-compatible with the unfused QuantDense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.zeros,
+                       (in_features, self.features), jnp.int8)
+        s = self.param("scale", nn.initializers.ones,
+                       (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, s, b
+
+
 class _LNParams(nn.Module):
     """nn.LayerNorm's param tree ('scale'/'bias') without computing."""
 
@@ -141,6 +160,17 @@ class BertSelfAttention(nn.Module):
         if return_weights:
             # fused megakernel path: hand the raw [H, 3H] projection to the
             # kernel; param tree identical to the unfused Dense modules
+            if c.quantized:
+                # int8 layout: (kernel, scale, bias) per projection —
+                # per-output-channel scales concatenate exactly like columns
+                if c.fused_qkv:
+                    return _QuantDenseParams(3 * h, name="qkv")(h)
+                kq, sq, bq = _QuantDenseParams(h, name="query")(h)
+                kk, sk, bk = _QuantDenseParams(h, name="key")(h)
+                kv, sv, bv = _QuantDenseParams(h, name="value")(h)
+                return (jnp.concatenate([kq, kk, kv], axis=-1),
+                        jnp.concatenate([sq, sk, sv]),
+                        jnp.concatenate([bq, bk, bv]))
             if c.fused_qkv:
                 return _DenseParams(3 * h, name="qkv")(h, self.dtype)
             wq, bq = _DenseParams(h, name="query")(h, self.dtype)
@@ -210,10 +240,39 @@ class BertLayer(nn.Module):
     def __call__(self, hidden, attention_mask, train: bool = False, segment_ids=None):
         c = self.config
         from nexus_tpu.ops.fused_encoder import (
-            fused_attention_ln, fused_encoder_layer, fused_layer_supported,
+            fused_attention_ln, fused_encoder_layer, fused_encoder_layer_int8,
+            fused_layer_int8_supported, fused_layer_supported,
             fused_supported)
 
         h = c.hidden_size
+        if (c.attention_impl == "fused" and c.quantized and not train
+                and fused_layer_int8_supported(
+                    h, c.num_attention_heads, hidden.shape[1],
+                    c.intermediate_size, c.hidden_act)):
+            # int8 W8A8 full-layer megakernel: projection/FFN GEMMs at the
+            # MXU's 2x int8 peak inside one program per row (serving path)
+            wqkv_q, s_qkv, bqkv = BertSelfAttention(
+                c, dtype=self.dtype, name="attention_self")(
+                hidden, attention_mask, train, segment_ids,
+                return_weights=True)
+            wo_q, s_o, bo = _QuantDenseParams(h, name="attention_output_dense")(h)
+            g1, b1 = _LNParams(name="attention_output_LayerNorm")(h)
+            wup_q, s_up, bup = _QuantDenseParams(
+                c.intermediate_size, name="intermediate_dense")(h)
+            wdn_q, s_dn, bdn = _QuantDenseParams(h, name="output_dense")(
+                c.intermediate_size)
+            g2, b2 = _LNParams(name="output_LayerNorm")(h)
+            kw = dict(heads=c.num_attention_heads, eps=c.layer_norm_eps,
+                      act=c.hidden_act)
+            if segment_ids is not None:
+                kw["segment_ids"] = segment_ids
+            elif c.right_padded_masks:
+                kw["lengths"] = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+            else:
+                kw["segment_ids"] = attention_mask.astype(jnp.int32)
+            return fused_encoder_layer_int8(
+                hidden, (wqkv_q, s_qkv, bqkv, wo_q, s_o, bo, g1, b1,
+                         wup_q, s_up, bup, wdn_q, s_dn, bdn, g2, b2), **kw)
         # HIDDEN dropout runs through the fused kernels (key-derived mask
         # operands; the backward regenerates them). Attention-PROBS dropout
         # cannot ([L, L]-per-head masks don't fit as operands) and gates the

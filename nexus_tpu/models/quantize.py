@@ -18,8 +18,11 @@ Recipe (the standard dynamic W8A8):
 
 Only the six projection/FFN Denses quantize (query/key/value | fused qkv,
 attention_output_dense, intermediate_dense, output_dense) — they carry
-~2/3 of encode FLOPs at L=128. Quantized mode runs the xla/pallas
-attention paths (the fused megakernel consumes raw bf16 weights).
+~2/3 of encode FLOPs at L=128. Quantized mode composes with every
+attention path: xla / pallas flash, and `attention_impl='fused'` runs the
+int8 full-layer megakernel (ops/fused_encoder.py::fused_encoder_layer_int8
+— the same per-token quantization inside one Pallas program per row, with
+the int8 GEMMs on the MXU at 2x bf16 peak).
 """
 
 from __future__ import annotations

@@ -800,3 +800,183 @@ def fused_layer_supported(hidden_size: int, heads: int, seq_len: int,
             and intermediate_size % 128 == 0 and act in _ACTS
             and _vmem_estimate(hidden_size, -(-seq_len // 128) * 128,
                                intermediate_size) <= _VMEM_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# int8 W8A8 full-layer variant (inference only): the projection/FFN GEMMs run
+# int8 x int8 -> int32 on the MXU — 394 TOPS on v5e, 2x its bf16 peak — while
+# attention softmax/LNs stay in f32 exactly as the bf16 kernel. Weights arrive
+# pre-quantized per output channel (models/quantize.py layout: int8 kernel +
+# f32 scale); activations quantize per token INSIDE the kernel (one abs-max +
+# rescale per GEMM input — VPU work on a VMEM-resident value). Same math as
+# the unfused QuantDense path (models/quantize.py::QuantDense), so the
+# quality contract carries over: embedding cosine vs fp > 0.999.
+# No custom vjp: quantized mode is serving-only (quantize.py raises on LoRA
+# and the engines only quantize at load).
+# ---------------------------------------------------------------------------
+
+
+def _qdot(x, wq, s_w, b):
+    """Per-token dynamic int8 GEMM: quantize x rows symmetric-int8, multiply
+    against the int8 per-output-channel kernel on the MXU with int32
+    accumulation, dequantize. Mirrors QuantDense bit for bit (same clip /
+    round / scale recipe). x: [L, K] (any float dtype); wq: [K, N] int8;
+    s_w: [N] f32; b: [N] f32. Returns [L, N] f32."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_a = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * s_a * s_w[None, :] + b[None, :]
+
+
+def _layer_core_int8(x, w, allowed, *, heads, eps, act, out_dtype,
+                     q_valid=None):
+    """int8 analog of `_layer_core`. w = (wqkv_q, s_qkv, bqkv, wo_q, s_o, bo,
+    g1, b1, wup_q, s_up, bup, wdn_q, s_dn, bdn, g2, b2)."""
+    (wqkv_q, s_qkv, bqkv, wo_q, s_o, bo, g1, b1,
+     wup_q, s_up, bup, wdn_q, s_dn, bdn, g2, b2) = w
+    l, h = x.shape
+    d = h // heads
+    scale = 1.0 / math.sqrt(d)
+    qkv = _qdot(x, wqkv_q, s_qkv, bqkv).astype(x.dtype)  # [L, 3H]
+    ctx_parts = []
+    for hd in range(heads):
+        q = qkv[:, hd * d:(hd + 1) * d]
+        k = qkv[:, h + hd * d: h + (hd + 1) * d]
+        v = qkv[:, 2 * h + hd * d: 2 * h + (hd + 1) * d]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx_parts.append(jnp.dot(p.astype(x.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_parts, axis=-1)  # [L, H] f32
+    if q_valid is not None:
+        ctx = jnp.where(q_valid, ctx, 0.0)
+    out = _qdot(ctx.astype(x.dtype), wo_q, s_o, bo)
+    h1 = _ln_f32(x.astype(jnp.float32) + out, g1, b1, eps).astype(x.dtype)
+    up = _qdot(h1, wup_q, s_up, bup)
+    up = _ACTS[act](up).astype(x.dtype)
+    dn = _qdot(up, wdn_q, s_dn, bdn)
+    y = _ln_f32(h1.astype(jnp.float32) + dn, g2, b2, eps)
+    return y.astype(out_dtype)
+
+
+def _int8_padded_kernel(lens_ref, x_ref, *rest, heads, eps, act):
+    *w_refs, y_ref = rest
+    x = x_ref[:]
+    l = x.shape[0]
+    length = lens_ref[pl.program_id(0)]
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    w = tuple(r[:] if r.shape[0] > 1 else r[0] for r in w_refs)
+    y_ref[:] = _layer_core_int8(x, w, kpos < length, heads=heads, eps=eps,
+                                act=act, out_dtype=y_ref.dtype,
+                                q_valid=qpos < length)
+
+
+def _int8_segment_kernel(seg_ref, x_ref, *rest, heads, eps, act):
+    *w_refs, y_ref = rest
+    x = x_ref[:]
+    seg = seg_ref[0, :]
+    allowed = (seg[None, :] == seg[:, None]) & (seg[None, :] > 0)
+    w = tuple(r[:] if r.shape[0] > 1 else r[0] for r in w_refs)
+    y_ref[:] = _layer_core_int8(x, w, allowed, heads=heads, eps=eps, act=act,
+                                out_dtype=y_ref.dtype)
+
+
+def fused_encoder_layer_int8(
+    x, weights, *, lengths=None, segment_ids=None, heads: int,
+    eps: float = 1e-12, act: str = "gelu",
+):
+    """One full post-norm encoder layer with int8 W8A8 projection/FFN GEMMs
+    in a single Pallas program per batch row (inference only — serving path
+    of `BertConfig(quantized=True, attention_impl='fused')`).
+
+    ``weights`` = (wqkv_q [H, 3H] int8, s_qkv [3H] f32, bqkv [3H] f32,
+    wo_q [H, H] int8, s_o [H], bo [H], gamma1, beta1,
+    wup_q [H, FF] int8, s_up [FF], bup [FF],
+    wdn_q [FF, H] int8, s_dn [H], bdn [H], gamma2, beta2).
+    Mask flavors and shape gates match `fused_encoder_layer`.
+    """
+    if (lengths is None) == (segment_ids is None):
+        raise ValueError("pass exactly one of lengths= / segment_ids=")
+    seg_mode = segment_ids is not None
+    mask = segment_ids if seg_mode else lengths
+    b, l, h = x.shape
+    orig_l = l
+    l_pad = -(-l // 128) * 128
+    if l_pad != l:
+        x = jnp.pad(x, ((0, 0), (0, l_pad - l), (0, 0)))
+        if seg_mode:
+            mask = jnp.pad(mask, ((0, 0), (0, l_pad - l)))
+        l = l_pad
+    (wqkv_q, s_qkv, bqkv, wo_q, s_o, bo, g1, b1,
+     wup_q, s_up, bup, wdn_q, s_dn, bdn, g2, b2) = weights
+    w_args = (wqkv_q, _f32row(s_qkv), _f32row(bqkv), wo_q, _f32row(s_o),
+              _f32row(bo), _f32row(g1), _f32row(b1), wup_q, _f32row(s_up),
+              _f32row(bup), wdn_q, _f32row(s_dn), _f32row(bdn), _f32row(g2),
+              _f32row(b2))
+    row_spec = pl.BlockSpec((None, l, h), lambda i, *a: (i, 0, 0))
+    w_specs = [pl.BlockSpec(a.shape, lambda *i: (0, 0)) for a in w_args]
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((b, l, h), x.dtype),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+    kern_kw = dict(heads=heads, eps=eps, act=act)
+    if seg_mode:
+        out = pl.pallas_call(
+            functools.partial(_int8_segment_kernel, **kern_kw),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((None, 1, l), lambda i: (i, 0, 0)),
+                row_spec,
+                *w_specs,
+            ],
+            out_specs=row_spec,
+            **common,
+        )(mask.astype(jnp.int32).reshape(b, 1, l), x, *w_args)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_int8_padded_kernel, **kern_kw),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=[row_spec, *w_specs],
+                out_specs=row_spec,
+            ),
+            **common,
+        )(jnp.clip(mask.astype(jnp.int32), 0, orig_l), x, *w_args)
+    return out[:, :orig_l, :]
+
+
+def _vmem_estimate_int8(h: int, l: int, ff: int) -> int:
+    """Resident-VMEM estimate for one int8 program: bf16 x/y IO
+    (double-buffered), int8 weights (half the bf16 footprint), f32 scale/
+    bias/LN rows, the i32 qkv accumulator + f32 dequant + bf16 value, one
+    head's [L, L] f32 score/prob tiles, f32 ctx/h1, and the FFN i32/f32/bf16
+    intermediates."""
+    io = 4 * 2 * l * h
+    weights = 3 * h * h + h * h + 2 * h * ff          # int8
+    rows = 4 * (2 * 3 * h + 4 * h + 2 * ff + 2 * h)   # f32 scales/biases/LN
+    qkv = (4 + 4 + 2) * l * 3 * h + l * h             # i32 + f32 + bf16 + xq
+    scores = 12 * l * l
+    ctx = 2 * 4 * l * h
+    ffn = (4 + 4 + 2) * l * ff
+    return io + weights + rows + qkv + scores + ctx + ffn
+
+
+def fused_layer_int8_supported(hidden_size: int, heads: int, seq_len: int,
+                               intermediate_size: int, act: str) -> bool:
+    """Shape + VMEM gate for the int8 full-layer kernel."""
+    d = hidden_size // heads
+    return (hidden_size % 128 == 0 and d % 8 == 0 and seq_len <= 1024
+            and intermediate_size % 128 == 0 and act in _ACTS
+            and _vmem_estimate_int8(hidden_size, -(-seq_len // 128) * 128,
+                                    intermediate_size) <= _VMEM_BUDGET)

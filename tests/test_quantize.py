@@ -242,3 +242,138 @@ def test_quantized_aot_session_parity(tiny_ckpt):
     a = q_jit.encode(texts)
     b = q_aot.encode(texts)
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def _tiny128():
+    """Big enough for the fused-kernel shape gate (H % 128 == 0)."""
+    return BertConfig(
+        vocab_size=300, hidden_size=128, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=256,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+
+def test_int8_fused_megakernel_matches_unfused_quantized():
+    """attention_impl='fused' + quantized=True runs the int8 full-layer
+    megakernel (fused_encoder_layer_int8): same quantization math as the
+    unfused QuantDense path, so outputs agree tightly — and both stay
+    cosine > 0.999 vs the fp model."""
+    import dataclasses as dc
+
+    cfg = _tiny128()
+    model = BertEncoderModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(2, 300, (3, 40)), jnp.int32)
+    lens = np.array([40, 17, 29])
+    mask = jnp.asarray(np.arange(40)[None, :] < lens[:, None], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    fp = model.apply(variables, ids, attention_mask=mask)["last_hidden_state"]
+
+    vq = quantize_bert_params(variables)
+    out = {}
+    for impl in ("xla", "fused"):
+        mq = BertEncoderModel(dc.replace(cfg, quantized=True,
+                                         attention_impl=impl),
+                              dtype=jnp.float32)
+        out[impl] = mq.apply(vq, ids, attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    a, b = np.asarray(out["xla"])[valid], np.asarray(out["fused"])[valid]
+    np.testing.assert_allclose(a, b, atol=5e-2)
+    f = np.asarray(fp)[valid]
+    cos = np.sum(f * b, -1) / (np.linalg.norm(f, axis=-1)
+                               * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_int8_fused_megakernel_segment_mode():
+    """Packed rows (segment_ids) through the int8 megakernel agree with the
+    unfused quantized path."""
+    import dataclasses as dc
+
+    cfg = _tiny128()
+    model = BertEncoderModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(2, 300, (2, 32)), jnp.int32)
+    seg = np.zeros((2, 32), np.int32)
+    seg[0, :10], seg[0, 10:25] = 1, 2
+    seg[1, :20] = 1
+    seg = jnp.asarray(seg)
+    mask = (seg > 0).astype(jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    vq = quantize_bert_params(variables)
+    out = {}
+    for impl in ("xla", "fused"):
+        mq = BertEncoderModel(dc.replace(cfg, quantized=True,
+                                         attention_impl=impl),
+                              dtype=jnp.float32)
+        out[impl] = mq.apply(vq, ids, attention_mask=mask,
+                             segment_ids=seg)["last_hidden_state"]
+    valid = np.asarray(seg) > 0
+    a, b = np.asarray(out["xla"])[valid], np.asarray(out["fused"])[valid]
+    np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_int8_fused_op_matches_quantdense_composition():
+    """Op-level oracle: fused_encoder_layer_int8 vs the same layer built
+    from QuantDense GEMMs + exact softmax in plain XLA."""
+    from nexus_tpu.models.quantize import _quantize_kernel
+    from nexus_tpu.ops.fused_encoder import fused_encoder_layer_int8
+
+    H, HEADS, FF, EPS = 128, 2, 256, 1e-12
+    rng = np.random.default_rng(9)
+    b, l = 2, 24
+    x = jnp.asarray(rng.normal(0, 1, (b, l, H)), jnp.float32)
+    lengths = jnp.asarray([24, 13], jnp.int32)
+
+    def mkw(k_in, k_out):
+        w = rng.normal(0, 0.05, (k_in, k_out)).astype(np.float32)
+        q, s = _quantize_kernel(w)
+        return jnp.asarray(q), jnp.asarray(s), w
+
+    wqkv_q, s_qkv, wqkv = mkw(H, 3 * H)
+    wo_q, s_o, wo = mkw(H, H)
+    wup_q, s_up, wup = mkw(H, FF)
+    wdn_q, s_dn, wdn = mkw(FF, H)
+    bqkv, bo = (jnp.asarray(rng.normal(0, 0.05, n), jnp.float32)
+                for n in (3 * H, H))
+    bup, bdn = (jnp.asarray(rng.normal(0, 0.05, n), jnp.float32)
+                for n in (FF, H))
+    g1, b1, g2, b2 = (jnp.asarray(rng.normal(1, 0.1, H), jnp.float32)
+                      for _ in range(4))
+
+    def qdense(t, wq, s, bias):
+        tf = jnp.asarray(t, jnp.float32)
+        amax = jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
+        s_a = jnp.maximum(amax, 1e-6) / 127.0
+        tq = jnp.clip(jnp.round(tf / s_a), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(tq, wq, (((t.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * s_a * s + bias
+
+    def ln(t, g, bb):
+        mu = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
+        return (t - mu) * jax.lax.rsqrt(var + EPS) * g + bb
+
+    # oracle
+    qkv = qdense(x, wqkv_q, s_qkv, bqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to4 = lambda t: t.reshape(b, l, HEADS, H // HEADS)  # noqa: E731
+    s = jnp.einsum("bqhd,bkhd->bhqk", to4(q), to4(k)) / np.sqrt(H // HEADS)
+    kpos = np.arange(l)[None, :] < np.asarray(lengths)[:, None]
+    s = jnp.where(jnp.asarray(kpos)[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", p, to4(v)).reshape(b, l, H)
+    ctx = jnp.where(jnp.asarray(kpos)[:, :, None], ctx, 0.0)
+    h1 = ln(x + qdense(ctx, wo_q, s_o, bo), g1, b1)
+    up = jax.nn.gelu(qdense(h1, wup_q, s_up, bup))
+    want = ln(h1 + qdense(up, wdn_q, s_dn, bdn), g2, b2)
+
+    got = fused_encoder_layer_int8(
+        x, (wqkv_q, s_qkv, bqkv, wo_q, s_o, bo, g1, b1,
+            wup_q, s_up, bup, wdn_q, s_dn, bdn, g2, b2),
+        lengths=lengths, heads=HEADS, eps=EPS)
+    valid = np.asarray(kpos)
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], atol=3e-2)
