@@ -26,6 +26,11 @@ def main():
                     choices=["fused", "pallas", "xla"],
                     help="text-trunk attention override: 'fused' enables "
                          "the decoder megakernel (fast eval encode)")
+    ap.add_argument("--infer_mode", default="normal",
+                    choices=["normal", "aot"],
+                    help="'aot' runs explicitly lowered+compiled executables "
+                         "— rerunning a task in both modes doubles as the "
+                         "engine-parity test (identical metric tables)")
     args = ap.parse_args()
 
     from nexus_tpu.evaluation.mmeb_v2 import MMEBEvaluator
@@ -34,6 +39,7 @@ def main():
     embedder = MultimodalEmbedder(
         model_name_or_path=args.model_dir, batch_size=args.batch_size,
         media_root=args.media_root, attention_impl=args.attention_impl,
+        infer_mode=args.infer_mode,
     )
     reranker = None
     if args.reranker_dir:
