@@ -22,14 +22,16 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
 
 
 def _time_chain(chain, *args, flops_per_iter, iters):
+    from nexus_tpu.utils.benchstats import measure_trials
+
     float(chain(*args))  # compile + warm
-    best = 0.0
-    for _ in range(3):
+
+    def one():
         t0 = time.perf_counter()
         float(chain(*args))
-        dt = time.perf_counter() - t0
-        best = max(best, flops_per_iter * iters / dt / 1e12)
-    return best
+        return flops_per_iter * iters / (time.perf_counter() - t0) / 1e12
+
+    return measure_trials(one)["value"]  # median of N_TRIALS (relay variance)
 
 
 def probe(m, k, n, iters=64):

@@ -75,6 +75,20 @@ class AsyncCheckpointer:
                 f"async checkpoint save to {target!r} failed"
             ) from err
 
+    def drain(self) -> None:
+        """Join the in-flight save WITHOUT raising — exception-path cleanup.
+        The daemon writer thread must not be killed mid-write by interpreter
+        teardown (truncated checkpoint), but the exception already unwinding
+        the training loop must stay the one the caller sees; a save failure
+        here is logged instead."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        err, self._error = self._error, None
+        if err is not None:
+            logger.error("async checkpoint save to %r failed during "
+                         "teardown: %s", self._target, err)
+
     @property
     def in_flight(self) -> bool:
         return self._thread is not None and self._thread.is_alive()

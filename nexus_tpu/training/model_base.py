@@ -72,10 +72,14 @@ class RecModelBase:
 
     # -- persistence ------------------------------------------------------
 
-    def save(self, checkpoint_dir: str, variables, **kw) -> None:
+    def save(self, checkpoint_dir: str, variables, item_vectors=None, **kw) -> None:
+        """``item_vectors``: explicit snapshot (async checkpointing passes
+        one taken on the training thread); defaults to the live attribute."""
         from nexus_tpu.training.checkpoint import save_checkpoint
 
-        save_checkpoint(checkpoint_dir, self, variables, item_vectors=getattr(self, "item_vectors", None))
+        if item_vectors is None:
+            item_vectors = getattr(self, "item_vectors", None)
+        save_checkpoint(checkpoint_dir, self, variables, item_vectors=item_vectors)
 
     @classmethod
     def from_pretrained(cls, checkpoint_dir: str, model_class_or_name=None):

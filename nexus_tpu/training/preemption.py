@@ -107,7 +107,23 @@ class PreemptionGuard(Callback):
         # the process is about to die: the checkpoint must be durable before
         # the marker is written, so force a synchronous save even when
         # async_checkpoint is on
-        trainer.save_model(path, blocking=True)
+        try:
+            trainer.save_model(path, blocking=True)
+        except Exception:
+            # a STALE async-save error re-raised by save_model's initial
+            # join must not forfeit the last-chance save: the join cleared
+            # the stored error, so one retry runs the synchronous save clean
+            logger.exception(
+                "preempt save: joining the pending async checkpoint failed; "
+                "retrying the synchronous save once")
+            try:
+                trainer.save_model(path, blocking=True)
+            except Exception:
+                logger.exception(
+                    "preemption checkpoint failed — stopping without a "
+                    "resume marker")
+                trainer.should_stop = True
+                return
         with open(os.path.join(self.output_dir, MARKER), "w") as f:
             json.dump({"checkpoint": path, "step": int(step),
                        "saved_at": time.time()}, f)

@@ -425,52 +425,61 @@ class RecTrainer:
         # saved by _save_trainer_state; host-side reads only, no device steps)
         start_epoch, skip_batches = getattr(self, "_resume_cursor", (0, 0))
         self._resume_cursor = (0, 0)
-        for epoch in range(start_epoch, self.args.num_train_epochs):
-            data_iter = train_data() if callable(train_data) else train_data
-            if hasattr(data_iter, "set_epoch"):
-                data_iter.set_epoch(epoch)
-            batch_in_epoch = 0
-            for batch in _prefetch(iter(data_iter)):
-                if epoch == start_epoch and batch_in_epoch < skip_batches:
+        try:
+            for epoch in range(start_epoch, self.args.num_train_epochs):
+                data_iter = train_data() if callable(train_data) else train_data
+                if hasattr(data_iter, "set_epoch"):
+                    data_iter.set_epoch(epoch)
+                batch_in_epoch = 0
+                for batch in _prefetch(iter(data_iter)):
+                    if epoch == start_epoch and batch_in_epoch < skip_batches:
+                        batch_in_epoch += 1
+                        continue
                     batch_in_epoch += 1
-                    continue
-                batch_in_epoch += 1
-                self._data_cursor = (epoch, batch_in_epoch)
-                if self.args.profile_step_start is not None and step == self.args.profile_step_start:
-                    jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
-                batch.pop("_nvalid", None)
-                device_batch = shard_batch(batch, self.mesh)
-                if self._train_step is None:  # invalidated (e.g. sampler refresh)
-                    self._train_step = self._build_train_step()
-                self._state, metrics = self._train_step(self._state, device_batch, rng)
-                step += 1
-                pending_losses.append(metrics["loss"])
-                if self.args.profile_step_end is not None and step == self.args.profile_step_end:
-                    jax.tree_util.tree_map(
-                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-                        self._state.params,
-                    )
-                    jax.profiler.stop_trace()
-                    logger.info("profiler trace written to %s/profile", self.args.output_dir)
-                if step % self.args.logging_steps == 0:
-                    mean_loss = float(jnp.mean(jnp.stack(pending_losses)))
-                    pending_losses = []
-                    logs = {"step": step, "epoch": epoch, "loss": mean_loss}
+                    self._data_cursor = (epoch, batch_in_epoch)
+                    if self.args.profile_step_start is not None and step == self.args.profile_step_start:
+                        jax.profiler.start_trace(os.path.join(self.args.output_dir, "profile"))
+                    batch.pop("_nvalid", None)
+                    device_batch = shard_batch(batch, self.mesh)
+                    if self._train_step is None:  # invalidated (e.g. sampler refresh)
+                        self._train_step = self._build_train_step()
+                    self._state, metrics = self._train_step(self._state, device_batch, rng)
+                    step += 1
+                    pending_losses.append(metrics["loss"])
+                    if self.args.profile_step_end is not None and step == self.args.profile_step_end:
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                            self._state.params,
+                        )
+                        jax.profiler.stop_trace()
+                        logger.info("profiler trace written to %s/profile", self.args.output_dir)
+                    if step % self.args.logging_steps == 0:
+                        mean_loss = float(jnp.mean(jnp.stack(pending_losses)))
+                        pending_losses = []
+                        logs = {"step": step, "epoch": epoch, "loss": mean_loss}
+                        for cb in self.callbacks:
+                            cb.on_log(self, logs)
                     for cb in self.callbacks:
-                        cb.on_log(self, logs)
+                        cb.on_step_end(self, step)
+                    if self.should_stop:
+                        break
+                if not self.should_stop:  # epoch fully consumed: resume at next
+                    self._data_cursor = (epoch + 1, 0)
+                eval_metrics = None
+                if eval_data is not None and self.args.evaluation_strategy != "no":
+                    eval_metrics = self.evaluate(eval_data)
                 for cb in self.callbacks:
-                    cb.on_step_end(self, step)
+                    cb.on_epoch_end(self, epoch, eval_metrics)
                 if self.should_stop:
                     break
-            if not self.should_stop:  # epoch fully consumed: resume at next
-                self._data_cursor = (epoch + 1, 0)
-            eval_metrics = None
-            if eval_data is not None and self.args.evaluation_strategy != "no":
-                eval_metrics = self.evaluate(eval_data)
-            for cb in self.callbacks:
-                cb.on_epoch_end(self, epoch, eval_metrics)
-            if self.should_stop:
-                break
+
+        except BaseException:
+            # the loop is aborting: land any in-flight background write
+            # first — daemon writer threads die with the process and
+            # would leave a truncated checkpoint that poisons resume.
+            # Logged, not raised: the original exception wins.
+            self._checkpointer.drain()
+            raise
 
         for cb in self.callbacks:
             cb.on_train_end(self)
@@ -537,9 +546,18 @@ class RecTrainer:
         )
         cursor = getattr(self, "_data_cursor", None)
         model, seed = self.model, self.args.seed
+        # snapshot mutable model-side state on THIS thread: the background
+        # write must not read live attributes (an epoch-end item-vector
+        # refresh racing the writer would tear the checkpoint — params from
+        # step N next to vectors from step M), and fetching device arrays
+        # belongs on the training thread per the closure contract
+        save_kw = {}
+        if getattr(model, "item_vectors", None) is not None:
+            save_kw["item_vectors"] = np.asarray(
+                jax.device_get(model.item_vectors))
 
         def write():
-            model.save(output_dir, host_vars)
+            model.save(output_dir, host_vars, **save_kw)
             _write_trainer_state(output_dir, state_host, cursor, seed)
 
         self._checkpointer.submit(write, target=output_dir)

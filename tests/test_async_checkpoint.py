@@ -125,3 +125,113 @@ def test_background_error_reraised_on_next_wait():
     # the error is consumed: the checkpointer is reusable afterwards
     ck.submit(lambda: None)
     ck.wait()
+
+
+def test_inflight_save_lands_when_training_loop_raises(tmp_path):
+    """Review fix: an exception aborting the train loop must not abandon an
+    in-flight background write (daemon threads die with the process — a
+    truncated checkpoint would poison resume). The loop drains the
+    checkpointer on the exception path, so the files are complete."""
+    trainer, ds = _make(tmp_path, "run", async_checkpoint=True)
+
+    release = threading.Event()
+    real_save = trainer.model.save
+
+    def slow_save(*a, **kw):
+        release.wait(10.0)
+        return real_save(*a, **kw)
+
+    trainer.model.save = slow_save
+    ckpt = str(tmp_path / "mid")
+
+    class Boom(RuntimeError):
+        pass
+
+    class SaveThenRaise:
+        def __init__(self):
+            self.fired = False
+
+        def on_log(self, *a):
+            pass
+
+        def on_train_begin(self, *a):
+            pass
+
+        def on_train_end(self, *a):
+            pass
+
+        def on_epoch_end(self, *a):
+            pass
+
+        def on_step_end(self, trainer_, step):
+            if not self.fired:
+                self.fired = True
+                trainer_.save_model(ckpt)        # async submit (slow writer)
+                release.set()
+                raise Boom("mid-training failure")
+
+    trainer.callbacks = [SaveThenRaise()]
+    with pytest.raises(Boom):
+        trainer.train(ds)
+    # the background write landed before train() propagated the exception
+    assert not trainer._checkpointer.in_flight
+    state = _read(os.path.join(ckpt, "model.msgpack"))
+    assert len(state) > 0
+    from flax import serialization as ser
+
+    ser.msgpack_restore(state)  # parses -> not truncated
+
+
+def test_async_save_snapshots_item_vectors(tmp_path):
+    """Review fix: the background writer must serialize the item vectors as
+    they were at submit time, not whatever the live attribute mutates to
+    while the write is in flight."""
+    trainer, _ = _make(tmp_path, "run", async_checkpoint=True)
+    trainer.init_state(jax.random.PRNGKey(0))
+
+    release = threading.Event()
+    import nexus_tpu.training.checkpoint as ckpt_mod
+
+    real = ckpt_mod.save_checkpoint
+
+    def slow(*a, **kw):
+        release.wait(10.0)
+        return real(*a, **kw)
+
+    snap = np.ones((4, 8), np.float32)
+    trainer.model.item_vectors = snap.copy()
+    out = str(tmp_path / "iv")
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(ckpt_mod, "save_checkpoint", slow)
+        trainer.save_model(out)  # async submit
+        # mutate the live attribute while the writer is blocked
+        trainer.model.item_vectors = np.zeros((4, 8), np.float32)
+        release.set()
+        trainer._checkpointer.wait()
+    vecs = np.load(os.path.join(out, "item_vectors.npy"))
+    np.testing.assert_array_equal(vecs, snap)
+
+
+def test_preempt_save_survives_stale_async_error(tmp_path):
+    """Review fix: a failed EARLIER background save must not forfeit the
+    last-chance preemption checkpoint — the guard retries the synchronous
+    save after the stale error re-raises."""
+    import json
+
+    from nexus_tpu.training.preemption import MARKER, PreemptionGuard
+
+    trainer, ds = _make(tmp_path, "run", max_steps=2, async_checkpoint=True)
+    trainer.train(ds)
+
+    # plant a stale background failure
+    trainer._checkpointer.submit(
+        lambda: (_ for _ in ()).throw(IOError("disk full")), target="old")
+    trainer._checkpointer._thread.join()
+
+    guard = PreemptionGuard(str(tmp_path / "run"))
+    guard._flag.set()
+    guard.on_step_end(trainer, step=2)
+    marker = os.path.join(str(tmp_path / "run"), MARKER)
+    assert os.path.exists(marker), "preempt checkpoint was forfeited"
+    info = json.load(open(marker))
+    assert os.path.exists(os.path.join(info["checkpoint"], "model.msgpack"))
