@@ -46,8 +46,9 @@ class LlamaConfig(AbsArguments):
     # and falls back to flash when the shape/VMEM gate rejects)
     attention_impl: str = "xla"
     # int8 W8A8 serving (models/quantize.py:quantize_llama_params): halves
-    # weight bytes and doubles MXU rate; inference-only, LoRA must be merged
-    # first, the fused megakernel gates off (it reads raw bf16 weights)
+    # weight bytes; inference-only, LoRA must be merged first. Composes
+    # with attention_impl='fused': the megakernel consumes dequantized
+    # attention projections (int8 in HBM) while the MLP keeps int8 GEMMs
     quantized: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
@@ -148,10 +149,41 @@ class _LoRADenseParams(nn.Module):
         return k_eff.astype(dtype), b
 
 
+class _DequantDenseParams(nn.Module):
+    """Materializes QuantDense's param tree (int8 'kernel' + f32 'scale'
+    [+ 'bias']) and returns the DEQUANTIZED effective kernel — the fused
+    decoder megakernel's int8-serving composition. Weights stay int8 in HBM
+    (the halved-weight-bytes win quantized LLM serving is for); the [K, N]
+    dequant multiply runs once per layer step and is amortized over the
+    GEMM's row dimension. Net: attention projections run bf16 INSIDE the
+    fused program (slightly more accurate than the unfused path's
+    activation-quantized int8 GEMMs) while the XLA MLP — 2/3 of decoder
+    FLOPs — keeps the int8 QuantDense path."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int, dtype):
+        k = self.param("kernel", nn.initializers.zeros,
+                       (in_features, self.features), jnp.int8)
+        s = self.param("scale", nn.initializers.ones,
+                       (self.features,), jnp.float32)
+        w = (k.astype(jnp.float32) * s[None, :]).astype(dtype)
+        if not self.use_bias:
+            return w, None
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return w, b
+
+
 def _fused_dense_factory(config):
     """Param-materializer factory for the fused megakernel paths: plain
-    Dense trees, or LoRADense trees with the adapters merged into the
-    effective kernel when config.lora_rank > 0."""
+    Dense trees, LoRADense trees with the adapters merged into the
+    effective kernel when config.lora_rank > 0, or dequantized QuantDense
+    trees when config.quantized (int8 serving)."""
+    if getattr(config, "quantized", False):
+        return lambda f, bias, name: _DequantDenseParams(f, bias, name=name)
     if getattr(config, "lora_rank", 0) > 0:
         return lambda f, bias, name: _LoRADenseParams(
             f, bias, config.lora_rank, config.lora_alpha, name=name)
@@ -294,7 +326,10 @@ class LlamaLayer(nn.Module):
         n_q = c.num_attention_heads
         n_kv = c.num_key_value_heads or n_q
         head_dim = c.head_dim or c.hidden_size // n_q
-        if c.attention_impl == "fused" and not c.quantized:
+        if c.attention_impl == "fused":
+            # composes with quantized serving: the attention projections
+            # dequantize to bf16 for the kernel (_DequantDenseParams), the
+            # MLP keeps its int8 QuantDense GEMMs
             from nexus_tpu.ops.fused_decoder import (
                 fused_decoder_block, fused_decoder_supported,
                 iota_rope_tables)
@@ -396,7 +431,7 @@ class LlamaModel(nn.Module):
         if override_mask is not None:
             x = jnp.where(override_mask[..., None], override_embeds.astype(x.dtype), x)
         rope_tables = None
-        if c.attention_impl == "fused" and not c.quantized:
+        if c.attention_impl == "fused":
             # hoist the fused path's rotary tables out of the layer scan:
             # one trig build + one position gather for the whole stack
             from nexus_tpu.ops.fused_decoder import (

@@ -377,3 +377,45 @@ def test_int8_fused_op_matches_quantdense_composition():
     valid = np.asarray(kpos)
     np.testing.assert_allclose(np.asarray(got)[valid],
                                np.asarray(want)[valid], atol=3e-2)
+
+
+def test_int8_decoder_composes_with_fused_megakernel():
+    """quantized + attention_impl='fused' on the decoder trunk: the
+    megakernel consumes DEQUANTIZED attention projections (weights stay
+    int8 in HBM) while the MLP keeps int8 GEMMs. Output tracks both the
+    unfused quantized path and the fp model."""
+    from nexus_tpu.models.llama import LlamaConfig, LlamaModel
+    from nexus_tpu.models.quantize import quantize_llama_params
+
+    cfg = LlamaConfig(vocab_size=200, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64)
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(2, 200, (2, 24)), jnp.int32)
+    lens = np.array([24, 11])
+    mask = jnp.asarray(np.arange(24)[None, :] < lens[:, None], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    fp = model.apply(variables, ids,
+                     attention_mask=mask)["last_hidden_state"]
+
+    vq = quantize_llama_params(variables)
+    out = {}
+    for impl in ("pallas", "fused"):
+        mq = LlamaModel(dataclasses.replace(cfg, quantized=True,
+                                            attention_impl=impl),
+                        dtype=jnp.float32)
+        out[impl] = mq.apply(vq, ids,
+                             attention_mask=mask)["last_hidden_state"]
+    valid = np.asarray(mask).astype(bool)
+    f = np.asarray(fp)[valid]
+    for impl, o in out.items():
+        b = np.asarray(o)[valid]
+        cos = np.sum(f * b, -1) / (np.linalg.norm(f, axis=-1)
+                                   * np.linalg.norm(b, axis=-1))
+        assert cos.min() > 0.998, (impl, cos.min())
+    a = np.asarray(out["pallas"])[valid]
+    b = np.asarray(out["fused"])[valid]
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.999, cos.min()
