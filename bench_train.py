@@ -299,7 +299,11 @@ def run_reranker(pack: bool, accum: int = 1, impl: str = "pallas") -> float:
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["xla/full", "pallas/full", "pallas/dots", "pallas/none"]
+    # fused/none first: the recommended BERT-trunk training config (the
+    # fwd+bwd megakernel pair needs no XLA remat — 30.1 samples/s vs 26.4
+    # for pallas/full at bs16/seq512, BENCH_NOTES)
+    variants = sys.argv[1:] or ["fused/none", "xla/full", "pallas/full",
+                                "pallas/dots", "pallas/none"]
     for v in variants:
         # ragged/reranker variants take an optional ':impl' suffix
         # (e.g. reranker_packed:fused) selecting the attention path
