@@ -26,6 +26,9 @@ def main():
                     choices=["fused", "pallas", "xla"],
                     help="text-trunk attention override: 'fused' enables "
                          "the decoder megakernel (fast eval encode)")
+    ap.add_argument("--quantized", action="store_true",
+                    help="int8 W8A8 serving of the text trunk "
+                         "(quantize_vlm_params; vision tower stays fp)")
     ap.add_argument("--infer_mode", default="normal",
                     choices=["normal", "aot"],
                     help="'aot' runs explicitly lowered+compiled executables "
@@ -39,7 +42,7 @@ def main():
     embedder = MultimodalEmbedder(
         model_name_or_path=args.model_dir, batch_size=args.batch_size,
         media_root=args.media_root, attention_impl=args.attention_impl,
-        infer_mode=args.infer_mode,
+        infer_mode=args.infer_mode, quantized=args.quantized,
     )
     reranker = None
     if args.reranker_dir:

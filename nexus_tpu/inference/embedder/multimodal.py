@@ -35,11 +35,14 @@ class MultimodalEmbedder:
         use_chat_template: bool = False,
         infer_mode: str = "normal",
         attention_impl: Optional[str] = None,
+        quantized: bool = False,
     ):
         """``attention_impl``: serve-time override of the TEXT TRUNK's
         attention path ('fused' = ops/fused_decoder.py megakernel with the
         M-RoPE tables in-kernel | 'xla'); None keeps the checkpoint's
-        configuration."""
+        configuration. ``quantized``: int8 W8A8 serving of the text trunk
+        (models/quantize.py::quantize_vlm_params — the vision tower stays
+        fp); composes with attention_impl='fused' like the text engines."""
         from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
             BiMultimodalEmbedderModel,
         )
@@ -50,6 +53,10 @@ class MultimodalEmbedder:
             from nexus_tpu.inference.embedder.text_retrieval import _override_attention_impl
 
             _override_attention_impl(model, attention_impl)
+        if quantized:
+            from nexus_tpu.models.quantize import quantize_model
+
+            quantize_model(model)
         self.model = model
         if tokenizer is None:
             from transformers import AutoTokenizer

@@ -115,14 +115,46 @@ def quantize_llama_params(variables) -> dict:
     return _quantize_tree(variables, QUANT_LLAMA_NAMES)
 
 
+# vision-tower subtrees that must NOT quantize: they hold plain nn.Dense
+# modules, and the Qwen2.5-VL vision block reuses gate/up/down_proj NAMES —
+# a blanket llama-names conversion would corrupt them
+_VLM_VISION_SUBTREES = ("visual", "vision_tower")
+
+
+def quantize_vlm_params(variables) -> dict:
+    """Qwen-VL / nexus-vlm backbones: quantize the TEXT trunk's
+    projection/FFN kernels (the bulk of the weights — e.g. ~1.5B of
+    Qwen2-VL-2B) while the vision tower + projector stay fp."""
+    params = dict(variables["params"])
+    vision = {k: params.pop(k) for k in _VLM_VISION_SUBTREES if k in params}
+    rest = dict(variables)
+    rest["params"] = params
+    out = _quantize_tree(rest, QUANT_LLAMA_NAMES)
+    out["params"] = {**dict(out["params"]), **vision}
+    return out
+
+
 def quantize_model(model) -> None:
     """Engine-side dispatch: convert a wrapped embedder/reranker model to
     int8 IN PLACE (variables + config.quantized). Dispatches on the actual
     config CLASS, not attribute names — BiDecoderOnlyEmbedderModel aliases
     ``bert_config`` to its LlamaConfig for the save path, so attribute
-    probing alone mis-routes decoders to the BERT converter."""
+    probing alone mis-routes decoders to the BERT converter. Multimodal
+    backbones (vlm_config with a .text LlamaConfig) route to the
+    text-trunk-only converter."""
     from nexus_tpu.models.bert import BertConfig
     from nexus_tpu.models.llama import LlamaConfig
+
+    vlm = getattr(model, "vlm_config", None)
+    text_cfg = getattr(vlm, "text", None) if vlm is not None else None
+    if isinstance(text_cfg, LlamaConfig):
+        if getattr(text_cfg, "lora_rank", 0) > 0:
+            raise ValueError(
+                "quantized serving is incompatible with live LoRA adapters — "
+                "export a merged checkpoint first (save_merged_model)")
+        model.variables = quantize_vlm_params(model.variables)
+        text_cfg.quantized = True
+        return
 
     cfg = getattr(model, "llama_config", None)
     if cfg is None:

@@ -419,3 +419,72 @@ def test_int8_decoder_composes_with_fused_megakernel():
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(b, axis=-1))
     assert cos.min() > 0.999, cos.min()
+
+
+def test_quantize_vlm_params_excludes_vision_tower():
+    """VLM conversion: the text trunk quantizes, the vision tower must NOT —
+    the Qwen2.5-VL vision block reuses gate/up/down_proj NAMES but holds
+    plain nn.Dense modules (a blanket llama-names walk would corrupt it)."""
+    from nexus_tpu.models.quantize import quantize_vlm_params
+
+    w = lambda *s: np.random.default_rng(0).normal(0, 0.1, s).astype(np.float32)  # noqa: E731
+    variables = {"params": {
+        "visual": {"blocks": {"block": {
+            "qkv": {"kernel": w(8, 24), "bias": w(24)},
+            "gate_proj": {"kernel": w(8, 16), "bias": w(16)},
+            "down_proj": {"kernel": w(16, 8), "bias": w(8)},
+        }}},
+        "layers": {"layer": {
+            "self_attn": {"q_proj": {"kernel": w(8, 8)}},
+            "mlp": {"gate_proj": {"kernel": w(8, 16)}},
+        }},
+    }}
+    out = quantize_vlm_params(variables)
+    vis = out["params"]["visual"]["blocks"]["block"]
+    assert vis["gate_proj"]["kernel"].dtype == np.float32
+    assert "scale" not in vis["gate_proj"]
+    txt = out["params"]["layers"]["layer"]
+    assert txt["self_attn"]["q_proj"]["kernel"].dtype == jnp.int8
+    assert txt["mlp"]["gate_proj"]["scale"].shape == (16,)
+
+
+def test_multimodal_embedder_quantized_serving(tmp_path):
+    """MultimodalEmbedder(quantized=True): the text trunk serves int8 with
+    embedding cosine vs fp > 0.99."""
+    from transformers import BertTokenizerFast
+
+    from nexus_tpu.inference.embedder.multimodal import MultimodalEmbedder
+    from nexus_tpu.models.vlm import VLMConfig
+    from nexus_tpu.training.embedder.multimodal_retrieval import (
+        BiMultimodalEmbedderModel,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+
+    words = ["a", "cat", "dog", "red", "blue", "photo"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+
+    cfg = VLMConfig.tiny()
+    model = BiMultimodalEmbedderModel(
+        cfg, TextEmbedderModelArguments(dtype="float32", temperature=0.1))
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    items = ["a red photo", "blue dog", {"text": "cat photo"}]
+
+    def encode(quant):
+        m = BiMultimodalEmbedderModel(
+            cfg, TextEmbedderModelArguments(dtype="float32", temperature=0.1))
+        m.variables = model.variables
+        e = MultimodalEmbedder(model=m, tokenizer=tok, batch_size=4,
+                               max_length=16, quantized=quant)
+        return e.encode_queries(items)
+
+    e_fp = encode(False)
+    cfg.text.quantized = False  # reset (quantize_model flips the shared cfg)
+    e_q = encode(True)
+    cfg.text.quantized = False
+    assert np.isfinite(e_q).all()
+    cos = np.sum(e_fp * e_q, -1)
+    assert cos.min() > 0.99, cos
