@@ -310,7 +310,7 @@ def _watchdog(arg: str) -> None:
         last = f"attempt {i + 1}: exit={r.returncode} tail={r.stdout[-200:]!r}"
         print(last, file=sys.stderr)
     print(json.dumps({
-        "metric": "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_bf16",
+        "metric": "bge_base_embeddings_per_sec_per_chip_packed_msmarco_mix_int8_w8a8_fused",
         "value": None, "unit": "embeddings/s", "vs_baseline": None,
         "error": f"TPU unreachable after {attempts} attempts ({last}); "
                  "see BENCH_NOTES.md for the last measured numbers",
