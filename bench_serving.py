@@ -160,11 +160,22 @@ def text_stream() -> None:
     from nexus_tpu.training.embedder.text_retrieval.modeling import BiTextEmbedderModel
     from nexus_tpu.utils.benchstats import measure_trials
 
+    import sys
+
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
+    out_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    # argv[4]: device path — 'xla' (default), 'fused' (bf16 full-layer
+    # megakernel) or 'fused_int8' (the recommended W8A8 serving config;
+    # bench.py's headline device path)
+    impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
+
     config = BertConfig(
         vocab_size=30522, hidden_size=768, num_hidden_layers=12,
         num_attention_heads=12, intermediate_size=3072,
         max_position_embeddings=512, add_pooling_layer=False,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attention_impl="fused" if impl.startswith("fused") else impl,
+        quantized=impl.endswith("int8"),
     )
     margs = TextEmbedderModelArguments(dtype="bfloat16", sentence_pooling_method="cls")
     model = BiTextEmbedderModel(config, margs)
@@ -179,10 +190,6 @@ def text_stream() -> None:
     # stream batch size: each packed program is ONE relay dispatch paying
     # ~25-50 ms of fixed overhead, so bigger batches amortize it (a real
     # directly-attached chip pays ~1 ms and can stream smaller batches)
-    import sys
-
-    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
-    out_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     n_batches = max(24576 // per_batch, 2)
     tok, sentences = _fake_corpus_and_tokenizer(tmp, per_batch * n_batches, rng)
     batches = [sentences[i * per_batch : (i + 1) * per_batch] for i in range(n_batches)]
@@ -206,7 +213,7 @@ def text_stream() -> None:
         "metric": "text_serving_stream_embeddings_per_sec_end_to_end",
         "value": round(stats["value"], 2), "unit": "embeddings/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
-        "stream_batch": per_batch, "output_dtype": out_dtype,
+        "stream_batch": per_batch, "output_dtype": out_dtype, "impl": impl,
         "includes": "tokenization + packing + encode + fetch (host work "
                     "overlapped via double buffering)",
     }), flush=True)
