@@ -164,10 +164,19 @@ def text_stream() -> None:
 
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
     out_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
-    # argv[4]: device path — 'xla' (default), 'fused' (bf16 full-layer
-    # megakernel) or 'fused_int8' (the recommended W8A8 serving config;
-    # bench.py's headline device path)
+    # argv[4]: device path — 'xla' (default), 'pallas' (flash attention),
+    # 'fused' (bf16 full-layer megakernel) or 'fused_int8' (the recommended
+    # W8A8 serving config; bench.py's headline device path). NOTE: weights
+    # are randomly initialized (int8 kernels start zero) — throughput is
+    # valid because MXU timing is data-independent, but outputs are not
+    # meaningful embeddings; a finiteness assert below guards the path.
     impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
+    _VALID_IMPLS = ("xla", "pallas", "fused", "fused_int8")
+    if impl not in _VALID_IMPLS:
+        raise SystemExit(
+            f"unknown impl {impl!r}: expected one of {_VALID_IMPLS} "
+            "(anything else would silently fall back to the XLA path and "
+            "mislabel the benchmark)")
 
     config = BertConfig(
         vocab_size=30522, hidden_size=768, num_hidden_layers=12,
@@ -197,9 +206,12 @@ def text_stream() -> None:
     emb = TextEmbedder(model=model, tokenizer=tok, batch_size=per_batch,
                        max_length=128, seq_buckets=(128,), packing=True,
                        output_dtype=out_dtype)
-    # warm: compile every row-bucket shape the stream will hit
-    for _ in emb.encode_stream(batches):
-        pass
+    # warm: compile every row-bucket shape the stream will hit; assert the
+    # device path produces finite values (catches NaN-producing kernel
+    # regressions that data-independent MXU timing would otherwise hide)
+    for reps in emb.encode_stream(batches):
+        if not np.all(np.isfinite(np.asarray(reps, dtype=np.float32))):
+            raise SystemExit(f"non-finite embeddings from impl={impl!r}")
 
     def one_trial() -> float:
         t0 = time.perf_counter()

@@ -77,6 +77,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--embedder", default=None, help="HF checkpoint dir (default: tiny fixture model)")
     ap.add_argument("--reranker", default=None)
+    ap.add_argument("--dataset_dir", default=None,
+                    help="real BEIR root (contains <dataset_name>/corpus.jsonl "
+                         "...); default: generated FiQA-layout fixture")
+    ap.add_argument("--dataset_name", default=None,
+                    help="dataset subdir under --dataset_dir (default: fiqa)")
+    ap.add_argument("--max_length", type=int, default=None,
+                    help="query/passage token cap (default 64 on the fixture, "
+                         "512 on a real --dataset_dir)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "search_results"))
     ap.add_argument("--work", default="/tmp/nx_fiqa_eval")
     args = ap.parse_args()
@@ -87,7 +95,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.work, exist_ok=True)
-    dataset_dir = build_fixture(args.work)
+    if args.dataset_dir:
+        dataset_dir = args.dataset_dir
+        dataset_name = args.dataset_name or "fiqa"
+        max_length = args.max_length or 512
+    else:
+        dataset_dir = build_fixture(args.work)
+        dataset_name = "fiqa-test"
+        max_length = args.max_length or 64
     embedder = args.embedder or build_tiny_checkpoint(args.work)
     reranker = args.reranker or embedder
 
@@ -99,17 +114,18 @@ def main():
     results = {}
     for mode in ("normal", "aot"):
         eargs = TextRetrievalEvalArguments(
-            dataset_dir=dataset_dir, dataset_names=["fiqa-test"],
+            dataset_dir=dataset_dir, dataset_names=[dataset_name],
             eval_output_dir=os.path.join(args.work, f"out_{mode}"),
             embedder_name_or_path=embedder,
             reranker_name_or_path=reranker,
             embedder_infer_mode=mode,
-            search_top_k=50, rerank_top_k=10,
+            search_top_k=1000 if args.dataset_dir else 50, rerank_top_k=10,
             embedder_batch_size=32,
-            embedder_query_max_length=64, embedder_passage_max_length=64,
+            embedder_query_max_length=max_length,
+            embedder_passage_max_length=max_length,
             k_values=[1, 5, 10], overwrite=True,
         )
-        results[mode] = TextRetrievalEvalRunner(eargs).run()["fiqa-test"]
+        results[mode] = TextRetrievalEvalRunner(eargs).run()[dataset_name]
 
     # engine parity: normal vs AOT must agree (the reference validates its
     # ONNX/TRT engines exactly this way)
