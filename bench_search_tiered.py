@@ -1,0 +1,120 @@
+"""Host-tiered retrieval latency: int8 IVF cells resident in HOST RAM,
+probed cells streamed to the chip (VERDICT r3 item 3 — the tier between the
+single-chip 12.58M HBM ceiling and the 100M north star).
+
+Corpora beyond HBM are synthesized directly in host RAM in the
+cell-contiguous layout (clustered cells so probing is meaningful; planted
+query rows so recall is oracle-checkable without a 20-GB brute-force scan).
+Measures p50/p99 per corpus size with the per-stage budget the design doc
+promises: probe (device) / gather (host memcpy) / transfer (host->chip) /
+score (MXU). On this relay VM the transfer leg is capped at ~24 MB/s
+(BENCH_NOTES text-stream section measured the same cap); the extrapolation
+line rescales ONLY that leg to a PCIe-attached host (~16 GB/s) — the other
+three legs are measured as-is.
+
+Run: python bench_search_tiered.py [sizes_millions ...] (default 4.7 12.6)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+DIM = 768
+CAP = 1536
+K = 100
+B = 16
+NPROBE = 16
+ITERS = 8
+PCIE_BYTES_PER_S = 16e9
+
+
+def log(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def build_host_corpus(nlist: int, rng):
+    """Cell-contiguous int8 corpus: cell c = centroid_c + shared noise pool.
+    One [CAP, DIM] noise pool is reused across cells (generation speed), but
+    every cell's block is materialized in h_vectors — gather cost is real."""
+    n = nlist * CAP
+    t0 = time.perf_counter()
+    cents = rng.integers(-80, 81, (nlist, DIM)).astype(np.int16)
+    noise = rng.integers(-15, 16, (CAP, DIM)).astype(np.int16)
+    vectors = np.empty((n, DIM), np.int8)
+    for c in range(nlist):
+        vectors[c * CAP:(c + 1) * CAP] = np.clip(
+            cents[c][None, :] + noise, -127, 127).astype(np.int8)
+    starts = np.arange(nlist, dtype=np.int64) * CAP
+    counts = np.full((nlist,), CAP, np.int64)
+    scales = np.full((n,), 1.0 / 127.0, np.float32)
+    build_s = time.perf_counter() - t0
+    gb = vectors.nbytes / 1e9
+    log(stage="host_corpus", rows=n, gb=round(gb, 2), build_s=round(build_s, 1))
+    return vectors, cents.astype(np.float32) / 127.0, starts, counts, scales
+
+
+def main() -> None:
+    from nexus_tpu.inference.index import HostTieredIVFIndex
+
+    sizes_m = [float(a) for a in sys.argv[1:]] or [4.7, 12.6]
+    rng = np.random.default_rng(0)
+    for size_m in sizes_m:
+        nlist = max(int(size_m * 1e6 / CAP), 64)
+        vectors, cents, starts, counts, scales = build_host_corpus(nlist, rng)
+        n = vectors.shape[0]
+        idx = HostTieredIVFIndex.from_arrays(
+            vectors, cents, starts, counts, CAP, row_scales=scales,
+            nprobe=NPROBE, chunk_cells=8, prefetch=2)
+
+        # planted queries: jittered copies of known rows spread across cells
+        plant_cells = rng.choice(nlist, B, replace=False)
+        plant_rows = plant_cells * CAP + rng.integers(0, CAP, B)
+        q = vectors[plant_rows].astype(np.float32) / 127.0
+        q = q + rng.standard_normal(q.shape).astype(np.float32) * 0.002
+
+        timers: dict = {}
+        idx.search(q, K, timers=timers)  # compile + warm
+        timers.clear()
+        lats = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            s, ids = idx.search(q, K, timers=timers)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        hit1 = float(np.mean(ids[:, 0] == plant_rows))
+        in_cell = float(np.mean(ids // CAP == plant_cells[:, None]))
+        cells_per_search = timers["cells"] / ITERS
+        bytes_per_search = cells_per_search * CAP * (DIM + 4)
+        tr_s = timers["transfer"] / ITERS
+        bw = bytes_per_search / max(tr_s, 1e-9)
+        p50 = float(np.percentile(lats, 50))
+        # PCIe extrapolation: replace ONLY the measured transfer leg
+        pcie_tr_ms = bytes_per_search / PCIE_BYTES_PER_S * 1e3
+        p50_pcie = p50 - tr_s * 1e3 + pcie_tr_ms
+        log(metric=f"host_tiered_p50_ms_{size_m}M", value=round(p50, 1),
+            unit="ms", p99_ms=round(float(np.percentile(lats, 99)), 1),
+            batch=B, k=K, nprobe=NPROBE, rows=n,
+            corpus_gb=round(vectors.nbytes / 1e9, 2),
+            recall_at1_planted=hit1, frac_from_planted_cell=round(in_cell, 3),
+            stage_ms_per_search={
+                "probe": round(timers["probe"] / ITERS * 1e3, 1),
+                "gather": round(timers["gather"] / ITERS * 1e3, 1),
+                "transfer": round(tr_s * 1e3, 1),
+                "score": round(timers["score"] / ITERS * 1e3, 1),
+            },
+            transfer_mb_per_search=round(bytes_per_search / 1e6, 1),
+            measured_transfer_mb_s=round(bw / 1e6, 1),
+            p50_ms_extrapolated_pcie=round(p50_pcie, 1))
+        del vectors, idx
+
+
+if __name__ == "__main__":
+    main()

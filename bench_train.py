@@ -12,7 +12,10 @@ This chip has 197 bf16 TF/s peak vs the A100's 312 fp16.
 Variants (argv): 'impl/remat' embedder grid
 (xla|pallas|fused / full|dots|offload_dots|none|plainK),
 'ragged_padded'|'ragged_packed' embedder, 'reranker_padded'|'reranker_packed'
-(+ optional ':impl' suffix, e.g. reranker_packed:fused).
+(+ optional ':impl' suffix, e.g. reranker_packed:fused), and the LLM
+(Llama-1B-shape decoder) fine-tune grid
+'llm_{embed|rerank}_{lora|full}_{padded|packed}[:impl[:opt]]'
+(e.g. llm_embed_lora_packed:fused, llm_rerank_full_padded:pallas:adafactor).
 Every variant runs N>=5 timed trials and prints median + IQR
 (utils/benchstats.py — single-run relay numbers are not evidence).
 """
@@ -298,6 +301,150 @@ def run_reranker(pack: bool, accum: int = 1, impl: str = "pallas") -> float:
     return stats["value"]
 
 
+LBS = 8  # LLM fine-tune: queries (embedder) / groups (reranker) per step
+
+
+def _llama1b_config(impl: str, lora: bool):
+    from nexus_tpu.models.llama import LlamaConfig
+
+    # Llama-3.2-1B shape (the serving benches' LLM shape, bench_serving.py):
+    # H=2048, 16 layers, GQA 32q/8kv, d=64, FF=8192, 32k vocab ~= 1.04B params
+    return LlamaConfig(
+        vocab_size=32000, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        max_position_embeddings=SEQ, attention_impl=impl,
+        lora_rank=16 if lora else 0, lora_alpha=16.0,
+    )
+
+
+def run_llm_embed(lora: bool, pack: bool, impl: str = "pallas",
+                  opt: str = "adamw") -> float:
+    """Decoder (LLM) embedder fine-tune throughput: Llama-1B trunk,
+    last-token pooling, contrastive in-batch loss at bs8 x group8, seq 512.
+    (Match: ref decoder_only training, training/embedder/text_retrieval/
+    decoder_only/load_model.py:13-121 — LoRA over a causal trunk.)
+
+    ``lora``: rank-16 adapters (the reference recipe) vs full fine-tune.
+    Full FT at 1B needs ``opt='adafactor'`` on 16 GB HBM: f32 params (4.2 GB)
+    + AdamW's two f32 moments (8.4 GB) + f32 grads (4.2 GB) cannot fit.
+    ``impl``: pallas (flash) | fused (ops/fused_decoder.py megakernel — its
+    custom vjp recomputes in VMEM, so XLA remat turns off) | xla."""
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+    from nexus_tpu.training.trainer import RecTrainer
+
+    config = _llama1b_config(impl, lora)
+    margs = TextEmbedderModelArguments(
+        temperature=0.02, dtype="bfloat16",
+        sentence_pooling_method="last_token",
+        gradient_checkpointing=impl != "fused",
+        attention_impl=impl,
+    )
+    model = BiDecoderOnlyEmbedderModel(config, margs)
+    targs = TrainingArguments.from_dict(dict(
+        output_dir="/tmp/nx_bench_llm_embed", num_train_epochs=1,
+        per_device_train_batch_size=LBS, learning_rate=1e-5,
+        optimizer=opt, logging_steps=1000, evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs)
+    trainer.init_state()
+    step_fn = trainer._build_train_step()
+
+    rng = np.random.default_rng(0)
+    global BS
+    bs_save, BS = BS, LBS
+    try:
+        batch = _ragged_batch(rng, pack)
+    finally:
+        BS = bs_save
+    if pack:
+        occ = float(batch["passage_lengths"].sum()) / batch["passage_input_ids"].size
+        rows = batch["passage_input_ids"].shape[0]
+        print(f"  packed: passage rows {rows} (vs {LBS * GROUP} padded), "
+              f"occupancy {occ:.2f}")
+    key = jax.random.PRNGKey(0)
+    holder = {"state": trainer._state}
+
+    def step_once():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        holder["loss"] = float(m["loss"])
+
+    step_once()
+    step_once()
+    stats = _timed_trials(step_once, LBS, steps=3)
+    tag = (f"{'lora' if lora else 'full'} {'packed' if pack else 'padded'} "
+           f"{impl} {opt}")
+    print(f"llm_embed {tag}: {stats['value']:6.2f} samples/s "
+          f"median of n={stats['n']} (IQR {stats['iqr']:.2f}, "
+          f"range {stats['min']:.2f}-{stats['max']:.2f}, loss {holder['loss']:.3f})",
+          flush=True)
+    return stats["value"]
+
+
+def run_llm_rerank(lora: bool, pack: bool, impl: str = "pallas",
+                   opt: str = "adamw") -> float:
+    """Decoder (LLM) cross-encoder reranker fine-tune throughput: Llama-1B
+    trunk + score head, group CE at bs8 groups of 8 pairs, seq 512.
+    Same lora/full, padded/packed, impl grid as run_llm_embed."""
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.reranker.text_retrieval.decoder_only import (
+        DecoderCrossEncoderModel,
+    )
+    from nexus_tpu.training.trainer import RecTrainer
+
+    config = _llama1b_config(impl, lora)
+    model = DecoderCrossEncoderModel(
+        config, train_group_size=GROUP, dtype="bfloat16",
+        remat=impl != "fused",
+    )
+    targs = TrainingArguments.from_dict(dict(
+        output_dir="/tmp/nx_bench_llm_rerank", num_train_epochs=1,
+        per_device_train_batch_size=LBS, learning_rate=1e-5,
+        optimizer=opt, logging_steps=1000, evaluation_strategy="no",
+    ))
+    trainer = RecTrainer(model, targs)
+    trainer.init_state()
+    step_fn = trainer._build_train_step()
+
+    rng = np.random.default_rng(0)
+    n = LBS * GROUP
+    ids_all, mask_all, _ = _reranker_pairs(rng)
+    ids, mask = ids_all[:n], mask_all[:n]
+    if pack:
+        from nexus_tpu.ops.packing import pack_tokenized
+
+        pk = pack_tokenized(ids, mask, row_len=SEQ, row_bucket=8)
+        batch = {k: jnp.asarray(v) for k, v in pk.items()}
+        occ = float(pk["lengths"].sum()) / pk["input_ids"].size
+        print(f"  packed: {pk['input_ids'].shape[0]} rows (vs {n} padded), "
+              f"occupancy {occ:.2f}")
+    else:
+        batch = {"input_ids": jnp.asarray(ids),
+                 "attention_mask": jnp.asarray(mask)}
+    key = jax.random.PRNGKey(0)
+    holder = {"state": trainer._state}
+
+    def step_once():
+        holder["state"], m = step_fn(holder["state"], batch, key)
+        holder["loss"] = float(m["loss"])
+
+    step_once()
+    step_once()
+    stats = _timed_trials(step_once, LBS, steps=3)
+    tag = (f"{'lora' if lora else 'full'} {'packed' if pack else 'padded'} "
+           f"{impl} {opt}")
+    print(f"llm_rerank {tag}: {stats['value']:6.2f} samples/s "
+          f"median of n={stats['n']} (IQR {stats['iqr']:.2f}, "
+          f"range {stats['min']:.2f}-{stats['max']:.2f}, loss {holder['loss']:.3f})",
+          flush=True)
+    return stats["value"]
+
+
 if __name__ == "__main__":
     # fused/none first: the recommended BERT-trunk training config (the
     # fwd+bwd megakernel pair needs no XLA remat — 30.1 samples/s vs 26.4
@@ -314,6 +461,24 @@ if __name__ == "__main__":
                 run_ragged(v == "ragged_packed", **impl_kw)
             except Exception as e:
                 print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
+        if v.startswith("llm_embed_") or v.startswith("llm_rerank_"):
+            # llm_{embed|rerank}_{lora|full}_{padded|packed}[:impl[:opt]]
+            toks = v.split("_")  # ['llm', 'embed', 'lora', 'padded']
+            if len(toks) != 4 or toks[2] not in ("lora", "full") \
+                    or toks[3] not in ("padded", "packed"):
+                print(f"{v}: bad llm variant (want llm_{{embed|rerank}}_"
+                      f"{{lora|full}}_{{padded|packed}}[:impl[:opt]])", flush=True)
+                continue
+            ft, layout = toks[2], toks[3]
+            parts = (impl_sfx or "pallas").split(":")
+            kw = dict(lora=ft == "lora", pack=layout == "packed",
+                      impl=parts[0], **({"opt": parts[1]} if len(parts) > 1 else {}))
+            fn = run_llm_embed if v.startswith("llm_embed") else run_llm_rerank
+            try:
+                fn(**kw)
+            except Exception as e:
+                print(f"{v}: FAILED ({type(e).__name__}: {str(e)[:160]})", flush=True)
             continue
         if v in ("reranker_padded", "reranker_packed") or v.startswith("reranker_accum"):
             try:

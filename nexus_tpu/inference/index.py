@@ -588,3 +588,219 @@ def _ivf_search_impl(q, vectors, row_scales, centroids, starts, counts, *, k: in
     )
     (vals, rows), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return vals, rows
+
+
+class HostTieredIVFIndex:
+    """IVF search for corpora BEYOND one chip's HBM: int8 cells stay
+    resident in HOST RAM; only the batch's probed subcells stream to the
+    chip, double-buffered against device scoring (the encode_stream overlap
+    pattern), and a running top-k merge lives on device.
+
+    This is the missing tier between the single-chip 12.58M-row ceiling and
+    the 100M north star (BASELINE.md): what Faiss gets from CPU RAM for free
+    (the reference's eval utils fall back to CPU/numpy search,
+    Nexus/evaluation/text_retrieval/utils.py:148-229), done TPU-side — the
+    chip still does all scoring on the MXU, the host is a passive cell
+    store. Budget per batch = max(host gather + H2D transfer, device
+    scoring); on a PCIe host the transfer of P probed cells (P*cap*D int8
+    bytes) rides ~16 GB/s, on this relay VM it is capped at ~24 MB/s
+    (BENCH_NOTES text-stream section) — bench_search_tiered.py measures the
+    split explicitly.
+
+    Centroids (small) live on device; the coarse probe is one compiled
+    program, the per-chunk scorer another (carry donated, so the running
+    top-k never round-trips).
+    """
+
+    def __init__(self, base: ItemIndex, chunk_cells: int = 8, prefetch: int = 2):
+        if not base.is_ivf:
+            raise ValueError("HostTieredIVFIndex requires an IVF-built base index")
+        self.metric = base.metric
+        self.nprobe = int(base.nprobe)
+        self.cell_cap = int(base.cell_cap)
+        self.chunk_cells = int(chunk_cells)
+        self.prefetch = int(prefetch)
+        self.topk_impl = base.topk_impl
+        # host tier: the corpus (int8 or dense) + per-row scales + ids
+        self.h_vectors = np.asarray(base.vectors)
+        self.h_scales = (None if base.row_scales is None
+                         else np.asarray(base.row_scales, np.float32))
+        self.item_ids = np.asarray(base.item_ids)
+        self.h_starts = np.asarray(base.cluster_items, np.int64)
+        self.h_counts = np.asarray(base.cluster_counts, np.int64)
+        # device tier: centroids only
+        self.centroids = jnp.asarray(base.centroids)
+        self._compiled = {}
+
+    @classmethod
+    def from_arrays(cls, vectors: np.ndarray, centroids: np.ndarray,
+                    starts: np.ndarray, counts: np.ndarray, cell_cap: int,
+                    row_scales: Optional[np.ndarray] = None,
+                    item_ids: Optional[np.ndarray] = None, metric: str = "ip",
+                    nprobe: int = 10, chunk_cells: int = 8,
+                    prefetch: int = 2) -> "HostTieredIVFIndex":
+        """Host-resident construction: `vectors` NEVER touches the device
+        (an ItemIndex-mediated build would device_put the whole corpus —
+        the exact thing this tier exists to avoid). `vectors` must already
+        be in the cell-contiguous layout described by starts/counts."""
+        self = cls.__new__(cls)
+        self.metric = metric
+        self.nprobe = int(nprobe)
+        self.cell_cap = int(cell_cap)
+        self.chunk_cells = int(chunk_cells)
+        self.prefetch = int(prefetch)
+        self.topk_impl = "exact"
+        self.h_vectors = np.asarray(vectors)
+        self.h_scales = (None if row_scales is None
+                         else np.asarray(row_scales, np.float32))
+        self.item_ids = (np.arange(vectors.shape[0])
+                         if item_ids is None else np.asarray(item_ids))
+        self.h_starts = np.asarray(starts, np.int64)
+        self.h_counts = np.asarray(counts, np.int64)
+        self.centroids = jnp.asarray(centroids)
+        self._compiled = {}
+        return self
+
+    # -- device programs ---------------------------------------------------
+
+    def _probe_fn(self, b: int, nprobe: int):
+        key = ("probe", b, nprobe)
+        if key not in self._compiled:
+            def probe(q, centroids):
+                cs = q @ centroids.T.astype(jnp.float32)
+                _, cells = jax.lax.top_k(cs, nprobe)
+                return cells
+            self._compiled[key] = jax.jit(probe)
+        return self._compiled[key]
+
+    def _score_fn(self, b: int, k: int):
+        """One chunk: score [C*cap, D] host-gathered rows against all
+        queries, merge into the running (vals, rows) carry (donated)."""
+        key = ("score", b, k, self.chunk_cells, self.h_scales is not None)
+        if key not in self._compiled:
+            cap = self.cell_cap
+            spc = self.chunk_cells
+            quantized = self.h_scales is not None
+            k_step = min(k, spc * cap)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def score(vals, rows, q, block, scales, bases, counts):
+                if quantized:
+                    s = jnp.dot(q.astype(jnp.bfloat16),
+                                block.astype(jnp.bfloat16).T,
+                                preferred_element_type=jnp.float32)
+                    s = s * scales[None, :]
+                else:
+                    s = q @ block.T.astype(jnp.float32)
+                pos = jax.lax.broadcasted_iota(jnp.int32, (1, spc * cap), 1) % cap
+                seg = jax.lax.broadcasted_iota(jnp.int32, (1, spc * cap), 1) // cap
+                valid = pos < counts[seg]
+                s = jnp.where(valid, s, -jnp.inf)
+                if self.topk_impl == "approx":
+                    top_s, top_pos = jax.lax.approx_max_k(s, k_step, recall_target=0.95)
+                else:
+                    top_s, top_pos = jax.lax.top_k(s, k_step)
+                top_rows = (bases[top_pos // cap] + (top_pos % cap)).astype(jnp.int32)
+                all_s = jnp.concatenate([vals, top_s], axis=-1)
+                all_r = jnp.concatenate([rows, top_rows], axis=-1)
+                best_s, best_pos = jax.lax.top_k(all_s, k)
+                return best_s, jnp.take_along_axis(all_r, best_pos, axis=-1)
+
+            self._compiled[key] = score
+        return self._compiled[key]
+
+    # -- host gather -------------------------------------------------------
+
+    def _gather_chunk(self, cells) -> tuple:
+        """Host-side: copy `cells` (<= chunk_cells ids, padded with -1) into
+        one contiguous [C*cap, D] block + scales/bases/counts side arrays."""
+        cap, spc, d = self.cell_cap, self.chunk_cells, self.h_vectors.shape[1]
+        block = np.zeros((spc * cap, d), self.h_vectors.dtype)
+        scales = np.zeros((spc * cap,), np.float32)
+        bases = np.zeros((spc,), np.int32)
+        counts = np.zeros((spc,), np.int32)
+        for j, c in enumerate(cells):
+            if c < 0:
+                continue
+            lo = self.h_starts[c]
+            cnt = int(self.h_counts[c])
+            block[j * cap : j * cap + cnt] = self.h_vectors[lo : lo + cnt]
+            if self.h_scales is not None:
+                scales[j * cap : j * cap + cnt] = self.h_scales[lo : lo + cnt]
+            bases[j] = lo
+            counts[j] = cnt
+        return block, scales, bases, counts
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries, k: int, timers: Optional[dict] = None):
+        """(scores [B, k], item_ids [B, k]). ``timers`` (optional dict)
+        accumulates 'probe', 'gather', 'transfer', 'score' seconds."""
+        import queue as _queue
+        import threading
+        import time as _time
+
+        q = jnp.asarray(queries, jnp.float32)
+        if self.metric == "cosine":
+            q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
+        b = q.shape[0]
+        nprobe = min(self.nprobe, self.centroids.shape[0])
+
+        t0 = _time.perf_counter()
+        cells = np.unique(np.asarray(self._probe_fn(b, nprobe)(q, self.centroids)))
+        if timers is not None:
+            timers["probe"] = timers.get("probe", 0.0) + _time.perf_counter() - t0
+
+        spc = self.chunk_cells
+        n_chunks = max(-(-len(cells) // spc), 1)
+        padded = np.full((n_chunks * spc,), -1, np.int64)
+        padded[: len(cells)] = cells
+
+        # producer thread: host gather + device_put of chunk i+1 overlaps
+        # the device scoring of chunk i (GIL released during both the numpy
+        # copies and the transfer)
+        chunks: _queue.Queue = _queue.Queue(maxsize=max(self.prefetch, 1))
+        stats = {"gather": 0.0, "transfer": 0.0}
+        err: list = []
+
+        def producer():
+            try:
+                for ci in range(n_chunks):
+                    t1 = _time.perf_counter()
+                    block, scales, bases, counts = self._gather_chunk(
+                        padded[ci * spc : (ci + 1) * spc])
+                    t2 = _time.perf_counter()
+                    dev = (jax.device_put(block), jax.device_put(scales),
+                           jax.device_put(bases), jax.device_put(counts))
+                    jax.block_until_ready(dev)
+                    t3 = _time.perf_counter()
+                    stats["gather"] += t2 - t1
+                    stats["transfer"] += t3 - t2
+                    chunks.put(dev)
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+                chunks.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+
+        score = self._score_fn(b, k)
+        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+        rows = jnp.zeros((b, k), jnp.int32)
+        t_score = 0.0
+        for _ in range(n_chunks):
+            item = chunks.get()
+            if item is None:
+                raise err[0]
+            t4 = _time.perf_counter()
+            vals, rows = score(vals, rows, q, *item)
+            t_score += _time.perf_counter() - t4
+        th.join()
+        vals_np = np.asarray(vals)
+        rows_np = np.asarray(rows)
+        if timers is not None:
+            timers["gather"] = timers.get("gather", 0.0) + stats["gather"]
+            timers["transfer"] = timers.get("transfer", 0.0) + stats["transfer"]
+            timers["score"] = timers.get("score", 0.0) + t_score
+            timers["cells"] = timers.get("cells", 0) + int(len(cells))
+        return vals_np, self.item_ids[rows_np]

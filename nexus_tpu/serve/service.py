@@ -96,12 +96,23 @@ class _ServiceBase:
 
 
 class InferenceService(_ServiceBase):
-    """Two-stage recommendation cascade (parity: serve/inference_service.py:21-62)."""
+    """Two-stage recommendation cascade (parity: serve/inference_service.py:21-62).
 
-    def __init__(self, retriever_engine, ranker_engine=None, **kw):
+    TPU addition (mirrors TextRetrievalService): concurrent /recommend
+    requests are dynamically micro-batched — co-boarded requests' user_ids
+    ride ONE hydration + ONE retrieve + ONE rank pass instead of paying the
+    per-call dispatch floor each."""
+
+    def __init__(self, retriever_engine, ranker_engine=None,
+                 max_batch: int = 32, batch_wait_ms: float = 4.0, **kw):
         super().__init__(**kw)
+        from nexus_tpu.serve.batching import MicroBatcher
+
         self.retriever = retriever_engine
         self.ranker = ranker_engine
+        self._batcher = MicroBatcher(
+            self._recommend_many, max_batch=max_batch,
+            max_wait_ms=batch_wait_ms, name="recommend")
 
     @staticmethod
     def _context_covers(ctx: Dict, data_attr) -> bool:
@@ -117,20 +128,24 @@ class InferenceService(_ServiceBase):
                 return False
         return True
 
-    def recommend(self, payload: Dict) -> Dict:
-        user_ids: List = payload["user_ids"]
+    def _recommend_many(self, payloads: List[Dict]) -> List[Dict]:
+        """One departing batch: co-boarded requests' user_ids concatenate
+        into ONE cascade pass (one mget+decode hydration, one fused
+        retrieve, one rank), then split back per request by offsets."""
+        all_ids: List = []
+        offsets = [0]
+        for p in payloads:
+            all_ids.extend(p["user_ids"])
+            offsets.append(len(all_ids))
         # hydrate user/context features ONCE for the whole cascade (the
         # reference's ranker stage re-reads the same user keys from Redis,
         # reranker base.py:121; here both stages share one mget+decode when
         # their feature schemas agree)
         context = None
         if self.ranker is not None and self.retriever.retrieve_mode != "i2i":
-            context = self.retriever.get_user_context_features(user_ids)
-        retrieved = self.retriever.batch_inference(user_ids, context=context)
-        result = {
-            "user_ids": user_ids,
-            "retrieved": retrieved["item_ids"].tolist(),
-        }
+            context = self.retriever.get_user_context_features(all_ids)
+        retrieved = self.retriever.batch_inference(all_ids, context=context)
+        ranked = None
         if self.ranker is not None:
             ranker_ctx = (
                 context
@@ -138,14 +153,36 @@ class InferenceService(_ServiceBase):
                 else None
             )
             ranked = self.ranker.batch_inference(
-                user_ids, retrieved["item_ids"], context=ranker_ctx
+                all_ids, retrieved["item_ids"], context=ranker_ctx
             )
-            result["ranked"] = ranked["item_ids"].tolist()
-        result["timers"] = {
+        timers = {
             "retriever": dict(self.retriever.timers),
             **({"ranker": dict(self.ranker.timers)} if self.ranker else {}),
         }
-        return result
+        out = []
+        for i, p in enumerate(payloads):
+            lo, hi = offsets[i], offsets[i + 1]
+            result = {
+                "user_ids": p["user_ids"],
+                "retrieved": retrieved["item_ids"][lo:hi].tolist(),
+            }
+            if ranked is not None:
+                result["ranked"] = ranked["item_ids"][lo:hi].tolist()
+            result["timers"] = timers
+            out.append(result)
+        return out
+
+    def recommend(self, payload: Dict) -> Dict:
+        if "user_ids" not in payload:  # validate BEFORE boarding a batch
+            raise KeyError("user_ids")
+        return self._batcher(payload)
+
+    def stats(self, payload: Dict) -> Dict:
+        return {"recommend_batcher": self._batcher.stats}
+
+    def stop(self):
+        super().stop()
+        self._batcher.close()
 
     def list_users(self, payload: Dict) -> Dict:
         pattern = payload.get("pattern", "user:*")
@@ -153,7 +190,8 @@ class InferenceService(_ServiceBase):
         return {"user_ids": [k.split(":", 1)[1] for k in keys]}
 
     def routes(self):
-        return {"/recommend": self.recommend, "/users": self.list_users}
+        return {"/recommend": self.recommend, "/users": self.list_users,
+                "/stats": self.stats}
 
 
 class TextRetrievalService(_ServiceBase):

@@ -64,7 +64,12 @@ class BiDecoderOnlyEmbedderModel(BiTextEmbedderModel):
             llama_config.attention_impl = args.attention_impl
         self.args = args
         dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-        self.net = LlamaModel(llama_config, dtype=dtype, ring_mesh=ring_mesh)
+        # honor the same remat knobs as the encoder twin (modeling.py:52-54)
+        # — fine-tuning a 1B-scale trunk at seq 512 without remat does not
+        # fit 16 GB HBM
+        self.net = LlamaModel(llama_config, dtype=dtype, ring_mesh=ring_mesh,
+                              remat=args.gradient_checkpointing,
+                              remat_policy=args.remat_policy)
         self.variables = variables
         from nexus_tpu.modules.loss import CrossEntropyLoss, KLDivLoss, M3KDLoss
 

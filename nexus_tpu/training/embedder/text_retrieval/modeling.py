@@ -87,11 +87,18 @@ class BiTextEmbedderModel:
         sequence. Eliminates padding waste on ragged fine-tune batches — the
         training-side counterpart of the packed inference path (~1.6x on
         MS-MARCO-like length mixes, BENCH_NOTES.md)."""
+        # decoder trunks (BiDecoderOnlyEmbedderModel) take LlamaModel kwargs
+        # (positions=), encoders take BERT kwargs (position_ids=) — the same
+        # dispatch the packed inference path uses
+        # (inference/embedder/text_retrieval.py:239-247)
+        pos_kw = ("positions"
+                  if getattr(self, "llama_config", None) is not None
+                  else "position_ids")
         out = self.net.apply(
             variables, input_ids,
             attention_mask=(segment_ids != 0).astype(jnp.int32),
-            position_ids=position_ids, segment_ids=segment_ids,
-            train=train, rngs=rngs,
+            segment_ids=segment_ids, train=train, rngs=rngs,
+            **{pos_kw: position_ids},
         )
         hidden = out["last_hidden_state"].astype(jnp.float32)
         method = self.args.sentence_pooling_method

@@ -179,3 +179,79 @@ def test_search_requests_micro_batch(tmp_path):
         assert stats["batches"] < len(queries)
     finally:
         svc.stop()
+
+
+def test_recommend_requests_micro_batch():
+    """N concurrent /recommend requests coalesce into fewer cascade passes
+    (one hydrate+retrieve+rank per departing batch) with per-request splits
+    intact."""
+    import threading
+
+    import numpy as np
+
+    from nexus_tpu.serve.service import InferenceService
+
+    calls = {"retrieve": 0, "rank": 0}
+
+    class FakeRetriever:
+        retrieve_mode = "u2i"
+        timers = {}
+
+        def get_user_context_features(self, user_ids):
+            return {"uid": np.asarray(user_ids)}
+
+        def batch_inference(self, user_ids, context=None):
+            calls["retrieve"] += 1
+            # top-3 candidate items derived from the uid so splits are
+            # checkable per request
+            ids = np.asarray(user_ids)[:, None] * 10 + np.arange(3)[None, :]
+            return {"item_ids": ids}
+
+    class FakeRanker:
+        data_attr = type("A", (), {"context_features": ["uid"],
+                                   "seq_features": None})()
+        timers = {}
+
+        def batch_inference(self, user_ids, item_ids, context=None):
+            calls["rank"] += 1
+            return {"item_ids": item_ids[:, ::-1]}
+
+    svc = InferenceService(FakeRetriever(), FakeRanker(), port=0,
+                           batch_wait_ms=30).start()
+    try:
+        n = 8
+        results = [None] * n
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = _post(svc.port, "/recommend", {"user_ids": [i, 100 + i]})
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        for i, r in enumerate(results):
+            assert r["user_ids"] == [i, 100 + i]
+            assert r["retrieved"] == [[i * 10, i * 10 + 1, i * 10 + 2],
+                                      [(100 + i) * 10, (100 + i) * 10 + 1,
+                                       (100 + i) * 10 + 2]]
+            # ranker reverses each candidate row
+            assert r["ranked"][0] == [i * 10 + 2, i * 10 + 1, i * 10]
+        assert calls["retrieve"] < n, calls
+        assert calls["rank"] == calls["retrieve"]
+        stats = _post(svc.port, "/stats", {})["recommend_batcher"]
+        assert stats["items"] == n
+        assert stats["batches"] < n
+        # malformed request fails alone (400-class), no co-boarder impact
+        try:
+            _post(svc.port, "/recommend", {"nope": 1})
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+    finally:
+        svc.stop()
