@@ -162,3 +162,64 @@ def test_llm_embedder_through_inference_engine(tmp_path, key):
     reps = emb.encode_queries(["w1 w2 w3", "w4"])
     assert reps.shape == (2, TINY["hidden_size"])
     assert np.allclose(np.linalg.norm(reps, axis=-1), 1.0, atol=1e-3)
+
+
+def test_decoder_packed_training_loss_matches_padded(key):
+    """Packed contrastive TRAINING on the decoder embedder: the packed rows
+    (restarting positions + segment attention, last-token pooling) must give
+    the same loss and gradients as the padded layout. Covers the
+    encode_packed positions= dispatch (decoder trunks take LlamaModel
+    kwargs; the BERT-name position_ids= used to crash here)."""
+    from nexus_tpu.ops.packing import pack_tokenized
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+
+    cfg = LlamaConfig(**TINY)
+    margs = TextEmbedderModelArguments(
+        temperature=0.05, dtype="float32",
+        sentence_pooling_method="last_token", normalize_embeddings=True,
+    )
+    model = BiDecoderOnlyEmbedderModel(cfg, margs)
+    variables = model.init_variables(key)
+
+    rng = np.random.default_rng(3)
+    b, g, row = 4, 2, 32
+    q_lens = rng.integers(3, 12, b)
+    p_lens = rng.integers(5, 28, b * g)
+
+    def padded(lens, n):
+        ids = np.zeros((n, row), np.int32)
+        for i, l in enumerate(lens):
+            ids[i, :l] = rng.integers(2, 64, l)
+        return ids, (ids != 0).astype(np.int32)
+
+    q_ids, q_mask = padded(q_lens, b)
+    p_ids, p_mask = padded(p_lens, b * g)
+    batch_pad = {
+        "query_input_ids": jnp.asarray(q_ids),
+        "query_attention_mask": jnp.asarray(q_mask),
+        "passage_input_ids": jnp.asarray(p_ids),
+        "passage_attention_mask": jnp.asarray(p_mask),
+    }
+    batch_pack = {}
+    for prefix, (ids, mask) in (("query", (q_ids, q_mask)),
+                                ("passage", (p_ids, p_mask))):
+        pk = pack_tokenized(ids, mask, row_len=row, row_bucket=2)
+        batch_pack.update({f"{prefix}_{k}": jnp.asarray(v) for k, v in pk.items()})
+
+    def loss_of(batch):
+        def f(params):
+            return model.loss_fn({"params": params}, batch, jax.random.PRNGKey(0))[0]
+        return jax.value_and_grad(f)(variables["params"])
+
+    l_pad, g_pad = loss_of(batch_pad)
+    l_pack, g_pack = loss_of(batch_pack)
+    np.testing.assert_allclose(float(l_pad), float(l_pack), rtol=1e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_pad),
+                     jax.tree_util.tree_leaves(g_pack)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=1e-6)
