@@ -225,6 +225,13 @@ class RecTrainer:
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
         variables = self.model.init_variables(rng)
+        # models that expose `variables` (the LoRA families) need it SET
+        # before trainable_filter() can build the adapter mask — a fresh
+        # init used to skip the mask silently, so AdamW allocated full-tree
+        # f32 moments for a frozen 1B trunk (8.3 GB of dead optimizer state;
+        # found via the Llama-1B bench's 25.3G-of-15.75G HBM compile OOM)
+        if hasattr(self.model, "variables") and self.model.variables is None:
+            self.model.variables = variables
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         # adapter-only training (LoRA): frozen params get zero updates

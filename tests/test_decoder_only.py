@@ -223,3 +223,33 @@ def test_decoder_packed_training_loss_matches_padded(key):
                      jax.tree_util.tree_leaves(g_pack)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_lora_trainer_masks_optimizer_from_fresh_init(tmp_path):
+    """RecTrainer must apply the LoRA trainable mask even when variables
+    come from a fresh init (not from_pretrained): a silent full-tree AdamW
+    used to allocate f32 moments for the frozen trunk — 8.3 GB of dead
+    optimizer state at Llama-1B scale (found via an HBM compile OOM)."""
+    from nexus_tpu.training.arguments import TrainingArguments
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.decoder_only import (
+        BiDecoderOnlyEmbedderModel,
+    )
+    from nexus_tpu.training.trainer import RecTrainer
+
+    cfg = LlamaConfig(**TINY, lora_rank=4)
+    model = BiDecoderOnlyEmbedderModel(
+        cfg, TextEmbedderModelArguments(dtype="float32"))
+    targs = TrainingArguments.from_dict(dict(
+        output_dir=str(tmp_path), num_train_epochs=1,
+        per_device_train_batch_size=2, learning_rate=1e-4,
+        optimizer="adamw", logging_steps=1000, evaluation_strategy="no"))
+    trainer = RecTrainer(model, targs)
+    state = trainer.init_state()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    n_opt = sum(x.size for x in jax.tree_util.tree_leaves(state.opt_state)
+                if hasattr(x, "size"))
+    assert n_opt < 0.2 * n_params, (
+        f"optimizer state {n_opt} vs params {n_params}: LoRA mask not applied")
