@@ -339,10 +339,14 @@ def run_llm_embed(lora: bool, pack: bool, impl: str = "pallas",
     from nexus_tpu.training.trainer import RecTrainer
 
     config = _llama1b_config(impl, lora)
+    # NOTE: unlike the BERT megakernel (whole layer incl. FFN -> remat off),
+    # the decoder megakernel covers only the attention block; the SwiGLU MLP
+    # activations (16 x [72,512,8192] bf16 = 19 GB unrematted) still need
+    # the layer-scan remat at 1B scale — keep it ON for every impl
     margs = TextEmbedderModelArguments(
         temperature=0.02, dtype="bfloat16",
         sentence_pooling_method="last_token",
-        gradient_checkpointing=impl != "fused",
+        gradient_checkpointing=True,
         attention_impl=impl,
     )
     model = BiDecoderOnlyEmbedderModel(config, margs)
@@ -398,9 +402,10 @@ def run_llm_rerank(lora: bool, pack: bool, impl: str = "pallas",
     from nexus_tpu.training.trainer import RecTrainer
 
     config = _llama1b_config(impl, lora)
+    # remat stays ON even for 'fused': the decoder megakernel covers the
+    # attention block only (see run_llm_embed note)
     model = DecoderCrossEncoderModel(
-        config, train_group_size=GROUP, dtype="bfloat16",
-        remat=impl != "fused",
+        config, train_group_size=GROUP, dtype="bfloat16", remat=True,
     )
     targs = TrainingArguments.from_dict(dict(
         output_dir="/tmp/nx_bench_llm_rerank", num_train_epochs=1,
