@@ -167,20 +167,28 @@ class BaseEmbedderInferenceEngine:
             return self._i2i(user_ids)
         batch = context if context is not None else self.get_user_context_features(user_ids)
         bs = len(user_ids)
+        # batch-size bucket: micro-batched serving boards arbitrary user
+        # counts; compile one program per pow-2 bucket, not per count
+        # (utils/buckets.py — remote compile storms measured otherwise)
+        from nexus_tpu.utils.buckets import batch_bucket, pad_tree_rows
+
+        padded_bs = batch_bucket(bs, cap=1024)
+        if padded_bs != bs:
+            batch = pad_tree_rows(batch, padded_bs)
         if not hasattr(self.item_index, "search_ops"):
             # duck-typed index (e.g. ShardedIVFIndex): separate encode +
             # index.search — the index runs its own compiled program
             t0 = time.perf_counter()
-            q = np.asarray(self._encode(batch))
+            q = np.asarray(self._encode(batch))[:bs]
             self.timers["model"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             scores, item_ids = self.item_index.search(q, self.output_topk)
             self.timers["search"] += time.perf_counter() - t0
             return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
         t0 = time.perf_counter()
-        scores, rows = self._fused_u2i(bs)(batch)
-        scores = np.asarray(scores)  # host fetch = the dispatch boundary
-        item_ids = self.item_index.item_ids[np.asarray(rows)]
+        scores, rows = self._fused_u2i(padded_bs)(batch)
+        scores = np.asarray(scores)[:bs]  # host fetch = the dispatch boundary
+        item_ids = self.item_index.item_ids[np.asarray(rows)[:bs]]
         # encode+search run as ONE compiled program (one device dispatch);
         # the reference's separate model/faiss timers collapse into 'model'
         self.timers["model"] += time.perf_counter() - t0

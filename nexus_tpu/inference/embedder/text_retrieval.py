@@ -202,6 +202,13 @@ class TextEmbedder:
             if bucket_len > L:
                 ids = np.pad(ids, ((0, 0), (0, bucket_len - L)))
                 mask = np.pad(mask, ((0, 0), (0, bucket_len - L)))
+            # batch-size bucket: dynamic micro-batched serving produces
+            # arbitrary chunk sizes; one compiled program per pow-2 bucket,
+            # not per size (utils/buckets.py — the concurrent-serving fix)
+            from nexus_tpu.utils.buckets import batch_bucket, pad_rows
+
+            row_target = batch_bucket(len(ids), cap=batch_size)
+            ids, mask = pad_rows(ids, row_target), pad_rows(mask, row_target)
             if self.mesh is not None:
                 from nexus_tpu.parallel.mesh import DATA_AXIS
 
@@ -277,7 +284,18 @@ class TextEmbedder:
             longest = max(len(s) for s in chunk)
             row_len = next((b for b in self.seq_buckets if b >= longest), self.max_length)
             packed = pack_sequences([np.asarray(s, np.int32) for s in chunk], row_len)
-            packed = packed.pad_rows(-(-packed.n_rows // 8) * 8)  # row bucketing
+            # row bucketing, two regimes: small packs (dynamic micro-batched
+            # serving — arbitrary sizes) round up to a power of two so the
+            # program count stays log2 instead of one-per-size (remote
+            # compile storms measured at 6-12 s p50, utils/buckets.py);
+            # large packs (offline encode — stationary length mixes) keep
+            # the tighter multiple-of-8 rounding
+            if packed.n_rows <= 128:
+                from nexus_tpu.utils.buckets import batch_bucket
+
+                packed = packed.pad_rows(max(8, batch_bucket(packed.n_rows)))
+            else:
+                packed = packed.pad_rows(-(-packed.n_rows // 8) * 8)
             n = packed.n_sequences
             pad_n = batch_size - n  # static [batch_size] pooling slots
             pool_rows = np.pad(packed.pool_rows, (0, pad_n))

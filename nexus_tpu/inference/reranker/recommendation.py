@@ -73,6 +73,16 @@ class BaseRerankerInferenceEngine:
             # reads 0 for items missing from the store
             raw_ids = np.asarray(candidates)
             candidates = self.get_candidates_features(raw_ids)
+        # batch-size bucket (utils/buckets.py): micro-batched serving boards
+        # arbitrary user counts — pad to a pow-2 bucket so the jit cache
+        # holds log2(max) programs, not one per boarded size
+        from nexus_tpu.utils.buckets import batch_bucket, pad_tree_rows
+
+        bs = len(user_ids)
+        padded_bs = batch_bucket(bs, cap=1024)
+        if padded_bs != bs:
+            context = pad_tree_rows(context, padded_bs)
+            candidates = pad_tree_rows(candidates, padded_bs)
         t0 = time.perf_counter()
         # ONE compiled program per (batch, n_cand) shape AND topk: eager
         # predict dispatches dozens of ops, each paying full device-call
@@ -87,10 +97,11 @@ class BaseRerankerInferenceEngine:
                     variables, ctx, cand, topk=topk
                 )
             )
-        topk_idx = np.asarray(cache[topk](self.variables, context, candidates))
+        topk_idx = np.asarray(cache[topk](self.variables, context, candidates))[:bs]
         self.timers["model"] += time.perf_counter() - t0
         fiid = self.data_attr.fiid
-        cand_ids = raw_ids if raw_ids is not None else np.asarray(candidates[fiid])
+        cand_ids = (raw_ids if raw_ids is not None
+                    else np.asarray(candidates[fiid])[:bs])
         item_ids = np.take_along_axis(cand_ids, topk_idx, axis=1)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "topk_idx": topk_idx}
 

@@ -185,11 +185,16 @@ class TextReranker:
                 continue
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
-            pad_rows = 0
+            # batch-size bucket: dynamic serving scores arbitrary candidate
+            # counts; pow-2 buckets cap the program count (utils/buckets.py)
+            from nexus_tpu.utils.buckets import batch_bucket
+
+            pad_rows = batch_bucket(len(ids), cap=batch_size) - len(ids)
             if self.mesh is not None:
                 from nexus_tpu.parallel.mesh import DATA_AXIS
 
-                pad_rows = (-len(ids)) % self.mesh.shape[DATA_AXIS]
+                n_dev = self.mesh.shape[DATA_AXIS]
+                pad_rows += (-(len(ids) + pad_rows)) % n_dev
             feed = {}
             for name in ("input_ids", "attention_mask", "token_type_ids"):
                 arr = enc.get(name)
