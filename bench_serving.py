@@ -455,9 +455,10 @@ def concurrent() -> None:
             users, port=0, max_batch=64, batch_wait_ms=4.0)
         service.start()
         try:
-            # warm/compile the single-user shape through the full stack
-            service._recommend_many([{"user_ids": [1]}])
-            service._recommend_many([{"user_ids": [int(u)] } for u in range(4)])
+            # warm/compile every pow-2 boarded-batch bucket the hammer can
+            # produce (the engines bucket batch sizes — utils/buckets.py)
+            for nb in (1, 2, 4, 8, 16, 32, 64):
+                service._recommend_many([{"user_ids": [int(u)]} for u in range(nb)])
             import random
             for n in levels:
                 payload_fn = lambda i: {"user_ids": [random.randrange(users)]}
@@ -513,7 +514,8 @@ def concurrent() -> None:
         svc = TextRetrievalService(emb, corpus, port=0, max_batch=64,
                                    batch_wait_ms=4.0).start()
         try:
-            svc._search_many([{"query": queries[0], "top_k": 10}])
+            for nb in (1, 2, 4, 8, 16, 32, 64):
+                svc._search_many([{"query": q, "top_k": 10} for q in queries[:nb]])
             for n in levels:
                 payload_fn = lambda i: {"query": queries[(i * 37) % len(queries)],
                                         "top_k": 10}

@@ -254,11 +254,22 @@ class ItemIndex:
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [B, k], item_ids [B, k])."""
         q = self._prep_queries(queries)
+        # batch-size bucket: one compiled program per pow-2 query count, not
+        # per size — dynamic micro-batched serving boards arbitrary counts
+        # (utils/buckets.py; zero-padded queries score junk rows that are
+        # sliced away below)
+        from nexus_tpu.utils.buckets import batch_bucket
+
+        b = q.shape[0]
+        target = batch_bucket(b, cap=1024)
+        if target != b:
+            q = jnp.pad(q, ((0, target - b), (0, 0)))
         if self.is_ivf and self.metric != "l2":
             scores, rows = self._ivf_search(q, k)
         else:
             scores, rows = self._flat_search(q, k)
-        return np.asarray(scores), self.item_ids[np.asarray(rows)]
+        return (np.asarray(scores)[:b],
+                self.item_ids[np.asarray(rows)[:b]])
 
     def search_ops(self, k: int, batch_size: int):
         """(pure_fn, operands) for composing the search INTO a caller's jit
@@ -743,11 +754,21 @@ class HostTieredIVFIndex:
         q = jnp.asarray(queries, jnp.float32)
         if self.metric == "cosine":
             q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
+        n_true = q.shape[0]
+        # pow-2 query-count bucket (see ItemIndex.search)
+        from nexus_tpu.utils.buckets import batch_bucket
+
+        target = batch_bucket(n_true, cap=1024)
+        if target != n_true:
+            q = jnp.pad(q, ((0, target - n_true), (0, 0)))
         b = q.shape[0]
         nprobe = min(self.nprobe, self.centroids.shape[0])
 
         t0 = _time.perf_counter()
-        cells = np.unique(np.asarray(self._probe_fn(b, nprobe)(q, self.centroids)))
+        # pad queries join the probe program but NOT the union (their
+        # cells would cost real host-gather + transfer bytes)
+        cells = np.unique(
+            np.asarray(self._probe_fn(b, nprobe)(q, self.centroids))[:n_true])
         if timers is not None:
             timers["probe"] = timers.get("probe", 0.0) + _time.perf_counter() - t0
 
@@ -796,8 +817,8 @@ class HostTieredIVFIndex:
             vals, rows = score(vals, rows, q, *item)
             t_score += _time.perf_counter() - t4
         th.join()
-        vals_np = np.asarray(vals)
-        rows_np = np.asarray(rows)
+        vals_np = np.asarray(vals)[:n_true]
+        rows_np = np.asarray(rows)[:n_true]
         if timers is not None:
             timers["gather"] = timers.get("gather", 0.0) + stats["gather"]
             timers["transfer"] = timers.get("transfer", 0.0) + stats["transfer"]
