@@ -302,3 +302,27 @@ def test_u2i_stream_matches_sequential(stack):
         np.testing.assert_array_equal(out["user_id"], ref["user_id"])
         np.testing.assert_array_equal(out["item_ids"], ref["item_ids"])
         np.testing.assert_allclose(out["scores"], ref["scores"], atol=1e-5)
+
+
+def test_u2i_engine_with_host_tiered_index(stack):
+    """The rec retriever serves against a HostTieredIVFIndex (beyond-HBM
+    cells in host RAM) through the duck-typed separate encode+search branch,
+    matching the on-device IVF results for the same users."""
+    from nexus_tpu.inference.index import HostTieredIVFIndex
+
+    eng_dev = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=stack["index"],
+    )
+    tiered = HostTieredIVFIndex(stack["index"], chunk_cells=4)
+    eng_host = BaseEmbedderInferenceEngine(
+        {"model_ckpt_path": stack["ret_dir"], "retrieve_mode": "u2i", "output_topk": 5},
+        kv_store=stack["kv"], item_index=tiered,
+    )
+    users = _known_user_ids(stack["kv"])[:6]
+    out_dev = eng_dev.batch_inference(users)
+    out_host = eng_host.batch_inference(users)
+    assert (out_dev["item_ids"] == out_host["item_ids"]).all()
+    np.testing.assert_allclose(out_dev["scores"], out_host["scores"],
+                               rtol=1e-4, atol=1e-5)
+    assert eng_host.timers["search"] > 0  # separate search leg was used
