@@ -237,6 +237,24 @@ def text_stream() -> None:
     }), flush=True)
 
 
+
+def _llm_shape(extra):
+    """'tiny' (CPU smoke) | default 1B | '3b' (Llama-3.2-3B shape: H=3072,
+    28L, GQA 24q/8kv d=128, ff 8192, ~2.9B params — bf16 5.8 GB / int8
+    2.9 GB, the largest family that still f32-inits on a 16 GB chip)."""
+    if "tiny" in extra:
+        return dict(hidden_size=256, intermediate_size=512,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2)
+    if "3b" in extra:
+        return dict(hidden_size=3072, intermediate_size=8192,
+                    num_hidden_layers=28, num_attention_heads=24,
+                    num_key_value_heads=8)
+    return dict(hidden_size=2048, intermediate_size=8192,
+                num_hidden_layers=16, num_attention_heads=32,
+                num_key_value_heads=8)
+
+
 def llm_rerank() -> None:
     """LLM (decoder) cross-encoder scoring throughput — the serve-time path
     of the decoder-backbone reranker (VERDICT r2 item 1's inference half).
@@ -268,11 +286,7 @@ def llm_rerank() -> None:
     packed = "packed" in extra  # many pairs per 512-token row
     int8 = "int8" in extra  # W8A8 quantized scoring (models/quantize.py)
     cfg = LlamaConfig(
-        vocab_size=32000, hidden_size=256 if tiny else 2048,
-        intermediate_size=512 if tiny else 8192,
-        num_hidden_layers=2 if tiny else 16,
-        num_attention_heads=4 if tiny else 32,
-        num_key_value_heads=2 if tiny else 8,
+        vocab_size=32000, **_llm_shape(extra),
         max_position_embeddings=512, attention_impl=impl,
     )
     model = DecoderCrossEncoderModel(cfg, dtype="bfloat16")
@@ -311,8 +325,10 @@ def llm_rerank() -> None:
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
         "attention_impl": impl, "batch_size": bs, "packing": packed,
         "int8": int8,
-        "model": ("tiny-smoke" if tiny
-                  else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
+        "model": ("tiny-smoke" if tiny else
+                  "llama-3B-shape (3072x28L, GQA 24/8 d128, ff 8192)"
+                  if "3b" in extra else
+                  "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
         "includes": "tokenization + length bucketing + jit score",
     }), flush=True)
 
@@ -345,11 +361,7 @@ def llm_embed() -> None:
     packed = "packed" in extra
     int8 = "int8" in extra
     cfg = LlamaConfig(
-        vocab_size=32000, hidden_size=256 if tiny else 2048,
-        intermediate_size=512 if tiny else 8192,
-        num_hidden_layers=2 if tiny else 16,
-        num_attention_heads=4 if tiny else 32,
-        num_key_value_heads=2 if tiny else 8,
+        vocab_size=32000, **_llm_shape(extra),
         max_position_embeddings=512, attention_impl=impl,
     )
     model = BiDecoderOnlyEmbedderModel(cfg, TextEmbedderModelArguments(
@@ -380,8 +392,10 @@ def llm_embed() -> None:
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
         "attention_impl": impl, "batch_size": bs, "packing": packed,
         "int8": int8,
-        "model": ("tiny-smoke" if tiny
-                  else "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
+        "model": ("tiny-smoke" if tiny else
+                  "llama-3B-shape (3072x28L, GQA 24/8 d128, ff 8192)"
+                  if "3b" in extra else
+                  "llama-1B-shape (2048x16L, GQA 32/8, ff 8192)"),
     }), flush=True)
 
 
