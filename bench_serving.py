@@ -238,6 +238,27 @@ def text_stream() -> None:
 
 
 
+
+def _init_serving_bf16(model, key):
+    """Init weights on the HOST CPU device, then transfer leaf-by-leaf as
+    bf16: initializing a 3B-shape trunk on the chip holds f32 params AND
+    the bf16 copy simultaneously (17.4 GB) — an instant HBM OOM. Host init
+    + per-leaf cast peaks at one leaf's f32 on device."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vs = model.init_variables(key)
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2:
+            return jnp.asarray(x, dtype=jnp.bfloat16)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map(cast, vs)
+
+
 def _llm_shape(extra):
     """'tiny' (CPU smoke) | default 1B | '3b' (Llama-3.2-3B shape: H=3072,
     28L, GQA 24q/8kv d=128, ff 8192, ~2.9B params — bf16 5.8 GB / int8
@@ -290,10 +311,7 @@ def llm_rerank() -> None:
         max_position_embeddings=512, attention_impl=impl,
     )
     model = DecoderCrossEncoderModel(cfg, dtype="bfloat16")
-    model.variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
-        model.init_variables(jax.random.PRNGKey(0)),
-    )
+    model.variables = _init_serving_bf16(model, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="nx_bench_llmrr_")
@@ -366,10 +384,7 @@ def llm_embed() -> None:
     )
     model = BiDecoderOnlyEmbedderModel(cfg, TextEmbedderModelArguments(
         dtype="bfloat16", sentence_pooling_method="last_token"))
-    model.variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
-        model.init_variables(jax.random.PRNGKey(0)),
-    )
+    model.variables = _init_serving_bf16(model, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="nx_bench_llmemb_")
