@@ -248,8 +248,17 @@ def _init_serving_bf16(model, key):
     import jax.numpy as jnp
 
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        vs = model.init_variables(key)
+    # Pallas kernels refuse non-interpret tracing on the CPU device; the
+    # param tree is attention-impl-independent (tests/test_fused_decoder.py
+    # ::test_llama_fused_matches_xla_and_shares_param_tree), so init under
+    # the XLA impl and restore
+    cfg = model.llama_config
+    impl_save, cfg.attention_impl = cfg.attention_impl, "xla"
+    try:
+        with jax.default_device(cpu):
+            vs = model.init_variables(key)
+    finally:
+        cfg.attention_impl = impl_save
 
     def cast(x):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2:
