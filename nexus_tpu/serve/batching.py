@@ -35,13 +35,23 @@ class MicroBatcher:
     max_batch: hard batch-size cap (match the compiled program's bucket).
     max_wait_ms: how long the first item of a batch waits for followers.
     name: for stats/debugging.
+    workers: number of batch workers. With ``workers=2`` the host half of
+        batch N+1 (tokenization, feature decode — C code that releases the
+        GIL) overlaps batch N's device call (blocking fetches also release
+        it), pipelining the two legs even on a single host core. The shared
+        queue hands each request to exactly one worker; device calls
+        serialize on the chip, so correctness is unchanged. Measured: the
+        /search service is tokenizer-bound under load on a 1-core host
+        (BENCH_NOTES round 4) — this is the lever for it.
     """
 
     def __init__(self, batch_fn: Callable[[List], Sequence], *,
                  max_batch: int = 64, max_wait_ms: float = 4.0,
-                 name: str = "batcher"):
+                 name: str = "batcher", workers: int = 1):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if workers < 1:
+            raise ValueError("workers must be >= 1")
         self.batch_fn = batch_fn
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -53,9 +63,13 @@ class MicroBatcher:
         self.n_items = 0
         self.n_batches = 0
         self.n_errors = 0
-        self._worker = threading.Thread(
-            target=self._loop, daemon=True, name=f"microbatch-{name}")
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._loop, daemon=True,
+                             name=f"microbatch-{name}-{i}")
+            for i in range(int(workers))
+        ]
+        for w in self._workers:
+            w.start()
 
     # -- client side ---------------------------------------------------------
 
@@ -72,7 +86,8 @@ class MicroBatcher:
 
     def close(self):
         self._closed = True
-        self._q.put(None)  # wake the worker
+        for _ in self._workers:
+            self._q.put(None)  # wake every worker
 
     @property
     def stats(self) -> dict:
@@ -127,13 +142,15 @@ class MicroBatcher:
                         f"batch_fn returned {len(results)} results for "
                         f"{len(items)} items")
             except BaseException as e:
-                self.n_errors += len(futs)
+                with self._lock:
+                    self.n_errors += len(futs)
                 for f in futs:
                     if not f.cancelled():
                         f.set_exception(e)
                 continue
-            self.n_items += len(items)
-            self.n_batches += 1
+            with self._lock:
+                self.n_items += len(items)
+                self.n_batches += 1
             for f, r in zip(futs, results):
                 if not f.cancelled():
                     f.set_result(r)

@@ -207,7 +207,8 @@ class TextRetrievalService(_ServiceBase):
     """
 
     def __init__(self, embedder_engine, corpus: Dict[str, str], reranker_engine=None,
-                 index=None, max_batch: int = 32, batch_wait_ms: float = 4.0, **kw):
+                 index=None, max_batch: int = 32, batch_wait_ms: float = 4.0,
+                 workers: int = 2, **kw):
         super().__init__(**kw)
         from nexus_tpu.inference.index import ItemIndex
         from nexus_tpu.serve.batching import MicroBatcher
@@ -220,9 +221,12 @@ class TextRetrievalService(_ServiceBase):
             doc_embs = np.asarray(self.embedder.encode_corpus([corpus[d] for d in self.doc_ids]))
             index = ItemIndex.build(doc_embs, index_type="flat")
         self.index = index
+        # workers=2 pipelines the tokenizer (GIL-releasing host leg) of one
+        # departing batch against the device call of the previous one — the
+        # /search path is tokenizer-bound under load (BENCH_NOTES r4)
         self._batcher = MicroBatcher(
             self._search_many, max_batch=max_batch, max_wait_ms=batch_wait_ms,
-            name="search")
+            name="search", workers=workers)
 
     def _search_many(self, payloads: List[Dict]) -> List[Dict]:
         """One departing batch: every device stage runs ONCE for all boarded

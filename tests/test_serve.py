@@ -255,3 +255,38 @@ def test_recommend_requests_micro_batch():
             assert e.code == 500
     finally:
         svc.stop()
+
+
+def test_micro_batcher_two_workers_contract():
+    """workers=2: every submitted item resolves exactly once with its own
+    result (the shared queue hands each request to one worker), stats stay
+    consistent, and the two workers genuinely overlap (host leg of one
+    batch concurrent with the 'device' leg of another)."""
+    import threading
+    import time as _t
+
+    from nexus_tpu.serve.batching import MicroBatcher
+
+    overlap = {"active": 0, "max_active": 0}
+    lock = threading.Lock()
+
+    def batch_fn(items):
+        with lock:
+            overlap["active"] += 1
+            overlap["max_active"] = max(overlap["max_active"], overlap["active"])
+        _t.sleep(0.02)  # the GIL-released leg
+        with lock:
+            overlap["active"] -= 1
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=2.0,
+                      name="two", workers=2)
+    try:
+        futs = [mb.submit(i) for i in range(40)]
+        results = [f.result(timeout=30) for f in futs]
+        assert results == [i * 10 for i in range(40)]
+        st = mb.stats
+        assert st["items"] == 40 and st["errors"] == 0
+        assert overlap["max_active"] == 2  # both workers ran concurrently
+    finally:
+        mb.close()
