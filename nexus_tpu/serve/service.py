@@ -104,15 +104,18 @@ class InferenceService(_ServiceBase):
     per-call dispatch floor each."""
 
     def __init__(self, retriever_engine, ranker_engine=None,
-                 max_batch: int = 32, batch_wait_ms: float = 4.0, **kw):
+                 max_batch: int = 32, batch_wait_ms: float = 4.0,
+                 workers: int = 2, **kw):
         super().__init__(**kw)
         from nexus_tpu.serve.batching import MicroBatcher
 
         self.retriever = retriever_engine
         self.ranker = ranker_engine
+        # workers=2: the hydrate+decode host leg of one departing batch
+        # overlaps the previous batch's device call (see TextRetrievalService)
         self._batcher = MicroBatcher(
             self._recommend_many, max_batch=max_batch,
-            max_wait_ms=batch_wait_ms, name="recommend")
+            max_wait_ms=batch_wait_ms, name="recommend", workers=workers)
 
     @staticmethod
     def _context_covers(ctx: Dict, data_attr) -> bool:
