@@ -14,6 +14,7 @@ get_features_time / model_time / faiss_time instrumentation, base.py:131-197).
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -62,6 +63,13 @@ class BaseEmbedderInferenceEngine:
         self._encode_jit = jax.jit(lambda variables, batch: self.model.encode_query(variables, batch))
         self._encode = lambda batch: self._encode_jit(self.variables, batch)
         self.timers: Dict[str, float] = {"feature": 0.0, "model": 0.0, "search": 0.0}
+        # guards timer accumulation + lazy fused-program cache population
+        # under multi-worker serving (MicroBatcher workers=2)
+        self._state_lock = threading.Lock()
+
+    def _tick(self, stage: str, dt: float) -> None:
+        with self._state_lock:
+            self.timers[stage] += dt
 
     # -- index lifecycle ----------------------------------------------------
 
@@ -154,7 +162,7 @@ class BaseEmbedderInferenceEngine:
                     L = self.data_attr.seq_lengths[seq_name]
                     col = np.zeros((len(user_ids), L), np.int64)
                 batch.setdefault(seq_name, {})[f] = col
-        self.timers["feature"] += time.perf_counter() - t0
+        self._tick("feature", time.perf_counter() - t0)
         return batch
 
     # -- retrieval ----------------------------------------------------------
@@ -180,10 +188,10 @@ class BaseEmbedderInferenceEngine:
             # index.search — the index runs its own compiled program
             t0 = time.perf_counter()
             q = np.asarray(self._encode(batch))[:bs]
-            self.timers["model"] += time.perf_counter() - t0
+            self._tick("model", time.perf_counter() - t0)
             t0 = time.perf_counter()
             scores, item_ids = self.item_index.search(q, self.output_topk)
-            self.timers["search"] += time.perf_counter() - t0
+            self._tick("search", time.perf_counter() - t0)
             return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
         t0 = time.perf_counter()
         scores, rows = self._fused_u2i(padded_bs)(batch)
@@ -191,7 +199,7 @@ class BaseEmbedderInferenceEngine:
         item_ids = self.item_index.item_ids[np.asarray(rows)[:bs]]
         # encode+search run as ONE compiled program (one device dispatch);
         # the reference's separate model/faiss timers collapse into 'model'
-        self.timers["model"] += time.perf_counter() - t0
+        self._tick("model", time.perf_counter() - t0)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
 
     def batch_inference_stream(self, user_id_batches):
@@ -221,7 +229,7 @@ class BaseEmbedderInferenceEngine:
         t0 = time.perf_counter()
         scores = np.asarray(scores)  # blocks until the device finishes
         item_ids = self.item_index.item_ids[np.asarray(rows)]
-        self.timers["model"] += time.perf_counter() - t0
+        self._tick("model", time.perf_counter() - t0)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "scores": scores}
 
     def _fused_u2i(self, batch_size: int):
@@ -230,27 +238,28 @@ class BaseEmbedderInferenceEngine:
         Keyed on the index GENERATION (bumped by the item_index setter,
         which also clears this cache) so a corpus refresh rebuilds the
         operand capture instead of serving — or pinning — stale arrays."""
-        cache = self._fused
         key = (batch_size, self.output_topk, self._index_gen,
                getattr(self.item_index, "topk_impl", "exact"))
-        if key in cache:
+        with self._state_lock:  # one worker installs each fused program
+            cache = self._fused
+            if key in cache:
+                return cache[key]
+            import jax
+            import jax.numpy as jnp
+
+            idx = self.item_index
+            search_fn, operands = idx.search_ops(self.output_topk, batch_size)
+            cosine = idx.metric == "cosine"
+
+            @jax.jit
+            def run(variables, batch, *ops):
+                q = self.model.encode_query(variables, batch).astype(jnp.float32)
+                if cosine:
+                    q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
+                return search_fn(q, *ops)
+
+            cache[key] = lambda batch: run(self.variables, batch, *operands)
             return cache[key]
-        import jax
-        import jax.numpy as jnp
-
-        idx = self.item_index
-        search_fn, operands = idx.search_ops(self.output_topk, batch_size)
-        cosine = idx.metric == "cosine"
-
-        @jax.jit
-        def run(variables, batch, *ops):
-            q = self.model.encode_query(variables, batch).astype(jnp.float32)
-            if cosine:
-                q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
-            return search_fn(q, *ops)
-
-        cache[key] = lambda batch: run(self.variables, batch, *operands)
-        return cache[key]
 
     def _i2i(self, user_ids: List) -> Dict[str, np.ndarray]:
         """Trigger-item expansion from precomputed neighbor lists. The whole
@@ -289,7 +298,7 @@ class BaseEmbedderInferenceEngine:
             seen = list(dict.fromkeys(items))[: self.output_topk]
             seen += [0] * (self.output_topk - len(seen))
             out_ids.append(seen)
-        self.timers["search"] += time.perf_counter() - t0
+        self._tick("search", time.perf_counter() - t0)
         ids = np.asarray(out_ids)
         return {
             "user_id": np.asarray(user_ids),

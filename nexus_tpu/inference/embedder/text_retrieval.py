@@ -13,6 +13,7 @@ deterministic bucketing: TPU memory use is known at compile time.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Union
 
 import jax
@@ -21,6 +22,7 @@ import numpy as np
 
 from nexus_tpu.inference.session import AOTSession, NormalSession, get_inference_session
 from nexus_tpu.models.bert import pool_hidden_states
+from nexus_tpu.utils.buckets import batch_bucket, pad_rows
 from nexus_tpu.utils.logging import get_logger
 
 logger = get_logger("nexus_tpu.inference.text_embedder")
@@ -31,12 +33,15 @@ DEFAULT_SEQ_BUCKETS = (32, 64, 128, 256, 512)
 def _override_attention_impl(model, impl: str) -> None:
     """Serve-time attention-path override: flips attention_impl on whichever
     net config the wrapped model carries (BertConfig / LlamaConfig, or a VLM
-    backbone's text trunk). The session re-lowers on the next compile, so the
-    checkpoint stays untouched and the megakernel ('fused') can be enabled
-    without editing config.json."""
+    backbone's text trunk AND vision tower). The session re-lowers on the
+    next compile, so the checkpoint stays untouched and the megakernel
+    ('fused') / flash ('pallas') paths can be enabled without editing
+    config.json."""
     vlm = getattr(model, "vlm_config", None)
     candidates = [getattr(model, a, None) for a in ("bert_config", "llama_config")]
     candidates.append(getattr(vlm, "text", None))
+    candidates.append(getattr(vlm, "vision", None))
+    candidates.append(getattr(model, "vit_config", None))
     for cfg in candidates:
         if cfg is not None and hasattr(cfg, "attention_impl"):
             cfg.attention_impl = impl
@@ -108,6 +113,14 @@ class TextEmbedder:
         self.output_dtype = output_dtype
         self.session = self._build_session()
         self._packed_encode = None
+        # serializes the host-side mutable state under multi-worker serving
+        # (MicroBatcher workers=2): HF fast tokenizers raise 'Already
+        # borrowed' on concurrent __call__ with padding/truncation kwargs,
+        # and concurrent lazy-cache population would duplicate 40s+ remote
+        # compiles. Device calls stay OUTSIDE the lock — worker A tokenizes
+        # while worker B's device call runs, which is the whole point of the
+        # pipelined batcher.
+        self._host_lock = threading.Lock()
 
     # -- session -----------------------------------------------------------
 
@@ -192,10 +205,11 @@ class TextEmbedder:
         chunks: List[np.ndarray] = []
         for off in range(0, len(sorted_sentences), batch_size):
             chunk = sorted_sentences[off : off + batch_size]
-            enc = self.tokenizer(
-                chunk, padding=True, truncation=True, max_length=self.max_length,
-                return_tensors="np",
-            )
+            with self._host_lock:
+                enc = self.tokenizer(
+                    chunk, padding=True, truncation=True, max_length=self.max_length,
+                    return_tensors="np",
+                )
             ids, mask = enc["input_ids"], enc["attention_mask"]
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)
@@ -205,18 +219,16 @@ class TextEmbedder:
             # batch-size bucket: dynamic micro-batched serving produces
             # arbitrary chunk sizes; one compiled program per pow-2 bucket,
             # not per size (utils/buckets.py — the concurrent-serving fix)
-            from nexus_tpu.utils.buckets import batch_bucket, pad_rows
-
             row_target = batch_bucket(len(ids), cap=batch_size)
             ids, mask = pad_rows(ids, row_target), pad_rows(mask, row_target)
             if self.mesh is not None:
                 from nexus_tpu.parallel.mesh import DATA_AXIS
 
                 n_dev = self.mesh.shape[DATA_AXIS]
-                pad_rows = (-len(ids)) % n_dev
-                if pad_rows:
-                    ids = np.pad(ids, ((0, pad_rows), (0, 0)))
-                    mask = np.pad(mask, ((0, pad_rows), (0, 0)))
+                n_pad_rows = (-len(ids)) % n_dev
+                if n_pad_rows:
+                    ids = np.pad(ids, ((0, n_pad_rows), (0, 0)))
+                    mask = np.pad(mask, ((0, n_pad_rows), (0, 0)))
             reps = self.session.run(
                 None, {"input_ids": ids.astype(np.int32), "attention_mask": mask.astype(np.int32)}
             )[0]
@@ -273,11 +285,14 @@ class TextEmbedder:
         from nexus_tpu.ops.packing import pack_sequences
 
         if self._packed_encode is None:
-            self._packed_encode = self._build_packed_encode()
-        enc = self.tokenizer(
-            list(sentences), truncation=True, max_length=self.max_length,
-            padding=False,
-        )["input_ids"]
+            with self._host_lock:  # one worker installs the jitted program
+                if self._packed_encode is None:
+                    self._packed_encode = self._build_packed_encode()
+        with self._host_lock:
+            enc = self.tokenizer(
+                list(sentences), truncation=True, max_length=self.max_length,
+                padding=False,
+            )["input_ids"]
         futures = []  # (offset, n_valid, device reps — not yet fetched)
         for off in range(0, len(enc), batch_size):
             chunk = enc[off : off + batch_size]
@@ -344,10 +359,11 @@ class TextEmbedder:
         futures = []
         for off in range(0, len(sorted_sentences), batch_size):
             chunk = sorted_sentences[off : off + batch_size]
-            enc = self.tokenizer(
-                chunk, padding=True, truncation=True, max_length=self.max_length,
-                return_tensors="np",
-            )
+            with self._host_lock:
+                enc = self.tokenizer(
+                    chunk, padding=True, truncation=True, max_length=self.max_length,
+                    return_tensors="np",
+                )
             ids, mask = enc["input_ids"], enc["attention_mask"]
             L = ids.shape[1]
             bucket_len = next((b for b in self.seq_buckets if b >= L), self.max_length)

@@ -783,10 +783,23 @@ class HostTieredIVFIndex:
         chunks: _queue.Queue = _queue.Queue(maxsize=max(self.prefetch, 1))
         stats = {"gather": 0.0, "transfer": 0.0}
         err: list = []
+        cancel = threading.Event()  # consumer failure must unblock the
+        # producer's bounded put() or the thread (plus its pinned host
+        # blocks and device buffers) leaks per failed search
+
+        def _put(obj) -> None:
+            while not cancel.is_set():
+                try:
+                    chunks.put(obj, timeout=0.1)
+                    return
+                except _queue.Full:
+                    continue
 
         def producer():
             try:
                 for ci in range(n_chunks):
+                    if cancel.is_set():
+                        return
                     t1 = _time.perf_counter()
                     block, scales, bases, counts = self._gather_chunk(
                         padded[ci * spc : (ci + 1) * spc])
@@ -797,10 +810,10 @@ class HostTieredIVFIndex:
                     t3 = _time.perf_counter()
                     stats["gather"] += t2 - t1
                     stats["transfer"] += t3 - t2
-                    chunks.put(dev)
+                    _put(dev)
             except Exception as e:  # pragma: no cover
                 err.append(e)
-                chunks.put(None)
+                _put(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -809,14 +822,22 @@ class HostTieredIVFIndex:
         vals = jnp.full((b, k), -jnp.inf, jnp.float32)
         rows = jnp.zeros((b, k), jnp.int32)
         t_score = 0.0
-        for _ in range(n_chunks):
-            item = chunks.get()
-            if item is None:
-                raise err[0]
-            t4 = _time.perf_counter()
-            vals, rows = score(vals, rows, q, *item)
-            t_score += _time.perf_counter() - t4
-        th.join()
+        try:
+            for _ in range(n_chunks):
+                item = chunks.get()
+                if item is None:
+                    raise err[0]
+                t4 = _time.perf_counter()
+                vals, rows = score(vals, rows, q, *item)
+                t_score += _time.perf_counter() - t4
+        finally:
+            cancel.set()
+            while True:  # drain so a blocked put exits immediately
+                try:
+                    chunks.get_nowait()
+                except _queue.Empty:
+                    break
+            th.join(timeout=30.0)
         vals_np = np.asarray(vals)[:n_true]
         rows_np = np.asarray(rows)[:n_true]
         if timers is not None:

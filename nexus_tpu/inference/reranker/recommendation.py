@@ -6,6 +6,7 @@ return top-k item ids.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -31,11 +32,18 @@ class BaseRerankerInferenceEngine:
         self.user_key_template = fc.get("user_key_template", "user:{}")
         self.item_key_template = fc.get("item_key_template", "item:{}")
         self.timers: Dict[str, float] = {"feature": 0.0, "model": 0.0}
+        # guards timers + lazy jit caches under multi-worker serving (the
+        # borrowed hydration method below calls self._tick too)
+        self._state_lock = threading.Lock()
         # reuse the embedder engine's hydration logic for user/context features
         from nexus_tpu.inference.embedder.recommendation import BaseEmbedderInferenceEngine
 
         self._hydrate_user = BaseEmbedderInferenceEngine.get_user_context_features.__get__(self)
         self._feature_schema = BaseEmbedderInferenceEngine._feature_schema.__get__(self)
+
+    def _tick(self, stage: str, dt: float) -> None:
+        with self._state_lock:
+            self.timers[stage] += dt
 
     def get_candidates_features(self, candidate_ids: np.ndarray) -> Dict[str, np.ndarray]:
         """[B, N] candidate ids -> {item_feat: [B, N]}: one mget + native
@@ -54,7 +62,7 @@ class BaseRerankerInferenceEngine:
             )
         cols, _ = self._item_decoder.decode_batch(blobs)
         out = {feat: cols[feat].reshape(b, n) for feat in self.data_attr.item_features}
-        self.timers["feature"] += time.perf_counter() - t0
+        self._tick("feature", time.perf_counter() - t0)
         return out
 
     def batch_inference(
@@ -87,18 +95,20 @@ class BaseRerankerInferenceEngine:
         # ONE compiled program per (batch, n_cand) shape AND topk: eager
         # predict dispatches dozens of ops, each paying full device-call
         # latency (~25 ms on the relay — measured 940 ms/request un-jitted)
-        cache = self.__dict__.setdefault("_predict_cache", {})
         topk = self.output_topk
-        if topk not in cache:
-            import jax
+        with self._state_lock:  # one worker installs each predict program
+            cache = self.__dict__.setdefault("_predict_cache", {})
+            if topk not in cache:
+                import jax
 
-            cache[topk] = jax.jit(
-                lambda variables, ctx, cand: self.model.predict(
-                    variables, ctx, cand, topk=topk
+                cache[topk] = jax.jit(
+                    lambda variables, ctx, cand: self.model.predict(
+                        variables, ctx, cand, topk=topk
+                    )
                 )
-            )
-        topk_idx = np.asarray(cache[topk](self.variables, context, candidates))[:bs]
-        self.timers["model"] += time.perf_counter() - t0
+            fn = cache[topk]
+        topk_idx = np.asarray(fn(self.variables, context, candidates))[:bs]
+        self._tick("model", time.perf_counter() - t0)
         fiid = self.data_attr.fiid
         cand_ids = (raw_ids if raw_ids is not None
                     else np.asarray(candidates[fiid])[:bs])

@@ -5,6 +5,7 @@ bucketed static shapes, jit or AOT sessions.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -89,6 +90,10 @@ class TextReranker:
         self.packing = packing
         self._packed_fn = None
         self._packed_session = None
+        # serializes tokenizer calls + lazy jit-cache population under
+        # multi-worker serving (MicroBatcher workers=2); device calls stay
+        # outside the lock (see TextEmbedder._host_lock)
+        self._host_lock = threading.Lock()
         if packing and infer_mode != "normal":
             # packed scoring through bucketed AOT executables: same
             # contract as the padded session (convert_to_serialized then
@@ -164,15 +169,17 @@ class TextReranker:
                 texts = [
                     self.pair_template.format(query=q, passage=p) for q, p in zip(qs, ps)
                 ]
-                enc = self.tokenizer(
-                    texts, padding=True, truncation=True, max_length=self.max_length,
-                    return_tensors="np",
-                )
+                with self._host_lock:
+                    enc = self.tokenizer(
+                        texts, padding=True, truncation=True, max_length=self.max_length,
+                        return_tensors="np",
+                    )
             else:
-                enc = self.tokenizer(
-                    qs, ps, padding=True, truncation=True, max_length=self.max_length,
-                    return_tensors="np",
-                )
+                with self._host_lock:
+                    enc = self.tokenizer(
+                        qs, ps, padding=True, truncation=True, max_length=self.max_length,
+                        return_tensors="np",
+                    )
             ids = enc["input_ids"]
             if self.packing and self.mesh is None:
                 tt = enc.get("token_type_ids")
@@ -283,8 +290,10 @@ class TextReranker:
             "lengths": padn(pk["lengths"], 1),
         }
         if self._packed_fn is None:
-            self._packed_fn = jax.jit(
-                lambda v, b: self.model.scores(v, b))
+            with self._host_lock:  # one worker installs the jitted program
+                if self._packed_fn is None:
+                    self._packed_fn = jax.jit(
+                        lambda v, b: self.model.scores(v, b))
         out = np.asarray(
             self._packed_fn(self.model.variables,
                             {k: jnp.asarray(v) for k, v in batch.items()}))

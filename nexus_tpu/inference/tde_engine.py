@@ -89,6 +89,6 @@ class TDERerankerInferenceEngine(_TDEEngineMixin, BaseRerankerInferenceEngine):
         topk_idx = np.asarray(
             self.model.predict(self.variables, context, candidates, topk=self.output_topk)
         )
-        self.timers["model"] += time.perf_counter() - t0
+        self._tick("model", time.perf_counter() - t0)
         item_ids = np.take_along_axis(cand_ids, topk_idx, axis=1)
         return {"user_id": np.asarray(user_ids), "item_ids": item_ids, "topk_idx": topk_idx}

@@ -24,6 +24,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from nexus_tpu.serve.batching import DeadlineExceeded, Overloaded
 from nexus_tpu.utils.logging import get_logger
 
 logger = get_logger("nexus_tpu.serve")
@@ -61,6 +62,12 @@ class _JsonHandler(BaseHTTPRequestHandler):
             result = handler(payload)
             result["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
             self._reply(200, result)
+        except Overloaded as e:
+            # admission-control shed: queue at capacity — fail fast so the
+            # client can retry/back off instead of queueing into a timeout
+            self._reply(503, {"error": f"overloaded: {e}"})
+        except DeadlineExceeded as e:
+            self._reply(504, {"error": f"deadline exceeded: {e}"})
         except Exception as e:  # surface errors as JSON
             logger.exception("request failed")
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -105,7 +112,8 @@ class InferenceService(_ServiceBase):
 
     def __init__(self, retriever_engine, ranker_engine=None,
                  max_batch: int = 32, batch_wait_ms: float = 4.0,
-                 workers: int = 2, **kw):
+                 workers: int = 2, max_queue: Optional[int] = 256,
+                 deadline_ms: Optional[float] = None, **kw):
         super().__init__(**kw)
         from nexus_tpu.serve.batching import MicroBatcher
 
@@ -115,7 +123,8 @@ class InferenceService(_ServiceBase):
         # overlaps the previous batch's device call (see TextRetrievalService)
         self._batcher = MicroBatcher(
             self._recommend_many, max_batch=max_batch,
-            max_wait_ms=batch_wait_ms, name="recommend", workers=workers)
+            max_wait_ms=batch_wait_ms, name="recommend", workers=workers,
+            max_queue=max_queue, deadline_ms=deadline_ms)
 
     @staticmethod
     def _context_covers(ctx: Dict, data_attr) -> bool:
@@ -211,7 +220,8 @@ class TextRetrievalService(_ServiceBase):
 
     def __init__(self, embedder_engine, corpus: Dict[str, str], reranker_engine=None,
                  index=None, max_batch: int = 32, batch_wait_ms: float = 4.0,
-                 workers: int = 2, **kw):
+                 workers: int = 2, max_queue: Optional[int] = 256,
+                 deadline_ms: Optional[float] = None, **kw):
         super().__init__(**kw)
         from nexus_tpu.inference.index import ItemIndex
         from nexus_tpu.serve.batching import MicroBatcher
@@ -229,7 +239,8 @@ class TextRetrievalService(_ServiceBase):
         # /search path is tokenizer-bound under load (BENCH_NOTES r4)
         self._batcher = MicroBatcher(
             self._search_many, max_batch=max_batch, max_wait_ms=batch_wait_ms,
-            name="search", workers=workers)
+            name="search", workers=workers, max_queue=max_queue,
+            deadline_ms=deadline_ms)
 
     def _search_many(self, payloads: List[Dict]) -> List[Dict]:
         """One departing batch: every device stage runs ONCE for all boarded
