@@ -37,12 +37,16 @@ class MultimodalEmbedder:
         attention_impl: Optional[str] = None,
         quantized: bool = False,
     ):
-        """``attention_impl``: serve-time override of the TEXT TRUNK's
-        attention path ('fused' = ops/fused_decoder.py megakernel with the
-        M-RoPE tables in-kernel | 'xla'); None keeps the checkpoint's
-        configuration. ``quantized``: int8 W8A8 serving of the text trunk
-        (models/quantize.py::quantize_vlm_params — the vision tower stays
-        fp); composes with attention_impl='fused' like the text engines."""
+        """``attention_impl``: serve-time override of BOTH towers' attention
+        paths — text trunk: 'fused' = ops/fused_decoder.py megakernel with
+        the M-RoPE tables in-kernel | 'pallas' flash | 'xla'; vision tower:
+        'fused'/'pallas' both select the flash kernel
+        (ops/flash_attention.py::flash_vision_attention). None keeps the
+        checkpoint's configuration. ``quantized``: int8 W8A8 serving of the
+        text trunk AND (for Qwen towers) the vision block projections via
+        the path-scoped conversion (models/quantize.py::quantize_vlm_params
+        include_vision); composes with attention_impl like the text
+        engines."""
         from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
             BiMultimodalEmbedderModel,
         )

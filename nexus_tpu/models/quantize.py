@@ -115,21 +115,35 @@ def quantize_llama_params(variables) -> dict:
     return _quantize_tree(variables, QUANT_LLAMA_NAMES)
 
 
-# vision-tower subtrees that must NOT quantize: they hold plain nn.Dense
-# modules, and the Qwen2.5-VL vision block reuses gate/up/down_proj NAMES —
-# a blanket llama-names conversion would corrupt them
+# vision-tower subtrees, split off before the blanket text-trunk walk: the
+# Qwen2.5-VL vision block reuses gate/up/down_proj NAMES, so an unscoped
+# llama-names conversion would corrupt them. They are re-quantized (or kept
+# fp) by their OWN path-scoped walk below.
 _VLM_VISION_SUBTREES = ("visual", "vision_tower")
 
+# the Qwen vision blocks' projection GEMMs (both 2-VL fc1/fc2 and 2.5-VL
+# gated-MLP names); patch_embed + PatchMerger (merger_fc*) stay fp
+QUANT_VISION_NAMES = frozenset({
+    "qkv", "attn_proj", "fc1", "fc2", "gate_proj", "up_proj", "down_proj",
+})
 
-def quantize_vlm_params(variables) -> dict:
+
+def quantize_vlm_params(variables, include_vision: bool = False) -> dict:
     """Qwen-VL / nexus-vlm backbones: quantize the TEXT trunk's
     projection/FFN kernels (the bulk of the weights — e.g. ~1.5B of
-    Qwen2-VL-2B) while the vision tower + projector stay fp."""
+    Qwen2-VL-2B). With ``include_vision``, the vision tower's block
+    projections quantize too via a PATH-scoped walk over the visual
+    subtree only — the r4 verdict's fix for the gate/up/down_proj name
+    collision that name-based exclusion used to sidestep by keeping the
+    whole tower fp. The projector/merger stays fp either way."""
     params = dict(variables["params"])
     vision = {k: params.pop(k) for k in _VLM_VISION_SUBTREES if k in params}
     rest = dict(variables)
     rest["params"] = params
     out = _quantize_tree(rest, QUANT_LLAMA_NAMES)
+    if include_vision:
+        vision = {k: _quantize_tree(v, QUANT_VISION_NAMES)
+                  for k, v in vision.items()}
     out["params"] = {**dict(out["params"]), **vision}
     return out
 
@@ -152,8 +166,16 @@ def quantize_model(model) -> None:
             raise ValueError(
                 "quantized serving is incompatible with live LoRA adapters — "
                 "export a merged checkpoint first (save_merged_model)")
-        model.variables = quantize_vlm_params(model.variables)
+        # Qwen vision towers carry a `quantized` flag and QuantDense-aware
+        # blocks -> their projections quantize too (path-scoped); LLaVA's
+        # ViT tower (flax MHA with 3D kernels) stays fp
+        vis_cfg = getattr(vlm, "vision", None)
+        include_vision = hasattr(vis_cfg, "quantized")
+        model.variables = quantize_vlm_params(
+            model.variables, include_vision=include_vision)
         text_cfg.quantized = True
+        if include_vision:
+            vis_cfg.quantized = True
         return
 
     cfg = getattr(model, "llama_config", None)

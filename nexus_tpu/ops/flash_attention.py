@@ -570,6 +570,44 @@ def _reference_attention(q, k, v, segment_ids, causal: bool = False):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def flash_vision_attention(q, k, v, segment_ids=None,
+                           block_q: int = 128, block_k: int = 128):
+    """Flash attention for vision towers: q/k/v **[B, L, H, Dh]** (the
+    head-minor layout vision blocks produce straight from their QKV split),
+    optional integer segment ids [L] or [B, L] for per-frame block-diagonal
+    attention (video: HF cu_seqlens = repeat(h*w, t) semantics). Non-causal.
+
+    Handles the Qwen-VL head dims that aren't a multiple of the 128-lane
+    register width (e.g. 80 = 1280/16): q/k/v are zero-padded on the head
+    dim and the softmax scale is pre-corrected so padding is exact —
+    zero-padded channels contribute nothing to q·k, and the padded output
+    channels are sliced off. XLA pays the same lane padding inside its
+    dense attention einsums, so this costs nothing extra relative to the
+    unfused path while the [L, L] score matrix (16 heads x 4k² patches for
+    a large image) never touches HBM.
+    """
+    b, l, h, d = q.shape
+    if segment_ids is None:
+        seg = jnp.ones((b, l), jnp.int32)
+    else:
+        seg = jnp.asarray(segment_ids, jnp.int32)
+        if seg.ndim == 1:
+            seg = jnp.broadcast_to(seg[None, :], (b, l))
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    lane = 128
+    if d % lane and jax.default_backend() != "cpu":
+        d_pad = -(-d // lane) * lane
+        # kernel scales by 1/sqrt(d_pad); fold the correction into q so the
+        # effective scale stays 1/sqrt(d)
+        qt = qt * math.sqrt(d_pad / d)
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        qt, kt, vt = jnp.pad(qt, pad), jnp.pad(kt, pad), jnp.pad(vt, pad)
+    out = flash_attention(qt, kt, vt, seg, block_q, block_k)
+    return jnp.transpose(out[..., :d], (0, 2, 1, 3))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, segment_ids, block_q: int = 128, block_k: int = 128,
                     causal: bool = False):
