@@ -268,6 +268,155 @@ def _init_serving_bf16(model, key):
     return jax.tree_util.tree_map(cast, vs)
 
 
+def _init_vlm_bf16(model, key):
+    """Host-CPU init + per-leaf bf16 cast for VLM backbones (same HBM
+    rationale as _init_serving_bf16); both towers' attention_impl flip to
+    'xla' during init (Pallas kernels refuse non-interpret CPU tracing; the
+    param tree is impl-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    cfgs = [model.vlm_config.text, model.vlm_config.vision]
+    saved = [c.attention_impl for c in cfgs]
+    for c in cfgs:
+        c.attention_impl = "xla"
+    try:
+        with jax.default_device(cpu):
+            vs = model.init_variables(key)
+    finally:
+        for c, s in zip(cfgs, saved):
+            c.attention_impl = s
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2:
+            return jnp.asarray(x, dtype=jnp.bfloat16)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map(cast, vs)
+
+
+def vlm() -> None:
+    """Multimodal (VLM) image-embedding serving throughput — the last
+    workload family without a chip number (round-4 verdict missing #2).
+
+    Model: Qwen2-VL-2B trunk shape — vision tower depth 32 x 1280 (16 heads
+    of 80, the real 2B geometry, ~675M params), text trunk 28 x 1536 (GQA
+    12q/2kv, ff 8960, ~1.24B @ vocab 32k). Workload: 224x224 images (->
+    (1,16,16) grid, 256 patches, 64 merged tokens) + short captions through
+    the public MultimodalEmbedder engine (PIL->patches preprocessing +
+    M-RoPE layout + jit encode). Matches ref inference/embedder/
+    multimodal_retrieval/generic.py:26-287 + the flash-attn-2 role in
+    evaluation/mmeb_v2/eval_embedding.py:181.
+
+    argv: vlm [impl] [batch] [tiny|int8|mixed]
+      impl:  xla | pallas (flash vision+text) | fused (megakernel text +
+             flash vision) — serve-time override, default fused
+      int8:  W8A8 text trunk + PATH-SCOPED vision-tower int8
+      mixed: alternate image batches with text-only batches (both surface
+             in one engine; reported rate is items/s over the mix)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nexus_tpu.inference.embedder.multimodal import MultimodalEmbedder
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.models.qwen2_vl import Qwen2VLConfig, Qwen2VLVisionConfig
+    from nexus_tpu.training.embedder.multimodal_retrieval.modeling import (
+        BiMultimodalEmbedderModel,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.utils.benchstats import measure_trials
+
+    impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    extra = sys.argv[4:]
+    tiny = "tiny" in extra
+    int8 = "int8" in extra
+    mixed = "mixed" in extra
+
+    if tiny:
+        vcfg = Qwen2VLVisionConfig(
+            depth=2, embed_dim=32, num_heads=2, patch_size=14,
+            temporal_patch_size=2, spatial_merge_size=2, mlp_ratio=2.0,
+            hidden_size=48)
+        tc = LlamaConfig(vocab_size=8192, hidden_size=48, intermediate_size=96,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=256,
+                         attention_bias=True)  # >= the 8005-entry tokenizer
+    else:
+        vcfg = Qwen2VLVisionConfig(
+            depth=32, embed_dim=1280, num_heads=16, patch_size=14,
+            temporal_patch_size=2, spatial_merge_size=2, mlp_ratio=4.0,
+            hidden_size=1536)
+        tc = LlamaConfig(vocab_size=32000, hidden_size=1536,
+                         intermediate_size=8960, num_hidden_layers=28,
+                         num_attention_heads=12, num_key_value_heads=2,
+                         max_position_embeddings=512, attention_bias=True)
+    # vision marker ids live at the TOP of the vocab — the fake wordpiece
+    # tokenizer (8005 entries) never emits them, like the real reserved ids
+    v = tc.vocab_size
+    cfg = Qwen2VLConfig(vision=vcfg, text=tc, mrope_section=[16, 24, 24],
+                        image_token_id=v - 4, video_token_id=v - 3,
+                        vision_start_token_id=v - 2, vision_end_token_id=v - 1)
+    if tiny:
+        cfg.mrope_section = [2, 2, 2]
+    model = BiMultimodalEmbedderModel(
+        cfg,
+        TextEmbedderModelArguments(dtype="bfloat16",
+                                   sentence_pooling_method="last_token"),
+        backbone_type="qwen2-vl", grid_thw=(1, 16, 16),
+    )
+    model.variables = _init_vlm_bf16(model, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="nx_bench_vlm_")
+    tok, captions = _fake_corpus_and_tokenizer(tmp, bs * 4, rng)
+    emb = MultimodalEmbedder(model=model, tokenizer=tok, batch_size=bs,
+                             max_length=128, attention_impl=impl,
+                             quantized=int8)
+    n_items = bs * 4
+    image_items = [
+        {"text": captions[i][:60],
+         "images": [rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)]}
+        for i in range(n_items)
+    ]
+    text_items = [{"text": captions[i]} for i in range(n_items)]
+    emb.encode(image_items[:bs])  # warm (image program)
+    if mixed:
+        emb.encode(text_items[:bs])  # warm (text-only program)
+
+    def one_trial() -> float:
+        t0 = time.perf_counter()
+        reps = emb.encode(image_items)
+        total = len(image_items)
+        if mixed:
+            reps2 = emb.encode(text_items)
+            assert np.isfinite(reps2).all()
+            total += len(text_items)
+        assert np.isfinite(reps).all()
+        return total / (time.perf_counter() - t0)
+
+    stats = measure_trials(one_trial)
+    print(json.dumps({
+        "metric": ("vlm_mixed_items_per_sec" if mixed
+                   else "vlm_image_embeddings_per_sec"),
+        "value": round(stats["value"], 2), "unit": "items/s",
+        "n": stats["n"], "iqr": round(stats["iqr"], 2),
+        "attention_impl": impl, "batch_size": bs, "int8": int8,
+        "image": "224x224 -> (1,16,16) grid, 256 patches, 64 merged tokens",
+        "model": ("tiny-smoke" if tiny else
+                  "qwen2-vl-2B shape (vision 32x1280 16h, text 28x1536 "
+                  "GQA 12/2 ff 8960)"),
+        "includes": "PIL->patch preprocessing + M-RoPE layout + jit encode",
+    }), flush=True)
+
+
 def _llm_shape(extra):
     """'tiny' (CPU smoke) | default 1B | '3b' (Llama-3.2-3B shape: H=3072,
     28L, GQA 24q/8kv d=128, ff 8192, ~2.9B params — bf16 5.8 GB / int8
@@ -580,6 +729,8 @@ if __name__ == "__main__":
         llm_rerank()
     elif len(sys.argv) > 1 and sys.argv[1] == "llm_embed":
         llm_embed()
+    elif len(sys.argv) > 1 and sys.argv[1] == "vlm":
+        vlm()
     elif len(sys.argv) > 1 and sys.argv[1] == "concurrent":
         concurrent()
     else:

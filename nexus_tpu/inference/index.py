@@ -368,6 +368,43 @@ class ItemIndex:
         return idx
 
 
+def _partition_ivf_subcells(base: "ItemIndex", n_shards: int):
+    """Round-robin the base index's subcells over n_shards, re-packing each
+    shard cell-contiguously (slot s*cap..s*cap+count). Returns per-shard
+    (vectors, scales, GLOBAL item ids, centroids, starts, counts) arrays
+    with leading shard axis — the common layout of ShardedIVFIndex (device
+    shards) and TieredShardedIVFIndex (host-tiered shards)."""
+    s_cells = int(base.centroids.shape[0])
+    starts = np.asarray(base.cluster_items)
+    counts = np.asarray(base.cluster_counts)
+    vecs = np.asarray(base.vectors)
+    scales = None if base.row_scales is None else np.asarray(base.row_scales)
+    ids = np.asarray(base.item_ids)
+    per = -(-s_cells // n_shards)
+    cap = int(base.cell_cap)
+    shard_vecs = np.zeros((n_shards, per * cap, vecs.shape[1]), vecs.dtype)
+    shard_scales = np.zeros((n_shards, per * cap), np.float32)
+    shard_ids = np.zeros((n_shards, per * cap), np.int64)
+    shard_cents = np.zeros((n_shards, per, base.centroids.shape[1]),
+                           np.asarray(base.centroids).dtype)
+    shard_starts = np.zeros((n_shards, per), np.int32)
+    shard_counts = np.zeros((n_shards, per), np.int32)
+    for c in range(s_cells):
+        s, slot = c % n_shards, c // n_shards
+        cnt = int(counts[c])
+        src = int(starts[c])
+        dst = slot * cap
+        shard_vecs[s, dst : dst + cnt] = vecs[src : src + cnt]
+        if scales is not None:
+            shard_scales[s, dst : dst + cnt] = scales[src : src + cnt]
+        shard_ids[s, dst : dst + cnt] = ids[src : src + cnt]
+        shard_cents[s, slot] = np.asarray(base.centroids)[c]
+        shard_starts[s, slot] = dst
+        shard_counts[s, slot] = cnt
+    return (shard_vecs, shard_scales, shard_ids, shard_cents,
+            shard_starts, shard_counts)
+
+
 class ShardedIVFIndex:
     """Multi-chip IVF: subcells round-robin over the mesh's data axis, one
     compiled program runs the local union-scan on every chip in parallel and
@@ -389,35 +426,9 @@ class ShardedIVFIndex:
         self.nprobe = base.nprobe
         self.cell_cap = int(base.cell_cap)
         n_shards = mesh.shape[axis]
-        s_cells = int(base.centroids.shape[0])
-        starts = np.asarray(base.cluster_items)
-        counts = np.asarray(base.cluster_counts)
-        vecs = np.asarray(base.vectors)
-        scales = None if base.row_scales is None else np.asarray(base.row_scales)
-        ids = np.asarray(base.item_ids)
-
-        # partition subcells round-robin, re-pack each shard cell-contiguously
-        per = -(-s_cells // n_shards)
-        cap = self.cell_cap
-        shard_vecs = np.zeros((n_shards, per * cap, vecs.shape[1]), vecs.dtype)
-        shard_scales = np.zeros((n_shards, per * cap), np.float32)
-        shard_ids = np.zeros((n_shards, per * cap), np.int64)
-        shard_cents = np.zeros((n_shards, per, base.centroids.shape[1]),
-                               np.asarray(base.centroids).dtype)
-        shard_starts = np.zeros((n_shards, per), np.int32)
-        shard_counts = np.zeros((n_shards, per), np.int32)
-        for c in range(s_cells):
-            s, slot = c % n_shards, c // n_shards
-            cnt = int(counts[c])
-            src = int(starts[c])
-            dst = slot * cap
-            shard_vecs[s, dst : dst + cnt] = vecs[src : src + cnt]
-            if scales is not None:
-                shard_scales[s, dst : dst + cnt] = scales[src : src + cnt]
-            shard_ids[s, dst : dst + cnt] = ids[src : src + cnt]
-            shard_cents[s, slot] = np.asarray(base.centroids)[c]
-            shard_starts[s, slot] = dst
-            shard_counts[s, slot] = cnt
+        (shard_vecs, shard_scales, shard_ids, shard_cents,
+         shard_starts, shard_counts) = _partition_ivf_subcells(base, n_shards)
+        scales = None if base.row_scales is None else shard_scales
 
         sh = NamedSharding(mesh, P(axis))
         self.vectors = jax.device_put(jnp.asarray(shard_vecs), sh)
@@ -846,3 +857,69 @@ class HostTieredIVFIndex:
             timers["score"] = timers.get("score", 0.0) + t_score
             timers["cells"] = timers.get("cells", 0) + int(len(cells))
         return vals_np, self.item_ids[rows_np]
+
+
+class TieredShardedIVFIndex:
+    """The 100M-vector north-star composition (BASELINE.md: <10 ms p50
+    top-100 over 100M rows on v5e-8): subcells round-robin over N shards —
+    the ShardedIVFIndex layout — with EACH shard served by a
+    HostTieredIVFIndex, so every chip scores its probed cells on the MXU
+    while its corpus slice lives in host RAM (8 x 16 GB HBM holds ~100M
+    int8x768 rows directly; the host tier removes even that ceiling).
+
+    On real v5e-8 hardware every shard is an independent host->chip stream
+    and all N run CONCURRENTLY (one process per host slice; the final merge
+    is one k-wide all_gather over ICI). This class is the single-process
+    composition used by the CPU-mesh dryrun (phase 10) and the budget bench
+    (bench_search_tiered.py): shards execute in sequence, so its wall time
+    is N x the per-shard leg — the per-shard latency plus the merge is the
+    number the north-star budget composes (BENCH_NOTES round-5 table).
+
+    Replaces: Faiss sharded/IVF serving at scales past one accelerator
+    (ref Nexus/evaluation/text_retrieval/utils.py:148-229 falls back to CPU
+    numpy; ref inference/utils.py:8-27 is single-GPU IVFFlat)."""
+
+    def __init__(self, base: ItemIndex, n_shards: int, chunk_cells: int = 8,
+                 prefetch: int = 2):
+        if not base.is_ivf:
+            raise ValueError("TieredShardedIVFIndex requires an IVF base index")
+        self.metric = base.metric
+        self.nprobe = int(base.nprobe)
+        self.n_shards = int(n_shards)
+        (shard_vecs, shard_scales, shard_ids, shard_cents,
+         shard_starts, shard_counts) = _partition_ivf_subcells(base, n_shards)
+        quant = base.row_scales is not None
+        self.shards = [
+            HostTieredIVFIndex.from_arrays(
+                shard_vecs[s], shard_cents[s], shard_starts[s],
+                shard_counts[s], cell_cap=int(base.cell_cap),
+                row_scales=shard_scales[s] if quant else None,
+                item_ids=shard_ids[s], metric=base.metric,
+                nprobe=self.nprobe, chunk_cells=chunk_cells,
+                prefetch=prefetch,
+            )
+            for s in range(n_shards)
+        ]
+
+    def search(self, queries, k: int, timers: Optional[dict] = None,
+               per_shard_times: Optional[list] = None):
+        """(scores [B, k], GLOBAL item ids [B, k]). ``per_shard_times``
+        (optional list) collects each shard's wall seconds — on real
+        hardware the shards run concurrently, so max(per_shard_times) + the
+        merge is the composed latency estimate."""
+        import time as _time
+
+        all_scores, all_ids = [], []
+        for shard in self.shards:
+            t0 = _time.perf_counter()
+            s, i = shard.search(queries, k, timers=timers)
+            if per_shard_times is not None:
+                per_shard_times.append(_time.perf_counter() - t0)
+            all_scores.append(s)
+            all_ids.append(i)
+        # k-wide merge (on hardware: one all_gather over ICI + top_k)
+        cat_s = np.concatenate(all_scores, axis=1)  # [B, N*k]
+        cat_i = np.concatenate(all_ids, axis=1)
+        order = np.argsort(-cat_s, axis=1)[:, :k]
+        return (np.take_along_axis(cat_s, order, axis=1),
+                np.take_along_axis(cat_i, order, axis=1))

@@ -396,3 +396,64 @@ def test_host_tiered_ivf_matches_ondevice():
     # same probed cells -> same candidate set -> identical results
     assert (i_dev == i_t).all()
     np.testing.assert_allclose(s_dev, s_t, rtol=1e-5, atol=1e-5)
+
+
+def test_tiered_sharded_ivf_composition():
+    """TieredShardedIVFIndex (the 100M north-star layout: subcells
+    round-robin over shards, each shard host-tiered) matches exact search —
+    recall@10 >= 0.99 and score parity — for dense and int8 storage."""
+    from nexus_tpu.inference.index import TieredShardedIVFIndex
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = vecs[:8] + 0.01
+    exact = ItemIndex.build(vecs, index_type="flat")
+    s_e, i_e = exact.search(q, k=10)
+    for storage in ("dense", "int8"):
+        base = ItemIndex.build(vecs, index_type="ivf", nlist=64, nprobe=64,
+                               storage=storage)
+        tiered = TieredShardedIVFIndex(base, n_shards=8, chunk_cells=4)
+        times = []
+        s_t, i_t = tiered.search(q, k=10, per_shard_times=times)
+        assert len(times) == 8 and all(t > 0 for t in times)
+        recall = np.mean(
+            [len(set(map(int, i_e[r])) & set(map(int, i_t[r]))) / 10
+             for r in range(len(q))])
+        assert recall >= (0.99 if storage == "dense" else 0.95), (storage, recall)
+        if storage == "dense":
+            np.testing.assert_allclose(np.sort(s_e, -1), np.sort(s_t, -1),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_host_tiered_consumer_failure_joins_producer():
+    """If the device scoring leg raises, the producer thread must not stay
+    blocked on the bounded queue (round-4 advisor finding): the search
+    raises, and the producer exits promptly."""
+    import threading
+
+    from nexus_tpu.inference.index import HostTieredIVFIndex
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((2000, 16)).astype(np.float32)
+    base = ItemIndex.build(vecs, index_type="ivf", nlist=32, nprobe=32)
+    tiered = HostTieredIVFIndex(base, chunk_cells=1, prefetch=1)
+    n_before = threading.active_count()
+
+    boom = RuntimeError("score leg failed")
+
+    def bad_score(b, k):
+        def fn(*a, **kw):
+            raise boom
+        return fn
+
+    tiered._score_fn = bad_score
+    with pytest.raises(RuntimeError, match="score leg failed"):
+        tiered.search(vecs[:4], k=5)
+    # producer joined (with many chunks + prefetch=1 it WOULD have blocked
+    # on put() forever before the fix)
+    import time as _t
+
+    deadline = _t.monotonic() + 10
+    while threading.active_count() > n_before and _t.monotonic() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= n_before
