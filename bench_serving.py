@@ -720,6 +720,151 @@ def concurrent() -> None:
             svc.stop()
 
 
+def _hammer_codes(port, path, payload_fn, n_threads: int, duration_s: float = 6.0):
+    """Like _hammer, but records HTTP status codes: returns
+    (ok_lat_ms, counts_by_code, wall_s)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    lat_lists = [[] for _ in range(n_threads)]
+    code_lists = [[] for _ in range(n_threads)]
+    stop_at = time.perf_counter() + duration_s
+    barrier = threading.Barrier(n_threads + 1)
+
+    def worker(i):
+        barrier.wait()
+        while time.perf_counter() < stop_at:
+            body = json.dumps(payload_fn(i)).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    r.read()
+                lat_lists[i].append((time.perf_counter() - t0) * 1e3)
+                code_lists[i].append(200)
+            except urllib.error.HTTPError as e:
+                code_lists[i].append(e.code)
+            except OSError:
+                code_lists[i].append(-1)
+
+    threads = [threading.Thread(target=worker, args=(i,), daemon=True)
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join(timeout=duration_s + 90)
+    wall = time.perf_counter() - t0
+    lat = [x for l in lat_lists for x in l]
+    codes: dict = {}
+    for l in code_lists:
+        for c in l:
+            codes[c] = codes.get(c, 0) + 1
+    return lat, codes, wall
+
+
+def overload() -> None:
+    """Overload-protection benchmark (round-5 verdict #4): hammer the text
+    service PAST saturation (N up to 512 closed-loop clients) with admission
+    control on (bounded queue -> 503) and per-request deadlines (-> 504),
+    and show p99 of the ACCEPTED requests stays bounded while the shed rate
+    absorbs the excess — vs an unprotected control whose p99 grows with N.
+
+    argv: overload [impl] — impl as in `concurrent` (default fused_int8).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nexus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from nexus_tpu.inference.embedder.text_retrieval import TextEmbedder
+    from nexus_tpu.models.bert import BertConfig
+    from nexus_tpu.serve.service import TextRetrievalService
+    from nexus_tpu.training.embedder.text_retrieval.arguments import (
+        TextEmbedderModelArguments,
+    )
+    from nexus_tpu.training.embedder.text_retrieval.modeling import (
+        BiTextEmbedderModel,
+    )
+
+    impl = sys.argv[2] if len(sys.argv) > 2 else "fused_int8"
+    tiny = "tiny" in sys.argv[3:]
+    if tiny:  # CPU smoke shape
+        config = BertConfig(
+            vocab_size=30522, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=128,
+            max_position_embeddings=512, add_pooling_layer=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    else:
+        config = BertConfig(
+            vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            max_position_embeddings=512, add_pooling_layer=False,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            attention_impl="fused" if impl.startswith("fused") else impl,
+            quantized=impl.endswith("int8"),
+        )
+    model = BiTextEmbedderModel(
+        config, TextEmbedderModelArguments(dtype="bfloat16",
+                                           sentence_pooling_method="cls"))
+    model.variables = model.init_variables(jax.random.PRNGKey(0))
+    model.variables = jax.tree_util.tree_map(
+        lambda x: (x.astype(jnp.bfloat16)
+                   if x.dtype == jnp.float32 and x.ndim >= 2 else x),
+        model.variables)
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="nx_bench_ovl_")
+    tok, sentences = _fake_corpus_and_tokenizer(tmp, 4096 + 512, rng)
+    corpus = {f"d{i}": s for i, s in enumerate(sentences[:4096])}
+    queries = sentences[4096:]
+    emb = TextEmbedder(model=model, tokenizer=tok, batch_size=128,
+                       max_length=128, seq_buckets=(128,),
+                       output_dtype="bfloat16")
+
+    def run_levels(svc, tag, levels):
+        for nb in (1, 2, 4, 8, 16, 32, 64):
+            svc._search_many([{"query": q, "top_k": 10} for q in queries[:nb]])
+        for n in levels:
+            payload_fn = lambda i: {"query": queries[(i * 37) % len(queries)],
+                                    "top_k": 10}
+            lat, codes, wall = _hammer_codes(svc.port, "/search", payload_fn, n)
+            st = svc._batcher.stats
+            ok = codes.get(200, 0)
+            print(json.dumps({
+                "metric": f"text_search_{tag}_n{n}",
+                "value": round(ok / wall, 1), "unit": "accepted_requests/s",
+                "p50_ms": round(float(np.percentile(lat, 50)), 2) if lat else None,
+                "p99_ms": round(float(np.percentile(lat, 99)), 2) if lat else None,
+                "codes": {str(k): v for k, v in sorted(codes.items())},
+                "shed_rate": round(codes.get(503, 0) / max(sum(codes.values()), 1), 3),
+                "expired": codes.get(504, 0),
+                "mean_boarded": round(st["items"] / max(st["batches"], 1), 2),
+                "impl": impl,
+            }), flush=True)
+
+    # protected: queue capped at ~1 departing batch of headroom + 1s deadline
+    svc = TextRetrievalService(emb, corpus, port=0, max_batch=64,
+                               batch_wait_ms=4.0, max_queue=96,
+                               deadline_ms=1000.0).start()
+    try:
+        run_levels(svc, "protected", (128, 256, 512))
+    finally:
+        svc.stop()
+    # unprotected control: same engine/index, unbounded queue, no deadline
+    svc2 = TextRetrievalService(emb, corpus, index=svc.index, port=0,
+                                max_batch=64, batch_wait_ms=4.0,
+                                max_queue=None, deadline_ms=None).start()
+    try:
+        run_levels(svc2, "unprotected", (128, 256, 512))
+    finally:
+        svc2.stop()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -733,5 +878,7 @@ if __name__ == "__main__":
         vlm()
     elif len(sys.argv) > 1 and sys.argv[1] == "concurrent":
         concurrent()
+    elif len(sys.argv) > 1 and sys.argv[1] == "overload":
+        overload()
     else:
         main()
