@@ -309,12 +309,18 @@ def vlm() -> None:
     multimodal_retrieval/generic.py:26-287 + the flash-attn-2 role in
     evaluation/mmeb_v2/eval_embedding.py:181.
 
-    argv: vlm [impl] [batch] [tiny|int8|mixed]
+    argv: vlm [impl] [batch] [tiny|int8|mixed|device]
       impl:  xla | pallas (flash vision+text) | fused (megakernel text +
              flash vision) — serve-time override, default fused
       int8:  W8A8 text trunk + PATH-SCOPED vision-tower int8
       mixed: alternate image batches with text-only batches (both surface
              in one engine; reported rate is items/s over the mix)
+      device: time ONLY the compiled encode on a prebuilt feed (isolates
+             the tower optimizations from the host PIL/tokenize leg, which
+             is 1-core-bound on this VM)
+      big:   448x448 images -> (1,32,32) grid, 1024 patches, 256 merged
+             tokens — the patch-sequence regime where the [L, L] score
+             tensor stops fitting caches (flash's sweet spot)
     """
     import jax
     import jax.numpy as jnp
@@ -339,6 +345,9 @@ def vlm() -> None:
     tiny = "tiny" in extra
     int8 = "int8" in extra
     mixed = "mixed" in extra
+    big = "big" in extra
+    g = 32 if big else 16  # merged+patch grid: (1, g, g), image g*14 px
+    px = g * 14
 
     if tiny:
         vcfg = Qwen2VLVisionConfig(
@@ -370,7 +379,7 @@ def vlm() -> None:
         cfg,
         TextEmbedderModelArguments(dtype="bfloat16",
                                    sentence_pooling_method="last_token"),
-        backbone_type="qwen2-vl", grid_thw=(1, 16, 16),
+        backbone_type="qwen2-vl", grid_thw=(1, g, g),
     )
     model.variables = _init_vlm_bf16(model, jax.random.PRNGKey(0))
 
@@ -378,18 +387,49 @@ def vlm() -> None:
     tmp = tempfile.mkdtemp(prefix="nx_bench_vlm_")
     tok, captions = _fake_corpus_and_tokenizer(tmp, bs * 4, rng)
     emb = MultimodalEmbedder(model=model, tokenizer=tok, batch_size=bs,
-                             max_length=128, attention_impl=impl,
-                             quantized=int8)
+                             max_length=(g * g) // 4 + 64,
+                             attention_impl=impl, quantized=int8)
     n_items = bs * 4
     image_items = [
         {"text": captions[i][:60],
-         "images": [rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)]}
+         "images": [rng.integers(0, 255, (px, px, 3)).astype(np.uint8)]}
         for i in range(n_items)
     ]
     text_items = [{"text": captions[i]} for i in range(n_items)]
     emb.encode(image_items[:bs])  # warm (image program)
     if mixed:
         emb.encode(text_items[:bs])  # warm (text-only program)
+
+    if "device" in extra:
+        # device-only: one prebuilt feed, time the compiled encode alone
+        # (chained trials; fetch of the [B, D] result is the sync point)
+        feed = emb.processor([
+            {"text": it["text"], "images": it["images"], "videos": [],
+             "pages": []} for it in image_items[:bs]])
+        feed = {k: jnp.asarray(v) for k, v in feed.items()}
+        emb._encode(emb.model.variables, feed)  # warm exact shapes
+
+        def device_trial() -> float:
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out = np.asarray(emb._encode(emb.model.variables, feed))
+            assert np.isfinite(out).all()
+            return 4 * bs / (time.perf_counter() - t0)
+
+        stats = measure_trials(device_trial)
+        print(json.dumps({
+            "metric": "vlm_image_encode_device_only_per_sec",
+            "value": round(stats["value"], 2), "unit": "items/s",
+            "n": stats["n"], "iqr": round(stats["iqr"], 2),
+            "attention_impl": impl, "batch_size": bs, "int8": int8,
+            "image": f"{px}x{px} -> (1,{g},{g}) grid, {g*g} patches, "
+                     f"{(g*g)//4} merged tokens",
+            "model": ("tiny-smoke" if tiny else
+                      "qwen2-vl-2B shape (vision 32x1280 16h, text 28x1536 "
+                      "GQA 12/2 ff 8960)"),
+            "includes": "compiled vision+text encode only (prebuilt feed)",
+        }), flush=True)
+        return
 
     def one_trial() -> float:
         t0 = time.perf_counter()
@@ -409,7 +449,7 @@ def vlm() -> None:
         "value": round(stats["value"], 2), "unit": "items/s",
         "n": stats["n"], "iqr": round(stats["iqr"], 2),
         "attention_impl": impl, "batch_size": bs, "int8": int8,
-        "image": "224x224 -> (1,16,16) grid, 256 patches, 64 merged tokens",
+        "image": f"{px}x{px} -> (1,{g},{g}) grid, {g*g} patches, {(g*g)//4} merged tokens",
         "model": ("tiny-smoke" if tiny else
                   "qwen2-vl-2B shape (vision 32x1280 16h, text 28x1536 "
                   "GQA 12/2 ff 8960)"),
