@@ -133,7 +133,13 @@ class MultimodalEmbedder:
         return self._aot_cache[key](variables, feed)
 
     def _encode_items(self, items: List[dict]) -> np.ndarray:
+        """Double-buffered: chunk i+1's host leg (PIL resize/patchify +
+        tokenize + M-RoPE layout) runs while chunk i's compiled encode is on
+        the device — jax dispatch is async, so the overlap needs no threads
+        (the encode_stream pattern; on a 1-core host the image-preprocess
+        leg is a large slice of end-to-end VLM serving time)."""
         reps = []
+        pending = None  # (n_valid, un-fetched device output)
         for off in range(0, len(items), self.batch_size):
             chunk = items[off : off + self.batch_size]
             n = len(chunk)
@@ -142,8 +148,12 @@ class MultimodalEmbedder:
                     self.batch_size - n
                 )
             feed = self.processor(chunk)
-            out = np.asarray(self._encode(self.model.variables, feed))
-            reps.append(out[:n])
+            out_dev = self._encode(self.model.variables, feed)  # async
+            if pending is not None:
+                reps.append(np.asarray(pending[1])[: pending[0]])
+            pending = (n, out_dev)
+        if pending is not None:
+            reps.append(np.asarray(pending[1])[: pending[0]])
         return np.concatenate(reps, axis=0)
 
     def encode_queries(self, queries: Union[str, List], **kw) -> np.ndarray:
