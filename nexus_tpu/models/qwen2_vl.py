@@ -53,10 +53,14 @@ class Qwen2VLVisionConfig(AbsArguments):
     hidden_size: int = 3584  # output dim (= text hidden size)
     hidden_act: str = "quick_gelu"
     rope_theta: float = 10000.0
-    # 'xla' = dense einsum attention; 'pallas'/'fused' = flash kernel
+    # 'xla' = dense einsum attention; 'pallas' = flash kernel
     # (ops/flash_attention.py flash_vision_attention; handles the 80-wide
-    # heads). The [L, L] score tensor never hits HBM — the round-4 verdict's
-    # missing vision fast path.
+    # heads). MEASURED (BENCH_NOTES r5): at 256 AND 1024 patches the dense
+    # XLA path is faster on v5e (flash pays the 80->128 lane pad on every
+    # block matmul while the score matrix still fits the bandwidth budget),
+    # so 'fused' — the recommended serving impl for the TEXT trunk — keeps
+    # the vision tower on the XLA path; 'pallas' opts into flash (video /
+    # multi-frame grids with L >= 4k are where it should pay).
     attention_impl: str = "xla"
     # int8 W8A8 for the block projection GEMMs (qkv/attn_proj/fc1/fc2);
     # patch_embed + PatchMerger stay fp. Scoped conversion:
@@ -100,9 +104,9 @@ class Qwen25VLVisionConfig(AbsArguments):
     hidden_act: str = "silu"
     rope_theta: float = 10000.0
     tokens_per_second: int = 4  # video temporal M-RoPE spacing (HF 2.5)
-    # 'xla' | 'pallas'/'fused': flash kernel for the FULL-attention layers
-    # (the window layers' 64-patch spans are smaller than a flash block and
-    # stay on the dense path)
+    # 'xla' | 'pallas': flash kernel for the FULL-attention layers (window
+    # layers' 64-patch spans stay dense). 'fused' keeps XLA attention here
+    # too — measured slower via flash at 224-448 px grids (BENCH_NOTES r5).
     attention_impl: str = "xla"
     # int8 W8A8 block projections (qkv/attn_proj/gate/up/down_proj) — the
     # name-collision with the text trunk's gate/up/down_proj is resolved by
@@ -266,7 +270,7 @@ class Qwen2VLVisionBlock(nn.Module):
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cb + _rotate_half(qf) * sb).astype(self.dtype)
         k = (kf * cb + _rotate_half(kf) * sb).astype(self.dtype)
-        if c.attention_impl in ("pallas", "fused"):
+        if c.attention_impl == "pallas":
             from nexus_tpu.ops.flash_attention import flash_vision_attention
 
             # per-frame attention becomes segment ids (ids start at 1 — 0
@@ -403,7 +407,7 @@ class Qwen25VLVisionBlock(nn.Module):
             return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
 
         def full_core(args):
-            if c.attention_impl in ("pallas", "fused"):
+            if c.attention_impl == "pallas":
                 from nexus_tpu.ops.flash_attention import flash_vision_attention
 
                 seg_ids = (np.arange(p) // (p // self.grid_t) + 1

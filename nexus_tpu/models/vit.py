@@ -31,11 +31,12 @@ class ViTConfig(AbsArguments):
     layer_norm_eps: float = 1e-6
     use_cls_token: bool = True
     num_channels: int = 3
-    # 'xla' keeps flax's dense attention; 'pallas'/'fused' route through the
-    # flash kernel (ops/flash_attention.py) — patch sequences (257 at
-    # 224px/14, 1k-4k for large images) are exactly where the [L, L] score
-    # matrix stops fitting caches (round-4 verdict weak #1). Param tree is
-    # identical across impls (the flash path plugs in via attention_fn).
+    # 'xla' keeps flax's dense attention; 'pallas' routes through the flash
+    # kernel (ops/flash_attention.py). Measured on the Qwen towers
+    # (BENCH_NOTES r5): XLA attention wins at 256-1024 patch grids on v5e,
+    # so 'fused' stays on the dense path here; flash is the opt-in for
+    # multi-frame / >=4k-token grids. Param tree is identical across impls
+    # (the flash path plugs in via attention_fn).
     attention_impl: str = "xla"
 
     @property
@@ -52,7 +53,7 @@ class ViTBlock(nn.Module):
         c = self.config
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         attn_kw = {}
-        if c.attention_impl in ("pallas", "fused"):
+        if c.attention_impl == "pallas":
             from nexus_tpu.ops.flash_attention import flash_vision_attention
 
             def _flash_fn(query, key, value, **_kw):  # [B, L, H, Dh]
