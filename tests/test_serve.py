@@ -450,3 +450,52 @@ def test_service_returns_503_on_overload(tmp_path):
     finally:
         release.set()
         svc.stop()
+
+
+def test_serve_cli_text_mode(tmp_path):
+    """`python -m nexus_tpu.serve --mode text` contract: config file ->
+    service construction -> live socket (driven in-process via the CLI's
+    builder; subprocess smoke covers arg parsing)."""
+    import subprocess
+    import sys
+
+    pytest.importorskip("torch")
+    from transformers import BertConfig as HFC, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m"
+    d.mkdir()
+    words = ["the", "dog", "cat", "runs", "sits", "fast", "sky", "red"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    BertModel(HFC(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=64,
+                  max_position_embeddings=32)).save_pretrained(str(d))
+    corpus_path = tmp_path / "corpus.jsonl"
+    corpus_path.write_text("\n".join(
+        json.dumps({"id": f"d{i}", "text": t})
+        for i, t in enumerate(["the dog runs fast", "the cat sits", "red sky"])))
+    cfg = {
+        "embedder": {"model_name_or_path": str(d), "batch_size": 4,
+                     "max_length": 16},
+        "corpus": str(corpus_path),
+        "port": 0, "max_queue": 32, "deadline_ms": 10000,
+    }
+    cfg_path = tmp_path / "serve_text.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from nexus_tpu.serve.__main__ import _build_text, _load_config
+
+    svc = _build_text(_load_config(str(cfg_path))).start()
+    try:
+        out = _post(svc.port, "/search", {"query": "dog runs", "top_k": 2})
+        assert len(out["hits"]) == 2
+        assert out["hits"][0]["doc_id"].startswith("d")
+    finally:
+        svc.stop()
+
+    help_out = subprocess.run(
+        [sys.executable, "-m", "nexus_tpu.serve", "--help"],
+        capture_output=True, text=True, timeout=120)
+    assert help_out.returncode == 0
+    assert "--mode" in help_out.stdout
