@@ -13,7 +13,14 @@ from nexus_tpu.inference.reranker.text_retrieval import (  # noqa: F401
     TextReranker,
 )
 from nexus_tpu.inference.embedder.multimodal import MultimodalEmbedder  # noqa: F401
-from nexus_tpu.inference.index import ItemIndex, gen_i2i_index, gen_item_index  # noqa: F401
+from nexus_tpu.inference.index import (  # noqa: F401
+    HostTieredIVFIndex,
+    ItemIndex,
+    ShardedIVFIndex,
+    TieredShardedIVFIndex,
+    gen_i2i_index,
+    gen_item_index,
+)
 from nexus_tpu.inference.feature_store import (  # noqa: F401
     FeatureCache,
     FeatureCodec,
