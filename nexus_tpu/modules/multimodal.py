@@ -392,7 +392,22 @@ class Qwen2VLProcessorAdapter:
         )
         feed = {"input_ids": ids, "attention_mask": mask, "positions3": positions3}
         if all_patches:
-            feed["pixel_patches"] = np.stack(all_patches)
+            patches = np.stack(all_patches)
+            # bucket the VISION-ROW count: dynamically micro-batched serving
+            # boards arbitrary image-count mixes, and a jit program per
+            # count is the round-4 compile-storm failure mode (remote
+            # compiles 6-12 s p50). Pow-2 up to 4, then multiples of 4 —
+            # bounded program count, <= 33% padded vision rows worst case.
+            # Pad rows carry NO image tokens in input_ids, so the backbone's
+            # cumsum scatter never gathers them (dead compute only).
+            n = patches.shape[0]
+            target = (1 if n <= 1 else 2 if n <= 2 else 4 if n <= 4
+                      else -(-n // 4) * 4)
+            if target != n:
+                patches = np.concatenate(
+                    [patches, np.zeros((target - n, *patches.shape[1:]),
+                                       patches.dtype)])
+            feed["pixel_patches"] = patches
         return feed
 
 

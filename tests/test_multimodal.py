@@ -188,3 +188,70 @@ def test_multimodal_embedder_train_and_infer(tokenizer, images, tmp_path):
     q = emb.encode_queries([{"text": "cat", "images": [images[0]]}, "just text"])
     assert q.shape == (2, cfg.text.hidden_size)
     assert np.allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-3)
+
+
+def test_qwen_adapter_buckets_vision_rows(tmp_path):
+    """Mixed image-count batches pad pixel_patches to a bounded bucket set
+    (pow-2 to 4, then multiples of 4) so serving compiles O(log) programs,
+    and padded rows leave the embeddings bit-identical (no image tokens
+    reference them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nexus_tpu.models.llama import LlamaConfig
+    from nexus_tpu.models.qwen2_vl import (
+        Qwen2VLBackbone, Qwen2VLConfig, Qwen2VLVisionConfig)
+    from nexus_tpu.modules.multimodal import Qwen2VLProcessorAdapter
+    from transformers import BertTokenizerFast
+
+    words = ["a", "cat", "dog", "red"]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+    vcfg = Qwen2VLVisionConfig(depth=1, embed_dim=16, num_heads=2, patch_size=4,
+                               temporal_patch_size=2, spatial_merge_size=2,
+                               mlp_ratio=2.0, hidden_size=24)
+    tc = LlamaConfig(vocab_size=64, hidden_size=24, intermediate_size=48,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     num_key_value_heads=1, max_position_embeddings=128,
+                     attention_bias=True)
+    cfg = Qwen2VLConfig(vision=vcfg, text=tc, mrope_section=[2, 2, 2],
+                        image_token_id=60, video_token_id=61,
+                        vision_start_token_id=62, vision_end_token_id=63)
+    grid = (1, 8, 8)
+    adapter = Qwen2VLProcessorAdapter(
+        tok, image_size=8 * 4, patch_size=4, temporal_patch_size=2,
+        spatial_merge_size=2, max_length=64, image_token_id=60,
+        video_token_id=61, vision_start_token_id=62, vision_end_token_id=63)
+
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    mk = lambda n_img: {"text": "a cat", "images": [img] * n_img,  # noqa: E731
+                        "videos": [], "pages": []}
+    # 3 images across the batch -> bucket 4 (one zero pad row)
+    feed = adapter([mk(2), mk(1), mk(0), mk(0)])
+    assert feed["pixel_patches"].shape[0] == 4
+    # 5 -> 8
+    assert adapter([mk(2), mk(3)])["pixel_patches"].shape[0] == 8
+    # 1 -> 1, 2 -> 2 (no waste for the common single-image request)
+    assert adapter([mk(1)])["pixel_patches"].shape[0] == 1
+    assert adapter([mk(1), mk(1)])["pixel_patches"].shape[0] == 2
+
+    # padded rows must not change the hidden states: compare bucket-4 feed
+    # against the same feed with the pad rows stripped
+    net = Qwen2VLBackbone(cfg, grid_thw=grid)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.asarray(feed["input_ids"]),
+                      jnp.asarray(feed["attention_mask"]),
+                      jnp.asarray(feed["pixel_patches"]),
+                      jnp.asarray(feed["positions3"]))
+    out_pad = net.apply(params, jnp.asarray(feed["input_ids"]),
+                        jnp.asarray(feed["attention_mask"]),
+                        jnp.asarray(feed["pixel_patches"]),
+                        jnp.asarray(feed["positions3"]))
+    out_exact = net.apply(params, jnp.asarray(feed["input_ids"]),
+                          jnp.asarray(feed["attention_mask"]),
+                          jnp.asarray(feed["pixel_patches"][:3]),
+                          jnp.asarray(feed["positions3"]))
+    np.testing.assert_allclose(
+        np.asarray(out_pad["last_hidden_state"]),
+        np.asarray(out_exact["last_hidden_state"]), atol=1e-6)
